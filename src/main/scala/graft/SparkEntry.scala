@@ -1,13 +1,347 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.index.Resources
+import graft.ontology.CorpusOntology
+import graft.pipeline.{Pages, Pipeline}
+import graft.triples.Triples
+import graft.tdp.{Ann, Dedup, Multimodal, TextStats}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that is implemented has a `queries`
+  * entry; SQL-expressible ones also carry a DuckDB oracle in [[oracleSql]]
+  * (same column names, same ordering, integer/cent-based aggregates for
+  * bit-exact cross-engine parity).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared helpers -----------------------------------------------------
+
+  private def resources(spark: SparkSession) =
+    spark.sparkContext.broadcast(Resources.corpus)
+
+  /** Full KG pipeline docs for a scale-factor dir (no checkpointing in
+    * driver-run queries; checkpoint/resume is exercised by PipelineSpec and
+    * the spark-submit mains). */
+  private def pipelineDocs(spark: SparkSession, sfDir: String) = {
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val (docs, _) = Pipeline.run(spark, pages, resources(spark))
+    docs
+  }
+
+  private def docsDf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Terms excluded from the oracle-checked triple aggregate: ambiguous
+    * synonyms ("scan", "join", "merge") resolve through order-dependent
+    * document-context disambiguation, and nested phrases change counts via
+    * overlap-merge — those paths are covered by ScalaTest goldens instead. */
+  private val ambiguousObjs = Set(
+    "OP:TABLE_SCAN", "OP:INDEX_SCAN", "OP:HASH_JOIN", "OP:MERGE_JOIN", "SYS:TABLE")
+
+  // ---- driver contract ----------------------------------------------------
+
+  /** Flagship: full KG construction on sf0.001 — pages → trie NER → mapping
+    * ladder → abbreviation → cleanup → overlap merge → (subj, pred, obj). */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = pipelineDocs(spark, "/root/testdata/sf0.001")
+    Triples.fromDocs(spark, docs).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- KG pipeline ------------------------------------------------------
+    "kg_extract_text" -> ((s, dir) => {
+      import s.implicits._
+      val pages = Pages.fromDocuments(s, dir)
+      Pages.toDocs(s, pages)
+        .filter(_.error.isEmpty)
+        .map(d => (d.url, d.text))
+        .toDF("url", "text")
+        .select($"url", md5(to_binary($"text", lit("utf-8"))).as("text_md5"),
+          length($"text").cast("long").as("n_chars"))
+        .orderBy($"url")
+    }),
+    "kg_ner_mentions" -> ((s, dir) => {
+      import s.implicits._
+      val res = resources(s)
+      val pages = Pages.fromDocuments(s, dir)
+      Pages.toDocs(s, pages)
+        .flatMap { d =>
+          if (d.error.isDefined) Iterator.empty
+          else d.sections.iterator.flatMap(sec =>
+            graft.ner.TrieNer.matchText(res.value, sec.text)
+              .map(m => (d.url, m.matchStr, m.entityClass)))
+        }
+        .toDF("url", "match", "entity_class")
+        .groupBy($"match", $"entity_class")
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct($"url").as("n_docs"))
+        .orderBy($"match", $"entity_class")
+    }),
+    "kg_triples_agg" -> ((s, dir) => {
+      import s.implicits._
+      val docs = pipelineDocs(s, dir)
+      Triples.fromDocs(s, docs).toDF()
+        .filter(!$"obj".isin(ambiguousObjs.toSeq: _*))
+        .groupBy($"pred", $"obj")
+        .agg(count(lit(1)).as("n_mentions"))
+        .orderBy($"pred", $"obj")
+    }),
+    "kg_triples" -> ((s, dir) => {
+      import s.implicits._
+      val docs = pipelineDocs(s, dir)
+      Triples.fromDocs(s, docs).toDF()
+        .select($"subj", $"pred", $"obj", $"confidence", $"namespace",
+          $"matchStr".as("match"), $"start", $"end", $"url")
+        .orderBy($"url", $"start", $"end", $"pred", $"obj")
+    }),
+
+    // ---- relational plane (scan/filter/agg/join/window/topk/antijoin) -----
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter($"l_shipdate" < lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("sum_price_cents"),
+          sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+            .as("sum_revenue_cents"),
+          countDistinct($"l_partkey").as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders
+        .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"),
+          countDistinct($"c_custkey").as("n_customers"))
+        .orderBy($"n_name")
+    }),
+    "q3_topk" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy($"o_custkey")
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"revenue_cents".desc, $"o_custkey")
+        .limit(10)
+    }),
+    "q4_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      customer
+        .join(orders.filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_customers_no_orders"))
+        .orderBy($"n_name")
+    }),
+    "q5_window_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+            .otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"new_session").as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
+        .orderBy($"user_id")
+    }),
+
+    // ---- training-data pipeline ops ---------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"text_md5")
+      docsDf(s, dir)
+        .select($"doc_id", md5(to_binary($"text", lit("utf-8"))).as("text_md5"))
+        .withColumn("n_same_text", count(lit(1)).over(w))
+        .orderBy($"doc_id")
+    }),
+    "dedup_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val d = docsDf(s, dir)
+        .filter($"doc_id" < 100)
+        .select($"doc_id", array_distinct(split($"text", " ")).as("words"))
+      val a = d.select($"doc_id".as("doc_a"), $"words".as("wa"))
+      val b = d.select($"doc_id".as("doc_b"), $"words".as("wb"))
+      a.join(broadcast(b), $"doc_a" < $"doc_b")
+        .withColumn("jaccard",
+          size(array_intersect($"wa", $"wb")).cast("double") /
+            size(array_union($"wa", $"wb")).cast("double"))
+        .filter($"jaccard" >= 0.8)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(s, docsDf(s, dir))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(s, docsDf(s, dir))),
+    "text_quality" -> ((s, dir) => TextStats.quality(s, docsDf(s, dir))),
+    "lang_id" -> ((s, dir) => TextStats.langId(s, docsDf(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextStats.fingerprintDocs(s, docsDf(s, dir))),
+    "multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(s, docsDf(s, dir))
+      Multimodal.extractMeta(s, media)
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"))
+    }),
+    "ann_brute" -> ((s, dir) =>
+      Ann.bruteTopK(s, s.read.parquet(s"$dir/embeddings.parquet"))),
+    "ann_lsh" -> ((s, dir) =>
+      Ann.lshTopK(s, s.read.parquet(s"$dir/embeddings.parquet")))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private def nerTermsValues: String =
+    CorpusOntology.nerTerms
+      .map { case (t, c) => s"('$t','$c')" }
+      .mkString(", ")
+
+  /** (pred, obj, regex) rows for the oracle-checked triple aggregate. */
+  private def tripleTermsValues: String =
+    CorpusOntology.rows
+      .filterNot(r => ambiguousObjs.contains(r.idx))
+      .map(r => (s"mentions_${r.entityClass}", r.idx, r.syn))
+      .distinct
+      .filterNot { case (_, _, syn) => ambiguousTerm(syn) }
+      .map { case (p, o, syn) => s"('$p','$o','\\b$syn\\b')" }
+      .mkString(", ")
+
+  /** Synonyms whose surface form is ambiguous or nested in a longer
+    * gazetteer phrase (their mention counts are affected by
+    * disambiguation/merge). */
+  private def ambiguousTerm(syn: String): Boolean =
+    Set("scan", "join", "merge", "table", "table scan", "index scan",
+      "hash join", "merge join").contains(syn)
+
+  def oracleSql: Map[String, String] = Map(
+    "kg_extract_text" ->
+      """SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
+        |       md5(text) AS text_md5, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY url""".stripMargin,
+    "kg_ner_mentions" ->
+      s"""WITH terms("match", entity_class) AS (VALUES $nerTermsValues),
+         |c AS (
+         |  SELECT d.doc_id, t."match", t.entity_class,
+         |         len(regexp_extract_all(d.text, '\\b' || t."match" || '\\b')) AS n
+         |  FROM documents d CROSS JOIN terms t)
+         |SELECT "match", entity_class, CAST(sum(n) AS BIGINT) AS n_mentions,
+         |       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+         |FROM c GROUP BY "match", entity_class HAVING sum(n) > 0
+         |ORDER BY "match", entity_class""".stripMargin,
+    "kg_triples_agg" ->
+      s"""WITH terms(pred, obj, pat) AS (VALUES $tripleTermsValues),
+         |c AS (
+         |  SELECT t.pred, t.obj, len(regexp_extract_all(d.text, t.pat)) AS n
+         |  FROM documents d CROSS JOIN terms t)
+         |SELECT pred, obj, CAST(sum(n) AS BIGINT) AS n_mentions
+         |FROM c GROUP BY pred, obj HAVING sum(n) > 0
+         |ORDER BY pred, obj""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_revenue_cents,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue_cents DESC, o_custkey LIMIT 10""".stripMargin,
+    "q4_antijoin" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers_no_orders
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q5_window_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_same_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.words, b.words)) * 1.0 /
+        |        len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.words, b.words)) * 1.0 /
+        |      len(list_distinct(list_concat(a.words, b.words))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 128.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_brute" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.q_vec_id, e.vec_id AS neighbor_vec_id,
+        |         round(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos_sim
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.q_vec_id),
+        |ranked AS (
+        |  SELECT q_vec_id, neighbor_vec_id, cos_sim,
+        |         row_number() OVER (PARTITION BY q_vec_id
+        |                            ORDER BY cos_sim DESC, neighbor_vec_id) AS rank
+        |  FROM pairs)
+        |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, neighbor_vec_id, cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin
+  )
 }

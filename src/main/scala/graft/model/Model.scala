@@ -1,0 +1,196 @@
+package graft.model
+
+/** Core data model for the KG-construction engine.
+  *
+  * Re-expresses the reference's document/entity/mapping object graph
+  * (kazu/data/__init__.py:102-565) as Spark-encodable case classes. Set-valued
+  * fields in the reference (frozensets) become canonically-sorted Seqs so that
+  * equality / grouping / hashing are deterministic in Spark rows
+  * (SURVEY.md §7.4 risk 7).
+  */
+
+/** Half-open character interval [start, end). Ref: kazu/data/__init__.py:102-135. */
+final case class CharSpan(start: Int, end: Int) {
+  def isCompletelyOverlapped(other: CharSpan): Boolean =
+    other.start <= start && end <= other.end
+  def isPartiallyOverlapped(other: CharSpan): Boolean =
+    start < other.end && other.start < end
+  def length: Int = end - start
+}
+
+/** Mention confidence ladder. Ref IntEnum kazu/data/__init__.py:82-86 —
+  * kept as Int so ordering (processing is high→low) is a plain numeric sort.
+  */
+object MentionConfidence {
+  val HighlyLikely = 100
+  val Probable     = 50
+  val Possible     = 10
+  val Ignore       = 0
+  def name(v: Int): String = v match {
+    case 100 => "HIGHLY_LIKELY"
+    case 50  => "PROBABLE"
+    case 10  => "POSSIBLE"
+    case _   => "IGNORE"
+  }
+}
+
+object StringMatchConfidence {
+  val HighlyLikely = "HIGHLY_LIKELY"
+  val Probable     = "PROBABLE"
+  val Possible     = "POSSIBLE"
+}
+
+object DisambiguationConfidence {
+  val HighlyLikely = "HIGHLY_LIKELY"
+  val Probable     = "PROBABLE"
+  val Possible     = "POSSIBLE"
+  val Ambiguous    = "AMBIGUOUS"
+}
+
+/** A set of (idx, source) pairs that refer to the same concept.
+  * Ref: kazu/data/__init__.py:157-171. Canonically sorted for deterministic
+  * equality inside Spark rows.
+  */
+final case class EquivalentIdSet(ids: Seq[IdAndSource]) {
+  def canonical: EquivalentIdSet =
+    EquivalentIdSet(ids.distinct.sortBy(i => (i.idx, i.source)))
+  def idxs: Seq[String] = ids.map(_.idx)
+}
+
+final case class IdAndSource(idx: String, source: String)
+
+/** How an ambiguous synonym's ids were clustered.
+  * Ref enum kazu/data/__init__.py:138-147. */
+object IdAggregation {
+  val NoStrategy           = "NO_STRATEGY"
+  val Unambiguous          = "UNAMBIGUOUS"
+  val MergedAsNonSymbolic  = "MERGED_AS_NON_SYMBOLIC"
+  val ResolvedBySimilarity = "RESOLVED_BY_SIMILARITY"
+}
+
+/** One normalized synonym of an ontology: the unit of the broadcast synonym
+  * table. Ref: kazu/data/__init__.py:206-237.
+  */
+final case class LinkingCandidate(
+    parserName: String,
+    synonymNorm: String,
+    rawSynonyms: Seq[String],
+    isSymbolic: Boolean,
+    mappingTypes: Seq[String],
+    associatedIdSets: Seq[EquivalentIdSet],
+    aggregatedBy: String
+) {
+  /** >1 id set ⇔ the synonym genuinely refers to multiple concepts
+    * (ref :231-233). */
+  def isAmbiguous: Boolean = associatedIdSets.size > 1
+}
+
+/** Per (entity, candidate) scores. Ref: kazu/data/__init__.py:240-264. */
+final case class LinkingMetrics(
+    searchScore: Option[Double] = None,
+    embedScore: Option[Double] = None,
+    boolScore: Option[Boolean] = None,
+    exactMatch: Option[Boolean] = None
+)
+
+final case class CandidateWithMetrics(
+    candidate: LinkingCandidate,
+    metrics: LinkingMetrics
+)
+
+/** Final grounded KB link — the object side of an emitted triple.
+  * Ref: kazu/data/__init__.py:174-199.
+  */
+final case class Mapping(
+    defaultLabel: String,
+    source: String,
+    parserName: String,
+    idx: String,
+    stringMatchStrategy: String,
+    stringMatchConfidence: String,
+    disambiguationStrategy: Option[String],
+    disambiguationConfidence: Option[String]
+)
+
+/** A recognized mention. Ref Entity: kazu/data/__init__.py:267-435.
+  * Derived fields (start/end/matchNorm) are computed eagerly at construction
+  * by the producing stage — rows are immutable.
+  */
+final case class Mention(
+    matchStr: String,
+    entityClass: String,
+    spans: Seq[CharSpan],             // non-contiguous support; sorted by start
+    namespace: String,                // producing stage
+    mentionConfidence: Int,
+    matchNorm: String,
+    candidates: Seq[CandidateWithMetrics] = Seq.empty,
+    mappings: Seq[Mapping] = Seq.empty
+) {
+  def start: Int = if (spans.isEmpty) 0 else spans.map(_.start).min
+  def end: Int   = if (spans.isEmpty) 0 else spans.map(_.end).max
+  def isContiguous: Boolean = spans.size == 1
+}
+
+/** One section of a document (web pages have a single "body" section).
+  * Ref Section: kazu/data/__init__.py:438-488. */
+final case class Section(
+    name: String,
+    text: String,
+    entities: Seq[Mention] = Seq.empty,
+    sentenceSpans: Seq[CharSpan] = Seq.empty
+)
+
+/** The unit of work: one web page as a typed document row.
+  * Ref Document: kazu/data/__init__.py:491-565; idx ← url (input_hint).
+  * Failures are rows, not task aborts: processing errors land in `error`
+  * (ref PROCESSING_EXCEPTION metadata, kazu/data/__init__.py:34).
+  */
+final case class KDoc(
+    url: String,
+    warcTs: java.sql.Timestamp,
+    text: String,
+    lang: String,
+    sections: Seq[Section] = Seq.empty,
+    error: Option[String] = None
+) {
+  def entities: Seq[Mention] = sections.flatMap(_.entities)
+}
+
+/** Input page row — the north-rule input table shape (BASELINE.json input_hint). */
+final case class PageRow(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+/** Output graph edge (FIXTURES.md §5). */
+final case class Triple(
+    subj: String,
+    pred: String,
+    obj: String,
+    confidence: String,
+    namespace: String,
+    matchStr: String,
+    start: Int,
+    end: Int,
+    url: String
+)
+
+/** Per-partition lineage row written at every checkpointed stage (north rule). */
+final case class LineageRow(
+    stage: String,
+    partitionId: Int,
+    inputSplit: String,
+    resourceVersion: String,
+    modelVersion: String,
+    rowsIn: Long,
+    rowsOut: Long,
+    failures: Long,
+    wallMs: Long,
+    runId: String
+)
+
+/** Failed-document sink row (ref kazu/pipeline/__init__.py:64-117). */
+final case class FailureRow(url: String, stage: String, error: String, runId: String)

@@ -1,0 +1,114 @@
+package graft.tdp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: quality scoring,
+  * language ID, token counting, document fingerprinting. All narrow maps —
+  * no shuffle; at 100 TB these run at scan speed with column pruning
+  * (only `doc_id`, `text` read).
+  */
+object TextStats {
+
+  /** Per-doc quality metrics, expressed in codegen'd built-in functions
+    * (no UDF in the hot path): char/token/distinct-token counts, stopword
+    * count and ratio, BPE-ish regex token count. */
+  def quality(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(
+      $"doc_id",
+      length($"text").cast("long").as("n_chars"),
+      size(split($"text", " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split($"text", " "))).cast("long").as("n_distinct_tokens"),
+      expr("cast(size(filter(split(text, ' '), x -> x IN ('the', 'a'))) as long)")
+        .as("n_stopwords"),
+      expr("cast(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as long)")
+        .as("n_bpe_tokens")
+    ).withColumn("stopword_ratio",
+        $"n_stopwords".cast("double") / $"n_tokens".cast("double"))
+      .orderBy($"doc_id")
+  }
+
+  /** Character/word n-gram profiles per language for the heuristic
+    * language-ID scorer. Deterministic, tiny, embedded: scores by overlap of
+    * the doc's frequent words with per-language function-word sets. */
+  val LangProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "un", "una", "que", "en"),
+    "zh" -> Set.empty
+  )
+
+  final case class LangPred(doc_id: Long, lang_pred: String, lang_score: Double)
+
+  /** n-gram-heuristic language ID (stopword-profile voting with an ASCII
+    * prior). Pure function per row. */
+  def predictLang(text: String): (String, Double) = {
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+    if (words.isEmpty) return ("und", 0.0)
+    val scores = LangProfiles.map { case (lang, profile) =>
+      lang -> words.count(profile.contains).toDouble / words.size
+    }
+    val nonAscii = text.count(_ > 127).toDouble / math.max(text.length, 1)
+    val adjusted = scores.map { case (l, s) =>
+      l -> (if (l == "zh") nonAscii else s)
+    }
+    adjusted.toSeq.sortBy { case (l, s) => (-s, l) }.head
+  }
+
+  def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val (lang, score) = predictLang(t)
+        LangPred(id, lang, math.rint(score * 10000) / 10000)
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** Rolling-hash (Rabin–Karp) document fingerprints: winnowed k-gram
+    * hashes, the classic copy-detection sketch. */
+  def fingerprints(text: String, k: Int = 16, window: Int = 8): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array(Dedup.simhash(text))
+    val B = 1000000007L
+    val hashes = new Array[Long](n - k + 1)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < k) { h = h * B + text.charAt(i); if (i < k - 1) pow *= B; i += 1 }
+    hashes(0) = h
+    i = k
+    while (i < n) {
+      h = (h - text.charAt(i - k) * pow) * B + text.charAt(i)
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    // winnowing: min hash of each window (dedup consecutive picks)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var w = 0
+    var last = Long.MinValue
+    while (w + window <= hashes.length) {
+      var m = hashes(w)
+      var j = 1
+      while (j < window) { if (hashes(w + j) < m) m = hashes(w + j); j += 1 }
+      if (m != last) { out += m; last = m }
+      w += window
+    }
+    if (out.isEmpty) out += hashes(0)
+    out.toArray
+  }
+
+  def fingerprintDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val fps = fingerprints(t)
+        (id, fps.length.toLong, fps.min)
+      }
+      .toDF("doc_id", "n_fingerprints", "min_fingerprint")
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.text
+
+import graft.model.CharSpan
+
+/** Deterministic regex-free tokenizer + sentence splitter.
+  *
+  * The reference uses a customized spaCy English tokenizer only for (a) token
+  * boundary sets consumed by the trie matcher's `word_is_valid` check
+  * (kazu/steps/joint_ner_and_linking/memory_efficient_string_matching.py:174-178,
+  * kazu/utils/utils.py:204-207) and (b) sentence spans. We re-implement that
+  * contract directly (SURVEY.md B5/B6): no NLP dependency, bit-stable output.
+  *
+  * Tokenization spec (mirrors the reference's two deliberate customizations,
+  * kazu/utils/spacy_pipeline.py:41-69):
+  *   - a token is a maximal run of Unicode letters/digits, where a single
+  *     dash codepoint between two letter/digit chars does NOT split
+  *     (intra-word hyphens kept: "ALK-Abello" is one token);
+  *   - '.' between two digits does not split ("3.5");
+  *   - every other non-space character is its own single-char token
+  *     (brackets, slashes and sentence-final '.' are boundaries, so
+  *     "(EGFR)" yields a valid "EGFR" hit and "Haemophilia A." a valid "A").
+  */
+object Tokenizer {
+
+  final case class Token(start: Int, end: Int) // half-open [start, end)
+
+  @inline private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c)
+
+  def tokenize(text: String): Array[Token] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) { i += 1 }
+      else if (isWordChar(c)) {
+        val start = i
+        i += 1
+        var continue = true
+        while (continue && i < n) {
+          val ci = text.charAt(i)
+          if (isWordChar(ci)) i += 1
+          else if ((Normalizer.Dashes.contains(ci) || ci == '.') &&
+                   i + 1 < n && isWordChar(text.charAt(i + 1)) &&
+                   (ci != '.' || (Character.isDigit(text.charAt(i - 1)) &&
+                                  Character.isDigit(text.charAt(i + 1))))) {
+            i += 2 // joiner plus the word char after it
+          } else continue = false
+        }
+        out += Token(start, i)
+      } else {
+        out += Token(i, i + 1)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Token boundary sets for `wordIsValid` — `starts` holds token start
+    * offsets, `ends` holds INCLUSIVE end offsets (matching the reference's
+    * `tok.idx + len(tok) - 1`). */
+  def boundaries(text: String): (java.util.HashSet[Integer], java.util.HashSet[Integer]) = {
+    val starts = new java.util.HashSet[Integer]()
+    val ends = new java.util.HashSet[Integer]()
+    tokenize(text).foreach { t =>
+      starts.add(t.start); ends.add(t.end - 1)
+    }
+    (starts, ends)
+  }
+
+  /** Ref: kazu/utils/utils.py:204-207. */
+  @inline def wordIsValid(
+      startChar: Int,
+      endCharInclusive: Int,
+      starts: java.util.HashSet[Integer],
+      ends: java.util.HashSet[Integer]
+  ): Boolean =
+    starts.contains(startChar) && ends.contains(endCharInclusive)
+
+  private val sentenceEnders: Set[Char] = Set('.', '!', '?')
+
+  /** Rule sentence splitter (role of spaCy's `sentencizer` in the reference
+    * basic pipeline, kazu/utils/spacy_pipeline.py:81-85): a sentence ends
+    * after a run of [.!?] followed by whitespace or end-of-text. Spans cover
+    * the whole text (trailing non-terminated text is a final sentence).
+    */
+  def sentenceSpans(text: String): Seq[CharSpan] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[CharSpan]
+    val n = text.length
+    var sentStart = 0
+    var i = 0
+    while (i < n) {
+      if (sentenceEnders.contains(text.charAt(i))) {
+        var j = i + 1
+        while (j < n && sentenceEnders.contains(text.charAt(j))) j += 1
+        if (j >= n || Character.isWhitespace(text.charAt(j))) {
+          out += CharSpan(sentStart, j)
+          while (j < n && Character.isWhitespace(text.charAt(j))) j += 1
+          sentStart = j
+          i = j
+        } else i = j
+      } else i += 1
+    }
+    if (sentStart < n) out += CharSpan(sentStart, n)
+    out.toSeq
+  }
+}
