@@ -36,10 +36,14 @@ object SparkEntry {
 
   /** Terms excluded from the oracle-checked triple aggregate: ambiguous
     * synonyms ("scan", "join", "merge") resolve through order-dependent
-    * document-context disambiguation, and nested phrases change counts via
-    * overlap-merge — those paths are covered by ScalaTest goldens instead. */
+    * document-context disambiguation; nested phrases change counts via
+    * overlap-merge; and terms in the stub transformer-NER vocabulary gain
+    * model spans (adjacent B-labels extend into multi-word spans, ref
+    * SimpleSpanFinder copy-on-new-B) that merge locations. All those paths
+    * are covered by ScalaTest goldens instead. */
   private val ambiguousObjs = Set(
-    "OP:TABLE_SCAN", "OP:INDEX_SCAN", "OP:HASH_JOIN", "OP:MERGE_JOIN", "SYS:TABLE")
+    "OP:TABLE_SCAN", "OP:INDEX_SCAN", "OP:HASH_JOIN", "OP:MERGE_JOIN", "SYS:TABLE",
+    "OP:SORT", "OP:WINDOW", "SYS:VECTOR", "SYS:STREAM")
 
   // ---- driver contract ----------------------------------------------------
 
@@ -232,7 +236,8 @@ object SparkEntry {
     * disambiguation/merge). */
   private def ambiguousTerm(syn: String): Boolean =
     Set("scan", "join", "merge", "table", "table scan", "index scan",
-      "hash join", "merge join").contains(syn)
+      "hash join", "merge join", "sort", "window", "vector", "stream")
+      .contains(syn)
 
   def oracleSql: Map[String, String] = Map(
     "kg_extract_text" ->

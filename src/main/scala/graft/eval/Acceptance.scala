@@ -1,0 +1,63 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Acceptance scoring (ref kazu/annotation/acceptance_test.py:79-263):
+  * soft-span NER matching (same doc + class AND span overlap) and
+  * per-source linking tp/fp/fn, aggregated into precision/recall gates.
+  *
+  * The gold↔predicted join is the interval/range join of SURVEY.md §2.G:
+  * equi-join on (url, entity_class) then the overlap predicate
+  * `g.start < p.end AND p.start < g.end`. Gold sets are tiny relative to
+  * the corpus ⇒ broadcast; at full corpus-vs-corpus scale (P/R between two
+  * pipeline versions over 10^12 pages) the same join shuffles on url and
+  * AQE handles the skew.
+  */
+object Acceptance {
+
+  final case class PrRow(key: String, tp: Long, fp: Long, fn: Long,
+      precision: Double, recall: Double)
+
+  /** NER soft-match P/R per entity class.
+    * pred/gold schema: (url, start, end, entity_class).
+    */
+  def nerScores(spark: SparkSession, pred: DataFrame, gold: DataFrame): DataFrame = {
+    import spark.implicits._
+    val p = pred.select($"url", $"start", $"end", $"entity_class").distinct()
+    val g = gold.select($"url".as("g_url"), $"start".as("g_start"),
+      $"end".as("g_end"), $"entity_class".as("g_class")).distinct()
+    val overlap = p.join(broadcast(g),
+      $"url" === $"g_url" && $"entity_class" === $"g_class" &&
+        $"g_start" < $"end" && $"start" < $"g_end")
+    val tp = overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct()
+      .groupBy($"g_class".as("entity_class")).agg(count(lit(1)).as("tp"))
+    val predMatched = overlap.select($"url", $"start", $"end", $"entity_class").distinct()
+    val fp = p.exceptAll(predMatched)
+      .groupBy($"entity_class").agg(count(lit(1)).as("fp"))
+    val fn = g.join(broadcast(overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct()),
+        Seq("g_url", "g_start", "g_end", "g_class"), "left_anti")
+      .groupBy($"g_class".as("entity_class")).agg(count(lit(1)).as("fn"))
+    tp.join(fp, Seq("entity_class"), "outer")
+      .join(fn, Seq("entity_class"), "outer")
+      .na.fill(0L)
+      .withColumn("precision",
+        when($"tp" + $"fp" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fp")))
+      .withColumn("recall",
+        when($"tp" + $"fn" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fn")))
+      .orderBy($"entity_class")
+  }
+
+  /** Triple-level P/R: exact (subj, pred, obj) matching between an emitted
+    * triple set and an expected (reference/gold) triple set — the
+    * BASELINE P/R ≥ 0.95 gate. */
+  def tripleScores(spark: SparkSession, emitted: DataFrame, expected: DataFrame): (Double, Double) = {
+    import spark.implicits._
+    val e = emitted.select($"subj", $"pred", $"obj").distinct().cache()
+    val x = expected.select($"subj", $"pred", $"obj").distinct().cache()
+    val tp = e.intersect(x).count().toDouble
+    val nPred = e.count().toDouble
+    val nGold = x.count().toDouble
+    (if (nPred == 0) 0.0 else tp / nPred, if (nGold == 0) 0.0 else tp / nGold)
+  }
+}

@@ -162,31 +162,37 @@ object ResourceBuild {
   /** Source of an id (ref parsers implement find_kb per ontology;
     * our convention: prefix before ':' else the whole id). */
   def findKb(idx: String): String = {
-    val i = idx.indexOf(':')
-    if (i > 0) idx.substring(0, i)
-    else if (idx.startsWith("http")) {
-      // OBO-style URI: source = penultimate path fragment prefix
+    if (idx.startsWith("http://") || idx.startsWith("https://")) {
+      // OBO-style URI: source = final path fragment's prefix (MONDO_0001 → MONDO)
       val frag = idx.substring(idx.lastIndexOf('/') + 1)
       val u = frag.indexOf('_')
       if (u > 0) frag.substring(0, u) else frag
-    } else idx
+    } else {
+      val i = idx.indexOf(':')
+      if (i > 0) idx.substring(0, i) else idx
+    }
   }
 
   /** Default string resources from candidates, applying the reference's
     * autocuration defaults (kazu/ontology_preprocessing/autocuration.py):
-    * PROBABLE confidence; symbolic ⇒ case-sensitive, except all-upper
-    * alphabetic words (Chembl rule) ⇒ case-insensitive; len<2 or len>60 ⇒
-    * DROP_FOR_LINKING; common corpus words ⇒ POSSIBLE confidence.
+    * PROBABLE confidence; symbolic ⇒ case-sensitive
+    * (SymbolicToCaseSensitiveAction); len<2 or len>60 ⇒ DROP_FOR_LINKING
+    * (MinLength/MaxLength); common corpus words ⇒ POSSIBLE confidence
+    * (IsCommonWord). The Chembl-specific all-upper-word →
+    * case-insensitive rule (is_upper_case_word_to_case_insensitive) is
+    * opt-in via `upperCaseWordsInsensitive`, matching its per-ontology
+    * configuration in the reference.
     */
   def defaultResources(
       candidates: Seq[LinkingCandidate],
       entityClassOf: String => String,
-      commonWords: Set[String] = Set.empty
+      commonWords: Set[String] = Set.empty,
+      upperCaseWordsInsensitive: Boolean = false
   ): Seq[StringResource] =
     candidates.map { c =>
       val cls = entityClassOf(c.parserName)
       val allSymbolic = c.rawSynonyms.forall(Normalizer.classifySymbolic(_, cls))
-      val allUpperWord =
+      val allUpperWord = upperCaseWordsInsensitive &&
         c.rawSynonyms.forall(s => s.nonEmpty && s.forall(ch =>
           Character.isLetter(ch) && Character.isUpperCase(ch)))
       val caseSensitive = allSymbolic && !allUpperWord

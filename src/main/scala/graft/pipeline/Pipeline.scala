@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.broadcast.Broadcast
 import graft.model._
 import graft.index.Resources
-import graft.ner.TrieNer
-import graft.link.{Ladders, MappingStep, StrategyRunner}
+import graft.ner.{TokenClassifier, TrieNer}
+import graft.link.{ClassFilter, DictionaryLinking, Ladders, MappingStep, StrategyRunner}
 import graft.post.{Cleanup, MergeOverlaps}
 
 /** Stage composition + checkpoint/resume + per-partition lineage
@@ -73,26 +73,88 @@ object Pipeline {
       }
   }
 
-  /** The default document pipeline: pages → docs → trie NER → mapping →
-    * abbreviation/cleanup/merge → docs-with-grounded-entities.
-    * (Transformer-NER and fuzzy-candidate stages slot in between NER and
-    * mapping; see NerPipeline for the extended graph.)
+  /** Operator fusion: all post-extract stages are per-document pure
+    * functions, so without checkpoint boundaries they compose into ONE
+    * `mapPartitions` — one encoder deserialize + serialize per document for
+    * the whole pipeline instead of one per stage. At 32 cores this roughly
+    * halves allocation/memory traffic, which is the scaling bottleneck of
+    * the staged plan (each stage boundary re-materializes the full nested
+    * KDoc row). Checkpointed runs keep the staged path: resumability is
+    * exactly the ability to cut the fused chain.
+    */
+  def fusedStages(
+      resources: Resources,
+      runner: StrategyRunner,
+      classRules: ClassFilter.Rules,
+      withTransformerNer: Boolean
+  )(docs: Iterator[KDoc]): Iterator[KDoc] = {
+    val session = TokenClassifier.executorSession
+    val cleanupCfg = Cleanup.Config()
+    val mergeCfg = MergeOverlaps.Config()
+    val trie = TrieNer.processDoc(resources) _
+    val transformer = TokenClassifier.processDoc(session) _
+    val classFilter = ClassFilter.processDoc(classRules) _
+    val abbrev = Abbreviations.step
+    val perDocAfterLinking: KDoc => KDoc = d =>
+      MergeOverlaps.processDoc(mergeCfg)(
+        Cleanup.processDoc(cleanupCfg)(abbrev(d)))
+    // partition-level stages wrap the per-doc chain
+    val nerDocs = docs.map { d =>
+      val t = trie(d)
+      if (withTransformerNer) transformer(t) else t
+    }
+    val linked = DictionaryLinking.processPartition(resources)(nerDocs)
+      .map(classFilter)
+    MappingStep.processPartition(resources, runner)(linked)
+      .map(perDocAfterLinking)
+  }
+
+  private object Abbreviations {
+    val step: KDoc => KDoc = graft.post.Abbreviation.processDoc
+  }
+
+  /** The default document pipeline, mirroring the reference default step
+    * order (conf/Pipeline/default.yaml:3-11):
+    * extract → trie NER → transformer NER → dictionary linking → class
+    * filter → mapping → abbreviation → cleanup → overlap merge.
     */
   def run(
       spark: SparkSession,
       pages: org.apache.spark.sql.DataFrame,
       resources: Broadcast[Resources],
       runner: StrategyRunner = Ladders.default,
-      cfg: Config = Config()
+      cfg: Config = Config(),
+      classRules: ClassFilter.Rules = ClassFilter.Rules(),
+      withTransformerNer: Boolean = true
   ): (Dataset[KDoc], Seq[LineageRow]) = {
     import spark.implicits._
     val runCtx = new Run(spark, cfg, scala.collection.mutable.ArrayBuffer.empty)
 
+    if (cfg.checkpointDir.isEmpty) {
+      // fused fast path: extract + all doc-local stages in one mapPartitions
+      val out = Pages.toDocs(spark, pages).mapPartitions(
+        fusedStages(resources.value, runner, classRules, withTransformerNer))
+      return (out, Seq.empty)
+    }
+
     val docs = runCtx.stage("extract", Pages.toDocs(spark, pages))
-    val ner = runCtx.stage("trie_ner",
+    val trie = runCtx.stage("trie_ner",
       docs.mapPartitions(_.map(TrieNer.processDoc(resources.value))))
+    val ner =
+      if (!withTransformerNer) trie
+      else runCtx.stage("transformer_ner",
+        trie.mapPartitions { it =>
+          val session = TokenClassifier.executorSession
+          it.map(TokenClassifier.processDoc(session))
+        })
+    val linked = runCtx.stage("dict_linking",
+      ner.mapPartitions(DictionaryLinking.processPartition(resources.value)))
+    val filtered =
+      if (classRules.isEmpty) linked
+      else runCtx.stage("class_filter",
+        linked.map(ClassFilter.processDoc(classRules)))
     val mapped = runCtx.stage("mapping",
-      ner.mapPartitions(MappingStep.processPartition(resources.value, runner)))
+      filtered.mapPartitions(MappingStep.processPartition(resources.value, runner)))
     val abbrev = runCtx.stage("abbrev",
       mapped.mapPartitions(_.map(graft.post.Abbreviation.processDoc)))
     val cleaned = runCtx.stage("cleanup",

@@ -91,14 +91,16 @@ object Abbreviation {
           if (len <= 8 && start != 1) {
             if (len > 3) {
               // long form inside parens; short form is the word before '('
-              if (i >= 2)
-                out += (((start, end), (i - 2, i - 1)))
+              // (ref doc[start-2 : start-1] with start = first content token)
+              if (i >= 1)
+                out += (((start, end), (i - 1, i)))
             } else {
               val abbrevLength = (start until end).map(tt.texts(_).length).sum
               val maxWords = math.min(abbrevLength + 5, abbrevLength * 2)
               val longStart = math.max(start - maxWords - 1, 0)
+              // long candidate = doc[longStart : start-1] = tokens before '('
               if (i > longStart)
-                out += (((longStart, i - 1), (start, end)))
+                out += (((longStart, i), (start, end)))
             }
           }
           i = j

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.index.Resources
+import graft.model._
+import graft.pipeline.{Pages, Pipeline}
+import graft.triples.Triples
+import graft.eval.Acceptance
+
+/** End-to-end pipeline behavior on the driver-generated corpus: smoke,
+  * failure isolation, checkpoint/resume determinism, lineage, and the
+  * acceptance P/R gate vs an independently-computed gold set.
+  */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("end-to-end: pages → triples, with entities grounded") {
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val (docs, _) = Pipeline.run(spark, pages, res)
+    val triples = Triples.fromDocs(spark, docs).cache()
+    assert(triples.count() > 0)
+    val objs = triples.select("obj").distinct().collect().map(_.getString(0)).toSet
+    assert(objs.contains("OP:SORT") && objs.contains("SYS:SPARK"))
+    // subjects carry mention anchors
+    val t = triples.head()
+    assert(t.subj.matches("https://graft\\.test/doc/\\d+#\\d+-\\d+"))
+  }
+
+  test("failure isolation: oversized and mismatching docs become rows") {
+    import spark.implicits._
+    val big = "x " * 150000 // > 200k chars
+    val pages = Seq(
+      PageRow("u1", new java.sql.Timestamp(0),
+        graft.text.Html.wrap("t", big).getBytes("UTF-8"), big, "en"),
+      PageRow("u2", new java.sql.Timestamp(0),
+        graft.text.Html.wrap("t", "good sort doc").getBytes("UTF-8"),
+        "good sort doc", "en"),
+      PageRow("u3", new java.sql.Timestamp(0),
+        "<html><body>other</body></html>".getBytes("UTF-8"),
+        "DIFFERENT pre-extracted text", "en")
+    ).toDF()
+    val docs = Pages.toDocs(spark, pages).collect()
+    assert(docs.find(_.url == "u1").get.error.exists(_.contains("doc length")))
+    assert(docs.find(_.url == "u2").get.error.isEmpty)
+    assert(docs.find(_.url == "u3").get.error.exists(_.contains("mismatch")))
+    val fails = Pipeline.failures(spark,
+      Pages.toDocs(spark, pages), "run-test").collect()
+    assert(fails.map(_.url).toSet == Set("u1", "u3"))
+  }
+
+  test("checkpoint/resume: identical triples, lineage rows per stage×partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+
+    val cfg = Pipeline.Config(checkpointDir = Some(dir), runId = "run-a")
+    val (docs1, lineage1) = Pipeline.run(spark, pages, res, cfg = cfg)
+    val t1 = Triples.fromDocs(spark, docs1).collect().toSet
+
+    // lineage: one row per (stage, partition)
+    assert(lineage1.nonEmpty)
+    val stages = lineage1.map(_.stage).distinct
+    assert(stages.contains("extract") && stages.contains("trie_ner") &&
+      stages.contains("mapping") && stages.contains("merge"))
+    assert(lineage1.forall(_.rowsIn > 0))
+    assert(lineage1.forall(_.runId == "run-a"))
+
+    // resume: stage dirs exist → read back, not recomputed; same output
+    val cfg2 = cfg.copy(resume = true, runId = "run-b")
+    val (docs2, _) = Pipeline.run(spark, pages, res, cfg = cfg2)
+    val t2 = Triples.fromDocs(spark, docs2).collect().toSet
+    assert(t1 == t2)
+  }
+
+  test("acceptance: NER + triple P/R ≥ 0.95 vs independent gold") {
+    import spark.implicits._
+    // gold derived INDEPENDENTLY of the pipeline: regex over raw text for
+    // unambiguous single-word terms (same set the DuckDB oracle checks)
+    val safeTerms: Map[String, (String, String)] = Map(
+      "filter" -> ("operator", "OP:FILTER"), "agg" -> ("operator", "OP:AGGREGATE"),
+      "group" -> ("operator", "OP:AGGREGATE"), "order" -> ("operator", "OP:ORDER_BY"),
+      "spark" -> ("component", "SYS:SPARK"), "column" -> ("component", "SYS:COLUMN"),
+      "row" -> ("component", "SYS:ROW"), "batch" -> ("component", "SYS:BATCH"),
+      "query" -> ("component", "SYS:QUERY"), "key" -> ("component", "SYS:KEY"),
+      "value" -> ("component", "SYS:VALUE"))
+    val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val gold = docsRaw.flatMap { case (id, text) =>
+      safeTerms.flatMap { case (term, (cls, obj)) =>
+        val re = ("\\b" + term + "\\b").r
+        re.findAllMatchIn(text).map(m =>
+          (Pages.urlOf(id), m.start, m.end, cls,
+            s"${Pages.urlOf(id)}#${m.start}-${m.end}", s"mentions_$cls", obj))
+      }
+    }.toSeq.toDF("url", "start", "end", "entity_class", "subj", "pred", "obj")
+
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val (docs, _) = Pipeline.run(spark, Pages.fromDocuments(spark, sfDir), res)
+    val triples = Triples.fromDocs(spark, docs).toDF().cache()
+
+    // triple-level P/R restricted to the gold objs (pipeline also emits
+    // other classes of triples, which the gold doesn't cover)
+    val goldObjs = safeTerms.values.map(_._2).toSeq.distinct
+    val (p, r) = Acceptance.tripleScores(spark,
+      triples.filter($"obj".isin(goldObjs: _*)), gold)
+    assert(p >= 0.95, s"triple precision $p")
+    assert(r >= 0.95, s"triple recall $r")
+
+    // NER soft-span P/R on those mentions
+    val predNer = triples.filter($"obj".isin(goldObjs: _*))
+      .select($"url", $"start", $"end",
+        regexp_replace($"pred", "mentions_", "").as("entity_class"))
+    val scores = Acceptance.nerScores(spark, predNer, gold).collect()
+    scores.foreach { row =>
+      assert(row.getAs[Double]("precision") >= 0.95, row.toString)
+      assert(row.getAs[Double]("recall") >= 0.95, row.toString)
+    }
+  }
+}

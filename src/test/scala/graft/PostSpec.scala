@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import graft.post.{Abbreviation, Cleanup, MergeOverlaps}
+
+class MergeOverlapsSpec extends AnyFunSuite {
+  private def ent(start: Int, end: Int, cls: String, conf: Int = 50,
+      mapped: Boolean = false, ns: String = "t"): Mention =
+    Mention(s"m$start-$end", cls, Seq(CharSpan(start, end)), ns, conf, "NORM",
+      mappings = if (mapped)
+        Seq(Mapping("l", "S", "P", "X", "s", "HIGHLY_LIKELY", None, None))
+      else Seq.empty)
+
+  private def merge(ents: Mention*): Seq[Mention] =
+    MergeOverlaps.processSection(MergeOverlaps.Config(),
+      Section("s", "x" * 100, ents.toSeq)).entities
+
+  test("nested entities: longest span wins when mappings equal") {
+    val kept = merge(ent(0, 10, "gene"), ent(0, 4, "gene"))
+    assert(kept.map(_.spans.head) == Seq(CharSpan(0, 10)))
+  }
+
+  test("mapped entity beats longer unmapped entity") {
+    val kept = merge(ent(0, 10, "gene"), ent(0, 4, "gene", mapped = true))
+    assert(kept.map(_.spans.head) == Seq(CharSpan(0, 4)))
+  }
+
+  test("class priority breaks ties (disease > gene)") {
+    val kept = merge(ent(0, 4, "gene"), ent(0, 4, "disease"))
+    assert(kept.map(_.entityClass) == Seq("disease"))
+  }
+
+  test("transitively overlapping entities form one location") {
+    // A [0,5) overlaps B [3,8); B overlaps C [7,12); A does not overlap C
+    val kept = merge(ent(0, 5, "gene"), ent(3, 8, "gene"), ent(7, 12, "gene"))
+    assert(kept.size == 1) // one location → one winner
+  }
+
+  test("non-overlapping entities all kept; non-contiguous bypass") {
+    val nc = Mention("nc", "gene", Seq(CharSpan(0, 2), CharSpan(8, 10)), "t", 50, "NC")
+    val kept = merge(ent(0, 4, "gene"), ent(5, 7, "disease"), nc)
+    assert(kept.size == 3)
+  }
+
+  test("higher mention confidence wins among equals") {
+    val kept = merge(ent(0, 4, "gene", conf = 100), ent(0, 4, "gene", conf = 50))
+    assert(kept.head.mentionConfidence == 100)
+  }
+}
+
+class AbbreviationSpec extends AnyFunSuite {
+  private def mention(text: String, s: Int, e: Int, cls: String,
+      mapped: Boolean): Mention =
+    Mention(text.substring(s, e), cls, Seq(CharSpan(s, e)), "TrieNer", 50, "N",
+      mappings = if (mapped)
+        Seq(Mapping("nsclc", "MONDO", "DIS_DB", "MONDO:5", "s", "HIGHLY_LIKELY", None, None))
+      else Seq.empty)
+
+  test("Schwartz-Hearst core: NSCLC ← non-small cell lung cancer") {
+    val long = IndexedSeq("non-small", "cell", "lung", "cancer")
+    assert(Abbreviation.findAbbreviation(long, Seq("NSCLC")).contains(0))
+    // HMM does not match 'something else'
+    assert(Abbreviation.findAbbreviation(IndexedSeq("something", "else"),
+      Seq("HMM")).isEmpty)
+  }
+
+  test("abbreviation entities propagate from long form across the doc") {
+    val text = "non-small cell lung cancer (NSCLC) is common. NSCLC patients respond."
+    val longEnt = mention(text, 0, 26, "disease", mapped = true)
+    val d = Abbreviation.processDoc(
+      KDoc("u", new java.sql.Timestamp(0), text, "en",
+        Seq(Section("body", text, Seq(longEnt)))))
+    val abbrevEnts = d.entities.filter(_.namespace == Abbreviation.Namespace)
+    // both NSCLC occurrences (in parens + later) get entities copied from
+    // the long form, carrying its mappings, at HIGHLY_LIKELY confidence
+    assert(abbrevEnts.size == 2)
+    assert(abbrevEnts.forall(_.entityClass == "disease"))
+    assert(abbrevEnts.forall(_.mappings.nonEmpty))
+    assert(abbrevEnts.forall(_.mentionConfidence == MentionConfidence.HighlyLikely))
+    assert(abbrevEnts.map(_.matchStr).toSet == Set("NSCLC"))
+  }
+
+  test("existing entities at abbreviation spans are replaced") {
+    val text = "breast cancer (BC) relapsed. BC again."
+    val longEnt = mention(text, 0, 13, "disease", mapped = true)
+    // a wrong entity sitting exactly on the later "BC"
+    val wrong = mention(text, 29, 31, "gene", mapped = false)
+    val d = Abbreviation.processDoc(
+      KDoc("u", new java.sql.Timestamp(0), text, "en",
+        Seq(Section("body", text, Seq(longEnt, wrong)))))
+    assert(!d.entities.exists(e => e.entityClass == "gene"))
+    assert(d.entities.count(_.namespace == Abbreviation.Namespace) == 2)
+  }
+
+  test("no abbreviation when letters don't match") {
+    val text = "some phrase (XYZ) here"
+    val d = Abbreviation.processDoc(
+      KDoc("u", new java.sql.Timestamp(0), text, "en",
+        Seq(Section("body", text, Seq.empty))))
+    assert(d.entities.isEmpty)
+  }
+}
+
+class CleanupSpec extends AnyFunSuite {
+  test("drops AMBIGUOUS mappings and unmapped low-confidence entities") {
+    val ambiguous = Mapping("l", "S", "P", "X1", "s", "HIGHLY_LIKELY",
+      None, Some(DisambiguationConfidence.Ambiguous))
+    val good = Mapping("l", "S", "P", "http://purl.obolibrary.org/obo/MONDO_1",
+      "s", "HIGHLY_LIKELY", None, None)
+    val e1 = Mention("a", "disease", Seq(CharSpan(0, 1)), "t", 50, "A",
+      mappings = Seq(ambiguous, good))
+    val e2 = Mention("b", "disease", Seq(CharSpan(2, 3)), "t", 10, "B") // POSSIBLE unmapped
+    val e3 = Mention("c", "disease", Seq(CharSpan(4, 5)), "t", 50, "C") // PROBABLE unmapped
+    val d = Cleanup.processDoc(Cleanup.Config())(
+      KDoc("u", new java.sql.Timestamp(0), "text", "en",
+        Seq(Section("s", "text", Seq(e1, e2, e3)))))
+    val ents = d.entities
+    assert(ents.map(_.matchStr) == Seq("a", "c")) // e2 dropped
+    assert(ents.head.mappings.size == 1)          // ambiguous dropped
+    assert(ents.head.mappings.head.idx == "MONDO_1") // URI stripped
+  }
+}
