@@ -93,6 +93,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy($"pred", $"obj")
     }),
+    "kg_abbrev" -> ((s, dir) => {
+      import s.implicits._
+      // Schwartz–Hearst end-to-end with exactly computable offsets: append
+      // a deterministic abbreviation-definition suffix to every document,
+      // run the FULL pipeline, emit the AbbreviationFinder-namespace
+      // triples. The suffix defines "hash join (HJ)" then reuses "HJ", so
+      // each doc must yield exactly two HJ mentions mapped to OP:HASH_JOIN
+      // at offsets len(text)+12 and len(text)+22.
+      val pages = Pages.fromDocuments(s, dir)
+        .withColumn("text",
+          concat($"text", lit(" hash join (HJ) wins. HJ is used.")))
+      val pagesWithHtml = pages.select(
+        $"url", $"warc_ts",
+        // re-derive html so extraction stays byte-identical
+        to_binary(concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")),
+          lit("utf-8")).as("html"),
+        $"text", $"lang")
+      val (docs, _) = Pipeline.run(s, pagesWithHtml, resources(s))
+      Triples.fromDocs(s, docs).toDF()
+        .filter($"namespace" === "AbbreviationFinder")
+        .select($"url", $"start", $"end", $"pred", $"obj",
+          $"matchStr".as("match"))
+        .orderBy($"url", $"start")
+    }),
     "kg_triples" -> ((s, dir) => {
       import s.implicits._
       val docs = pipelineDocs(s, dir)
@@ -262,6 +286,15 @@ object SparkEntry {
          |SELECT pred, obj, CAST(sum(n) AS BIGINT) AS n_mentions
          |FROM c GROUP BY pred, obj HAVING sum(n) > 0
          |ORDER BY pred, obj""".stripMargin,
+    "kg_abbrev" ->
+      """WITH occ(off_s, off_e) AS (VALUES (12, 14), (22, 24))
+        |SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
+        |       CAST(length(text) + off_s AS INT) AS start,
+        |       CAST(length(text) + off_e AS INT) AS "end",
+        |       'mentions_operator' AS pred, 'OP:HASH_JOIN' AS obj,
+        |       'HJ' AS "match"
+        |FROM documents CROSS JOIN occ
+        |ORDER BY url, start""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

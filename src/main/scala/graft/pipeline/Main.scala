@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import graft.index.Resources
+import graft.triples.Triples
+
+/** spark-submit entry points with step-group selection — the batch
+  * equivalent of the reference's service routes + pipeline step groups
+  * (ner_only / linking_only, kazu/conf/Pipeline/default.yaml:14-20,
+  * kazu/pipeline/__init__.py:233-276; SURVEY.md §3.2).
+  *
+  * Usage: spark-submit --class graft.pipeline.Main <jar> \
+  *   --step-group full|ner_only|linking_only \
+  *   --input <sfDir or pages parquet> --output <dir> \
+  *   [--checkpoint <dir>] [--resume] [--run-id <id>]
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap ++ (if (args.contains("--resume")) Map("resume" -> "true") else Map.empty)
+
+    val stepGroup = opts.getOrElse("step-group", "full")
+    val input = opts.getOrElse("input", "/root/testdata/sf0.001")
+    val output = opts.getOrElse("output", "/tmp/graft-out")
+    val runId = opts.getOrElse("run-id", s"run-${java.util.UUID.randomUUID()}")
+
+    val spark = SparkSession.builder()
+      .appName(s"graft-$stepGroup")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val pages = Pages.fromDocuments(spark, input)
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val cfg = Pipeline.Config(
+      checkpointDir = opts.get("checkpoint"),
+      resume = opts.get("resume").contains("true"),
+      runId = runId)
+
+    stepGroup match {
+      case "ner_only" =>
+        // trie + transformer NER, no linking/mapping: emit mention rows
+        val docs = Pages.toDocs(spark, pages).mapPartitions { it =>
+          val session = graft.ner.TokenClassifier.executorSession
+          it.map(d => graft.ner.TokenClassifier.processDoc(session)(
+            graft.ner.TrieNer.processDoc(res.value)(d)))
+        }
+        docs.flatMap(d => d.sections.flatMap(_.entities.map(e =>
+            (d.url, e.matchStr, e.entityClass, e.start, e.end, e.namespace))))
+          .toDF("url", "match", "entity_class", "start", "end", "namespace")
+          .write.mode("overwrite").parquet(s"$output/mentions")
+      case "linking_only" | "full" =>
+        val (docs, lineage) = Pipeline.run(spark, pages, res, cfg = cfg)
+        val triples = Triples.fromDocs(spark, docs)
+        // graph table layout: partition by predicate (tiny, one per entity
+        // class); url-bucketing inside each partition comes free from the
+        // upstream hash partitioning of docs (production: Iceberg
+        // PARTITIONED BY (pred, bucket(64, subj)))
+        triples.toDF().write.mode("overwrite")
+          .partitionBy("pred").parquet(s"$output/triples")
+        Pipeline.failures(spark, docs, runId).toDF()
+          .write.mode("overwrite").parquet(s"$output/failures")
+        if (lineage.nonEmpty)
+          lineage.toDF().write.mode("append").parquet(s"$output/lineage")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model._
+import graft.index.Resources
+import graft.link.{ClassFilter, Ladders}
+import graft.pipeline.Pipeline
+
+/** Structured-Streaming front-end for continuous KG construction.
+  *
+  * The reference is strictly batch (SURVEY.md §2.H) — this is the
+  * Spark-native extension for crawl-stream ingest: the document pipeline is
+  * stateless narrow maps, so the SAME fused stage chain runs unchanged on a
+  * streaming Dataset; triples append to the graph table per micro-batch,
+  * and watermarked windowed aggregations provide the live mention-rate
+  * metrics. Sessionization over an event stream shows the custom-state API
+  * (flatMapGroupsWithState) for stateful needs.
+  */
+object StreamingPipeline {
+
+  val pageSchema = Encoders.product[PageRow].schema
+
+  /** File-stream source of page rows (production: Kafka/Iceberg CDC). */
+  def pagesStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(pageSchema).parquet(dir)
+
+  /** Continuous triples: identical per-doc logic as the batch pipeline —
+    * stateless, so streaming-safe. */
+  def triplesStream(
+      spark: SparkSession,
+      pages: DataFrame,
+      resources: Resources
+  ): Dataset[Triple] = {
+    import spark.implicits._
+    val docs = graft.pipeline.Pages.toDocs(spark, pages)
+      .mapPartitions(Pipeline.fusedStages(resources, Ladders.default,
+        ClassFilter.Rules(), withTransformerNer = true))
+    graft.triples.Triples.fromDocs(spark, docs)
+  }
+
+  /** Watermarked per-predicate mention rate over event-time windows. */
+  def mentionRates(
+      spark: SparkSession,
+      pages: DataFrame,
+      resources: Resources,
+      window_ : String = "1 minute",
+      watermark: String = "2 minutes"
+  ): DataFrame = {
+    import spark.implicits._
+    val triples = triplesStream(spark, pages, resources)
+    // event time = page crawl timestamp, carried on the subject url
+    triples
+      .join(pages.select($"url", $"warc_ts"), Seq("url"))
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window($"warc_ts", window_), $"pred")
+      .agg(count(lit(1)).as("n_mentions"))
+  }
+
+  // --- event sessionization with custom state ------------------------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, sessionStart: Long, sessionEnd: Long,
+      nEvents: Long)
+
+  val SessionGapMs: Long = 30 * 60 * 1000
+
+  /** flatMapGroupsWithState sessionizer: a session row is emitted when a
+    * later event arrives past the 30-minute inactivity gap (event-driven
+    * closure; a production variant would add an event-time timeout to flush
+    * trailing sessions at the watermark). */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var out = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= SessionGapMs =>
+                cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                out ::= SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+}

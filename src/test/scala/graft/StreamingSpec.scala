@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.index.Resources
+import graft.pipeline.Json
+import graft.streaming.StreamingPipeline
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  test("streaming pages → triples via file source, micro-batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // batch-write one micro-batch of pages
+    graft.pipeline.Pages.fromDocuments(spark, "/root/testdata/sf0.001")
+      .limit(50).write.mode("overwrite").parquet(dir)
+
+    val pages = StreamingPipeline.pagesStream(spark, dir)
+    assert(pages.isStreaming)
+    val triples = StreamingPipeline.triplesStream(spark, pages, Resources.corpus)
+    val q = triples.writeStream
+      .format("memory").queryName("triples_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.sql("SELECT count(*) FROM triples_stream").head().getLong(0)
+    assert(n > 0)
+    val objs = spark.sql("SELECT DISTINCT obj FROM triples_stream")
+      .collect().map(_.getString(0)).toSet
+    assert(objs.contains("SYS:SPARK") || objs.contains("OP:SORT"))
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingPipeline.Event]
+    val ts = (m: Long) => new java.sql.Timestamp(1700000000000L + m * 60000)
+    input.addData(
+      StreamingPipeline.Event(1, ts(0), "a"),
+      StreamingPipeline.Event(1, ts(5), "b"),
+      StreamingPipeline.Event(1, ts(90), "c"), // 85-min gap → closes session
+      StreamingPipeline.Event(2, ts(1), "a"))
+    val sessions = StreamingPipeline.sessionize(spark, input.toDS())
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM sessions_stream").as[StreamingPipeline.SessionOut]
+      .collect()
+    // user 1's first session (2 events) closed by the later event
+    assert(rows.exists(r => r.user_id == 1 && r.nEvents == 2))
+  }
+}
+
+class JsonSpec extends AnyFunSuite with SparkTestBase {
+  test("doc JSON round-trip is lossless through the full pipeline output") {
+    import spark.implicits._
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val pages = graft.pipeline.Pages.fromDocuments(spark, "/root/testdata/sf0.001")
+      .limit(20)
+    val (docs, _) = graft.pipeline.Pipeline.run(spark, pages, res)
+    val originals = docs.collect().sortBy(_.url)
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    Json.writeJson(docs, dir)
+    val roundTripped = Json.readJson(spark, dir).collect().sortBy(_.url)
+    assert(roundTripped.length == originals.length)
+    originals.zip(roundTripped).foreach { case (a, b) =>
+      assert(a.url == b.url && a.text == b.text)
+      assert(a.sections.map(_.entities.map(e => (e.matchStr, e.spans, e.mappings))) ==
+        b.sections.map(_.entities.map(e => (e.matchStr, e.spans, e.mappings))))
+    }
+  }
+}
+
+class GoldReaderSpec extends AnyFunSuite with SparkTestBase {
+  test("parses Label-Studio-style export into gold entities") {
+    val json =
+      """[{"data": {"url": "doc://1", "text": "EGFR in breast cancer"},
+        |  "annotations": [{"result": [
+        |    {"value": {"start": 0, "end": 4, "labels": ["gene"], "text": "EGFR"},
+        |     "meta": {"source": "ENSEMBL", "mapping_id": "ENSG1"}},
+        |    {"value": {"start": 8, "end": 21, "labels": ["disease"], "text": "breast cancer"},
+        |     "meta": {"source": "MONDO", "mapping_id": "MONDO_1"}}]}]}]""".stripMargin
+    val f = java.nio.file.Files.createTempFile("gold", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val df = graft.eval.GoldReader.fromLabelStudioJson(spark, f.toString)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("entity_class")).toSet == Set("gene", "disease"))
+    assert(rows.find(_.getAs[String]("match") == "EGFR").get
+      .getAs[String]("mapping_id") == "ENSG1")
+  }
+}
