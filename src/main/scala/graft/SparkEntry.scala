@@ -93,6 +93,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy($"pred", $"obj")
     }),
+    "kg_graph_stats" -> ((s, dir) => {
+      import s.implicits._
+      // salted two-phase aggregation over the triples table — the explicit
+      // hot-entity-skew defense; must produce numbers identical to the
+      // plain group-by oracle
+      val docs = pipelineDocs(s, dir)
+      val triples = Triples.fromDocs(s, docs).toDF()
+        .filter(!$"obj".isin(ambiguousObjs.toSeq: _*))
+      graft.triples.GraphStats.saltedObjectCounts(s, triples)
+    }),
     "kg_abbrev" -> ((s, dir) => {
       import s.implicits._
       // Schwartz–Hearst end-to-end with exactly computable offsets: append
@@ -285,6 +295,19 @@ object SparkEntry {
          |  FROM documents d CROSS JOIN terms t)
          |SELECT pred, obj, CAST(sum(n) AS BIGINT) AS n_mentions
          |FROM c GROUP BY pred, obj HAVING sum(n) > 0
+         |ORDER BY pred, obj""".stripMargin,
+    "kg_graph_stats" ->
+      s"""WITH terms(pred, obj, pat) AS (VALUES $tripleTermsValues),
+         |c AS (
+         |  SELECT t.pred, t.obj, d.doc_id,
+         |         len(regexp_extract_all(d.text, t.pat)) AS n
+         |  FROM documents d CROSS JOIN terms t),
+         |per_doc AS (
+         |  SELECT pred, obj, doc_id, sum(n) AS n
+         |  FROM c GROUP BY pred, obj, doc_id)
+         |SELECT pred, obj, CAST(sum(n) AS BIGINT) AS n_mentions,
+         |       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+         |FROM per_doc GROUP BY pred, obj HAVING sum(n) > 0
          |ORDER BY pred, obj""".stripMargin,
     "kg_abbrev" ->
       """WITH occ(off_s, off_e) AS (VALUES (12, 14), (22, 24))

@@ -125,3 +125,50 @@ class EmbeddingLinkingSpec extends AnyFunSuite {
     assert(out.entities.head.candidates == Seq(cand))
   }
 }
+
+class CurationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.ontology._
+
+  test("global actions drop ids via anti-join semantics") {
+    val rows = CorpusOntology.rows
+    val kept = Curation.applyGlobalActions(rows,
+      Map("OPS" -> Set("OP:SORT")))
+    assert(!kept.exists(_.idx == "OP:SORT"))
+    assert(kept.exists(_.idx == "OP:FILTER"))
+  }
+
+  test("curation overrides replace defaults; conflicts resolved deterministically") {
+    val defaults = Seq(StringResource("P", "disease", "FLU",
+      Seq(SynonymSpec("flu", caseSensitive = false, MentionConfidence.Probable)),
+      Behaviour.AddForNerAndLinking))
+    val overrides = Seq(
+      StringResource("P", "disease", "FLU",
+        Seq(SynonymSpec("flu", caseSensitive = true, MentionConfidence.Possible)),
+        Behaviour.AddForNerAndLinking),
+      StringResource("P", "disease", "FLU",
+        Seq(SynonymSpec("flu", caseSensitive = false, MentionConfidence.HighlyLikely)),
+        Behaviour.AddForNerAndLinking),
+      StringResource("P", "disease", "NEWSYN",
+        Seq(SynonymSpec("newsyn", caseSensitive = false, MentionConfidence.Probable)),
+        Behaviour.AddForLinkingOnly))
+    val (merged, conflicts) = Curation.applyCurations(defaults, overrides)
+    assert(conflicts.size == 1)
+    val flu = merged.find(_.synNorm == "FLU").get
+    // ci wins, max confidence wins
+    assert(flu.synonyms == Seq(SynonymSpec("flu", caseSensitive = false,
+      MentionConfidence.HighlyLikely)))
+    // novel curation appended; linking-only → no NER synonyms
+    val newsyn = merged.find(_.synNorm == "NEWSYN").get
+    assert(newsyn.activeNerSynonyms.isEmpty)
+  }
+
+  test("DROP_FOR_LINKING wins conflicts") {
+    val overrides = Seq(
+      StringResource("P", "disease", "X",
+        Seq(SynonymSpec("x", false, 50)), Behaviour.AddForNerAndLinking),
+      StringResource("P", "disease", "X",
+        Seq(SynonymSpec("x", false, 50)), Behaviour.DropForLinking))
+    val (merged, _) = Curation.applyCurations(Seq.empty, overrides)
+    assert(merged.head.behaviour == Behaviour.DropForLinking)
+  }
+}
