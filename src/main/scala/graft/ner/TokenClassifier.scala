@@ -70,26 +70,39 @@ object TokenClassifier {
     */
   final class StubModel(vocab: Map[String, String]) extends ModelSession {
     val version = "stub-ner/1"
+    private val labelIdx: Map[String, Int] = Labels.zipWithIndex.toMap
     def predict(frames: Seq[IndexedSeq[Piece]]): Array[Array[Array[Float]]] =
       frames.map { frame =>
-        // reconstruct word strings within the frame to decide labels
-        val byWord = frame.groupBy(_.wordId)
-        val wordText: Map[Int, String] =
-          byWord.map { case (wid, ps) =>
-            wid -> ps.sortBy(_.start).map(_.token.stripPrefix("##")).mkString
+        val out = new Array[Array[Float]](frame.length)
+        // single pass over runs of equal wordId (pieces are word-ordered)
+        var i = 0
+        while (i < frame.length) {
+          var j = i + 1
+          while (j < frame.length && frame(j).wordId == frame(i).wordId) j += 1
+          val sb = new java.lang.StringBuilder()
+          var k = i
+          while (k < j) {
+            val t = frame(k).token
+            sb.append(if (t.startsWith("##")) t.substring(2) else t)
+            k += 1
           }
-        frame.map { p =>
-          val logits = new Array[Float](Labels.size)
-          java.util.Arrays.fill(logits, -10f)
-          vocab.get(wordText(p.wordId).toLowerCase(java.util.Locale.ROOT)) match {
-            case Some(cls) =>
-              val isFirst = !p.token.startsWith("##")
-              val label = (if (isFirst) "B-" else "I-") + cls
-              logits(Labels.indexOf(label)) = 10f
-            case None => logits(0) = 10f
+          val cls = vocab.get(sb.toString.toLowerCase(java.util.Locale.ROOT))
+          k = i
+          while (k < j) {
+            val logits = new Array[Float](Labels.size)
+            java.util.Arrays.fill(logits, -10f)
+            cls match {
+              case Some(c) =>
+                val prefix = if (frame(k).token.startsWith("##")) "I-" else "B-"
+                logits(labelIdx(prefix + c)) = 10f
+              case None => logits(0) = 10f
+            }
+            out(k) = logits
+            k += 1
           }
-          logits
-        }.toArray
+          i = j
+        }
+        out
       }.toArray
   }
 

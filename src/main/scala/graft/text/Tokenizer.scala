@@ -56,14 +56,15 @@ object Tokenizer {
     out.toArray
   }
 
-  /** Token boundary sets for `wordIsValid` — `starts` holds token start
-    * offsets, `ends` holds INCLUSIVE end offsets (matching the reference's
-    * `tok.idx + len(tok) - 1`). */
-  def boundaries(text: String): (java.util.HashSet[Integer], java.util.HashSet[Integer]) = {
-    val starts = new java.util.HashSet[Integer]()
-    val ends = new java.util.HashSet[Integer]()
+  /** Token boundary sets for `wordIsValid` — `starts` marks token start
+    * offsets, `ends` marks INCLUSIVE end offsets (matching the reference's
+    * `tok.idx + len(tok) - 1`). BitSets: O(1) checks, no boxing — this is
+    * on the per-page hot path of the trie scan. */
+  def boundaries(text: String): (java.util.BitSet, java.util.BitSet) = {
+    val starts = new java.util.BitSet(text.length + 1)
+    val ends = new java.util.BitSet(text.length + 1)
     tokenize(text).foreach { t =>
-      starts.add(t.start); ends.add(t.end - 1)
+      starts.set(t.start); ends.set(t.end - 1)
     }
     (starts, ends)
   }
@@ -72,10 +73,10 @@ object Tokenizer {
   @inline def wordIsValid(
       startChar: Int,
       endCharInclusive: Int,
-      starts: java.util.HashSet[Integer],
-      ends: java.util.HashSet[Integer]
+      starts: java.util.BitSet,
+      ends: java.util.BitSet
   ): Boolean =
-    starts.contains(startChar) && ends.contains(endCharInclusive)
+    startChar >= 0 && starts.get(startChar) && ends.get(endCharInclusive)
 
   private val sentenceEnders: Set[Char] = Set('.', '!', '?')
 
