@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.text.Normalizer
+
+class FunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("normalize expression matches the Scala kernel, incl. codegen path") {
+    import spark.implicits._
+    val df = Seq(
+      ("erbB2", "gene"), ("breast cancers", "disease"), ("TGF-β1", "gene"),
+      ("MOP-2", "gene"), ("flu", "disease"), ("Chromosome X", "unknown"))
+      .toDF("s", "cls")
+    val got = df.select($"s", $"cls",
+        GraftFunctions.normalize($"s", $"cls").as("norm"),
+        GraftFunctions.classifySymbolic($"s", $"cls").as("sym"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(2) == Normalizer.normalize(r.getString(0), r.getString(1)))
+      assert(r.getBoolean(3) == Normalizer.classifySymbolic(r.getString(0), r.getString(1)))
+    }
+    // whole-stage codegen covers the projection (no fallback) — use a
+    // parquet-backed frame (a local relation gets constant-folded away)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fileDf = docs.select(
+      GraftFunctions.normalize(col("text"), lit("unknown")).as("n"))
+    val hasCodegen = fileDf.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegen, fileDf.queryExecution.executedPlan.toString)
+    assert(fileDf.head().getString(0).nonEmpty)
+  }
+
+  test("SQL registration: graft_normalize usable in spark.sql") {
+    GraftFunctions.register(spark)
+    spark.sql("SELECT 'erbB2s' AS s").createOrReplaceTempView("t_fn")
+    val out = spark.sql("SELECT graft_normalize(s, 'gene') AS n, graft_classify_symbolic(s, 'gene') AS y FROM t_fn").head()
+    assert(out.getString(0) == "ERBB 2 S")
+    assert(out.getBoolean(1))
+  }
+}
