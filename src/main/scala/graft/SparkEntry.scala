@@ -93,6 +93,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy($"pred", $"obj")
     }),
+    "kg_normalize_vocab" -> ((s, dir) => {
+      import s.implicits._
+      // the native Catalyst normalize expression over the corpus vocabulary
+      // (whole-stage codegen'd; no UDF) — rows-only check, kernel parity is
+      // pinned by 8000+ reference-generated fixtures in NormalizerSpec
+      graft.functions.GraftFunctions.register(s)
+      docsDf(s, dir)
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .distinct()
+        .selectExpr("word",
+          "graft_normalize(word, 'unknown') AS syn_norm",
+          "graft_classify_symbolic(word, 'unknown') AS is_symbolic")
+        .orderBy($"word")
+    }),
     "kg_graph_stats" -> ((s, dir) => {
       import s.implicits._
       // salted two-phase aggregation over the triples table — the explicit
