@@ -55,7 +55,19 @@ object Resources {
     val (candidates, metadata) = ResourceBuild.buildCandidates(rows)
     val resources =
       ResourceBuild.defaultResources(candidates, entityClassOf, commonWords)
+    assemble(rows.map(_.parserName).distinct.map(p => p -> entityClassOf(p)).toMap,
+      candidates, metadata, resources, version)
+  }
 
+  /** Assemble from explicit (possibly human-curated) resources — the entry
+    * point the curation pipeline and the reference-scenario tests use. */
+  def assemble(
+      entityClassOf: Map[String, String],
+      candidates: Seq[LinkingCandidate],
+      metadata: Seq[MetadataRow],
+      resources: Seq[StringResource],
+      version: String
+  ): Resources = {
     // key(lowercased) → (class, conf, cs, synNorm, originalCase) → parser set
     val keyMap = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[(String, Int, Boolean, String, String), scala.collection.mutable.TreeSet[String]]]
@@ -84,7 +96,7 @@ object Resources {
       payloads,
       candidates.map(c => (c.parserName, c.synonymNorm) -> c).toMap,
       metadata.map(m => (m.parserName, m.idx) -> m).toMap,
-      rows.map(_.parserName).distinct.map(p => p -> entityClassOf(p)).toMap,
+      entityClassOf,
       version
     )
   }

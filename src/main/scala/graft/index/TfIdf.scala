@@ -42,6 +42,11 @@ object Featurizer {
   /** Feature extraction configs. */
   def charBigrams(s: String): Seq[String] = charNgrams(s, 2)
 
+  /** sklearn TfidfVectorizer() default features: lowercase word tokens of
+    * ≥2 word-chars (token_pattern \b\w\w+\b). */
+  def sklearnWords(s: String): Seq[String] =
+    "\\b\\w\\w+\\b".r.findAllIn(s.toLowerCase(java.util.Locale.ROOT)).toSeq
+
   /** word 1-2 grams + char 2-3 grams (disambiguation context features). */
   def contextFeatures(s: String): Seq[String] = {
     val lower = s.toLowerCase(java.util.Locale.ROOT)
