@@ -401,6 +401,36 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      // replicate TextStats.predictLang relationally: per-language
+      // stopword-profile vote (int/int division is bit-identical), zh =
+      // non-ascii char ratio, argmax with (-score, lang) tiebreak
+      val profiles = TextStats.LangProfiles.toSeq.sortBy(_._1).map { case (l, ws) =>
+        if (ws.isEmpty) s"('$l', [])"
+        else s"('$l', [${ws.toSeq.sorted.map(w => s"'$w'").mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH profiles(lang, words) AS (VALUES $profiles),
+         |toks AS (
+         |  SELECT doc_id, text,
+         |         regexp_split_to_array(lower(text), '\\s+') AS ws
+         |  FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, p.lang,
+         |         CASE WHEN p.lang = 'zh' THEN
+         |           CAST(length(regexp_replace(t.text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+         |             / greatest(length(t.text), 1)
+         |         ELSE
+         |           CAST(len(list_filter(t.ws, x -> list_contains(p.words, x))) AS DOUBLE)
+         |             / len(t.ws)
+         |         END AS score
+         |  FROM toks t CROSS JOIN profiles p),
+         |ranked AS (
+         |  SELECT doc_id, lang, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |  FROM scored)
+         |SELECT doc_id, lang AS lang_pred, score AS lang_score
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ceil(octet_length(encode(text)) / 128.0) AS BIGINT) AS n_frames

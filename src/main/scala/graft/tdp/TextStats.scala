@@ -62,7 +62,8 @@ object TextStats {
     docs.select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, t) =>
         val (lang, score) = predictLang(t)
-        LangPred(id, lang, math.rint(score * 10000) / 10000)
+        // raw double: score = int/int division, bit-identical cross-engine
+        LangPred(id, lang, score)
       }
       .toDF()
       .orderBy($"doc_id")
