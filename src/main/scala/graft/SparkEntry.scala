@@ -257,6 +257,24 @@ object SparkEntry {
       Multimodal.extractMeta(s, media)
         .select(col("doc_id"), col("n_bytes"), col("n_frames"))
     }),
+    "dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      // embedding-cosine near-duplicate pairs (vec_id < 200 candidate set;
+      // at scale the LSH bucketing of Ann.lshTopK generates candidates)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter($"vec_id" < 200)
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      val a = emb.toDF("id_a", "emb_a")
+      val b = emb.toDF("id_b", "emb_b")
+      a.join(broadcast(b), $"id_a" < $"id_b")
+        .as[(Long, Seq[Float], Long, Seq[Float])]
+        .map { case (x, va, y, vb) =>
+          (x, y, math.rint(Ann.cosine(va, vb) * 10000) / 10000)
+        }
+        .toDF("id_a", "id_b", "cos_sim")
+        .filter($"cos_sim" >= 0.4)
+        .orderBy($"id_a", $"id_b")
+    }),
     "ann_brute" -> ((s, dir) =>
       Ann.bruteTopK(s, s.read.parquet(s"$dir/embeddings.parquet"))),
     "ann_lsh" -> ((s, dir) =>
@@ -435,6 +453,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ceil(octet_length(encode(text)) / 128.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |             b.embedding::DOUBLE[]), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "ann_brute" ->
       """WITH q AS (SELECT vec_id AS q_vec_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

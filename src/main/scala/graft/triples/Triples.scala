@@ -18,6 +18,26 @@ import graft.model._
   */
 object Triples {
 
+  /** Graph-table writer: partitioned by predicate (tiny cardinality — one
+    * per entity class) and bucketed on subj, so (a) per-predicate scans
+    * prune, and (b) subj-keyed self-joins / point lookups co-locate without
+    * a shuffle. This is the `PARTITIONED BY (pred, bucket(64, subj))`
+    * Iceberg layout of FIXTURES.md §5 expressed through the catalog writer.
+    */
+  def writeBucketed(
+      spark: SparkSession,
+      triples: Dataset[Triple],
+      tableName: String,
+      buckets: Int = 16
+  ): Unit =
+    triples.toDF()
+      .write.mode("overwrite")
+      .format("parquet")
+      .partitionBy("pred")
+      .bucketBy(buckets, "subj")
+      .sortBy("subj")
+      .saveAsTable(tableName)
+
   def fromDocs(spark: SparkSession, docs: Dataset[KDoc]): Dataset[Triple] = {
     import spark.implicits._
     docs.flatMap { doc =>

@@ -120,3 +120,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 }
+
+class TripleSinkSpec extends AnyFunSuite with SparkTestBase {
+  test("bucketed triples table: partitioned by pred, bucketed by subj") {
+    import graft.index.Resources
+    import graft.pipeline.{Pages, Pipeline}
+    import graft.triples.Triples
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val pages = Pages.fromDocuments(spark, "/root/testdata/sf0.001").limit(50)
+    val (docs, _) = Pipeline.run(spark, pages, res)
+    val triples = Triples.fromDocs(spark, docs)
+    Triples.writeBucketed(spark, triples, "triples_bucketed", buckets = 4)
+    val back = spark.table("triples_bucketed")
+    assert(back.count() == triples.count())
+    val catalogTable = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("triples_bucketed"))
+    assert(catalogTable.partitionColumnNames == Seq("pred"))
+    assert(catalogTable.bucketSpec.exists(b =>
+      b.numBuckets == 4 && b.bucketColumnNames == Seq("subj")))
+    spark.sql("DROP TABLE triples_bucketed")
+  }
+}
