@@ -278,7 +278,9 @@ object SparkEntry {
     "ann_brute" -> ((s, dir) =>
       Ann.bruteTopK(s, s.read.parquet(s"$dir/embeddings.parquet"))),
     "ann_lsh" -> ((s, dir) =>
-      Ann.lshTopK(s, s.read.parquet(s"$dir/embeddings.parquet")))
+      Ann.lshTopK(s, s.read.parquet(s"$dir/embeddings.parquet"))),
+    "ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(s, s.read.parquet(s"$dir/embeddings.parquet")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------

@@ -81,6 +81,94 @@ object Ann {
       .orderBy($"q_vec_id", $"rank")
   }
 
+  // --- IVF (inverted-file) variant -----------------------------------------
+
+  /** Deterministic k-means coarse quantizer: seeds = evenly-strided input
+    * vectors, fixed iteration count — reproducible across runs/executors.
+    * Production: train on a driver-collected sample, broadcast centroids;
+    * the corpus is then partitioned BY CELL so each query probes only
+    * nProbe cells — the classic IVF index shape. */
+  def trainCentroids(vectors: Seq[Array[Float]], k: Int, iters: Int = 5): Array[Array[Float]] = {
+    require(vectors.nonEmpty)
+    val n = vectors.size
+    val kk = math.min(k, n)
+    var centroids = Array.tabulate(kk)(i => vectors((i.toLong * n / kk).toInt).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(kk)(new Array[Double](vectors.head.length))
+      val counts = new Array[Int](kk)
+      vectors.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val ct = centroids(c)
+      while (i < v.length && i < ct.length) {
+        val diff = v(i) - ct(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF top-k: corpus assigned to nearest-centroid cells once; each query
+    * probes its nProbe closest cells. */
+  def ivfTopK(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      numCells: Int = 8,
+      nProbe: Int = 3
+  ): DataFrame = {
+    import spark.implicits._
+    val base = embeddings.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+    // driver-side sample for centroid training (bounded, deterministic)
+    val sample = base.filter($"vec_id" % 7 === 0).limit(2048)
+      .collect().map(_._2.toArray).toSeq
+    val centroids = trainCentroids(sample, numCells)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cells = base.map { case (id, v) =>
+      (id, v, nearestCentroid(v.toArray, bc.value))
+    }.toDF("vec_id", "embedding", "cell")
+    val queries = base.filter(_._1 < numQueries)
+      .flatMap { case (qid, qv) =>
+        val dists = bc.value.indices.map(c =>
+          (c, -cosine(qv, bc.value(c).toSeq)))
+        dists.sortBy(_._2).take(nProbe).map { case (c, _) => (qid, qv, c) }
+      }.toDF("q_vec_id", "q_embedding", "cell")
+    val cands = cells.join(broadcast(queries), "cell")
+      .filter($"vec_id" =!= $"q_vec_id")
+      .select($"q_vec_id", $"q_embedding", $"vec_id", $"embedding")
+      .distinct()
+      .as[(Long, Seq[Float], Long, Seq[Float])]
+      .map { case (qid, qv, id, v) =>
+        (qid, id, math.rint(cosine(qv, v) * 10000) / 10000)
+      }
+      .toDF("q_vec_id", "neighbor_vec_id", "cos_sim")
+    val w = Window.partitionBy($"q_vec_id")
+      .orderBy($"cos_sim".desc, $"neighbor_vec_id")
+    cands.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"q_vec_id", $"rank".cast("long").as("rank"),
+        $"neighbor_vec_id", $"cos_sim")
+      .orderBy($"q_vec_id", $"rank")
+  }
+
   /** LSH-bucketed ANN: candidates share a sign-bucket with the query (probed
     * over all `planes`-bit buckets at hamming distance ≤ 1 for recall). */
   def lshTopK(

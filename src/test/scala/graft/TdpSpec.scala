@@ -109,3 +109,22 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 }
+
+class IvfAnnSpec extends AnyFunSuite with SparkTestBase {
+  test("IVF top-k recall vs brute force ≥ 0.8 on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(321)
+    val df = (0 until 90).map { i =>
+      val center = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d == center) 10f else 0f) + rnd.nextFloat() * 0.5f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val brute = Ann.bruteTopK(spark, df, numQueries = 5, k = 5)
+      .select("q_vec_id", "neighbor_vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(spark, df, numQueries = 5, k = 5, numCells = 6, nProbe = 2)
+      .select("q_vec_id", "neighbor_vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+}
