@@ -118,6 +118,23 @@ object SparkEntry {
         .filter(!$"obj".isin(ambiguousObjs.toSeq: _*))
       graft.triples.GraphStats.saltedObjectCounts(s, triples)
     }),
+    "kg_cooccurrence" -> ((s, dir) => {
+      import s.implicits._
+      // entity co-occurrence edges: the graph-materialization aggregate.
+      // distinct-first (url, obj) then url-keyed self-join — the join key is
+      // the well-distributed url, not the hot obj (SCALE.md §3)
+      val docs = pipelineDocs(s, dir)
+      val present = Triples.fromDocs(s, docs).toDF()
+        .filter(!$"obj".isin(ambiguousObjs.toSeq: _*))
+        .select($"url", $"obj").distinct()
+      val a = present.toDF("url", "obj_a")
+      val b = present.toDF("url", "obj_b")
+      a.join(b, Seq("url"))
+        .filter($"obj_a" < $"obj_b")
+        .groupBy($"obj_a", $"obj_b")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"obj_a", $"obj_b")
+    }),
     "kg_abbrev" -> ((s, dir) => {
       import s.implicits._
       // Schwartz–Hearst end-to-end with exactly computable offsets: append
@@ -344,6 +361,21 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
          |FROM per_doc GROUP BY pred, obj HAVING sum(n) > 0
          |ORDER BY pred, obj""".stripMargin,
+    "kg_cooccurrence" ->
+      s"""WITH terms(pred, obj, pat) AS (VALUES $tripleTermsValues),
+         |c AS (
+         |  SELECT t.obj, d.doc_id,
+         |         len(regexp_extract_all(d.text, t.pat)) AS n
+         |  FROM documents d CROSS JOIN terms t),
+         |per_doc AS (
+         |  SELECT obj, doc_id, sum(n) AS n FROM c GROUP BY obj, doc_id),
+         |present AS (
+         |  SELECT DISTINCT doc_id, obj FROM per_doc WHERE n > 0)
+         |SELECT a.obj AS obj_a, b.obj AS obj_b,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM present a JOIN present b
+         |  ON a.doc_id = b.doc_id AND a.obj < b.obj
+         |GROUP BY a.obj, b.obj ORDER BY obj_a, obj_b""".stripMargin,
     "kg_abbrev" ->
       """WITH occ(off_s, off_e) AS (VALUES (12, 14), (22, 24))
         |SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,

@@ -48,6 +48,40 @@ object Acceptance {
       .orderBy($"entity_class")
   }
 
+  /** Scale path for the interval join: when BOTH sides are corpus-sized
+    * (pipeline-vs-pipeline comparison over 10^12 pages), the non-equi
+    * overlap predicate cannot ride a broadcast join. Rewrite: explode each
+    * span into fixed-width buckets, equi-join on (url, class, bucket) —
+    * shuffle-keyed and AQE-skew-splittable — then apply the exact overlap
+    * predicate and dedup. Equivalent output to the theta-join (property
+    * test), but every join key is an equi-key.
+    */
+  def overlapJoinBucketed(
+      spark: SparkSession,
+      pred: DataFrame, // (url, start, end, entity_class)
+      gold: DataFrame,
+      bucketWidth: Int = 64
+  ): DataFrame = {
+    import spark.implicits._
+    def bucketize(df: DataFrame, prefix: String): DataFrame =
+      df.select($"url", $"start", $"end", $"entity_class")
+        .distinct()
+        .withColumn("_b",
+          explode(sequence(floor($"start" / bucketWidth),
+            floor(($"end" - 1) / bucketWidth))))
+        .toDF(s"${prefix}_url", s"${prefix}_start", s"${prefix}_end",
+          s"${prefix}_class", "_b")
+    val p = bucketize(pred, "p")
+    val g = bucketize(gold, "g").withColumnRenamed("_b", "_gb")
+    p.join(g,
+        $"p_url" === $"g_url" && $"p_class" === $"g_class" &&
+        $"_b" === $"_gb" &&
+        $"g_start" < $"p_end" && $"p_start" < $"g_end")
+      .select($"p_url", $"p_start", $"p_end", $"p_class",
+        $"g_start", $"g_end")
+      .distinct()
+  }
+
   /** Triple-level P/R: exact (subj, pred, obj) matching between an emitted
     * triple set and an expected (reference/gold) triple set — the
     * BASELINE P/R ≥ 0.95 gate. */

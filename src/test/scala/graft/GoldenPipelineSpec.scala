@@ -99,3 +99,47 @@ class StreamingRatesSpec extends AnyFunSuite with SparkTestBase {
     assert(progress.stateOperators.head.numRowsTotal > 0)
   }
 }
+
+class OverlapJoinSpec extends AnyFunSuite with SparkTestBase {
+  test("bucketed overlap join ≡ theta overlap join (property, random spans)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(55)
+    def spans(n: Int) = (0 until n).map { _ =>
+      val url = s"u${rnd.nextInt(12)}"
+      val s = rnd.nextInt(500)
+      (url, s, s + 1 + rnd.nextInt(130), if (rnd.nextBoolean()) "a" else "b")
+    }
+    val p = spans(300).toDF("url", "start", "end", "entity_class")
+    val g = spans(300).toDF("url", "start", "end", "entity_class")
+    val bucketed = graft.eval.Acceptance.overlapJoinBucketed(spark, p, g)
+      .collect().map(_.toSeq).toSet
+    // reference theta join
+    val gg = g.select($"url".as("g_url"), $"start".as("g_start"),
+      $"end".as("g_end"), $"entity_class".as("g_class")).distinct()
+    val theta = p.distinct().join(gg,
+        $"url" === $"g_url" && $"entity_class" === $"g_class" &&
+        $"g_start" < $"end" && $"start" < $"g_end")
+      .select($"url", $"start", $"end", $"entity_class", $"g_start", $"g_end")
+      .distinct()
+      .collect().map(_.toSeq).toSet
+    assert(bucketed == theta)
+    assert(theta.nonEmpty)
+  }
+}
+
+class PartitioningInvarianceSpec extends AnyFunSuite with SparkTestBase {
+  test("triples identical under different input partitionings") {
+    import graft.index.Resources
+    import graft.pipeline.{Pages, Pipeline}
+    import graft.triples.Triples
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    def run(parts: Int) = {
+      val pages = Pages.fromDocuments(spark, "/root/testdata/sf0.001")
+        .repartition(parts)
+      Triples.fromDocs(spark, Pipeline.run(spark, pages, res)._1)
+        .collect().toSet
+    }
+    assert(run(2) == run(13))
+  }
+}
