@@ -121,3 +121,25 @@ class CleanupSpec extends AnyFunSuite {
     assert(ents.head.mappings.head.idx == "MONDO_1") // URI stripped
   }
 }
+
+class MultiSectionSpec extends AnyFunSuite {
+  test("abbreviations learned in one section apply across ALL sections") {
+    val s1 = "breast cancer (BC) was diagnosed."
+    val s2 = "Later, BC metastasized."
+    val longEnt = Mention("breast cancer", "disease", Seq(CharSpan(0, 13)),
+      "TrieNer", 50, "BREAST CANCER",
+      mappings = Seq(Mapping("breast cancer", "MONDO", "DIS_DB", "MONDO:1",
+        "s", "HIGHLY_LIKELY", None, None)))
+    val d = Abbreviation.processDoc(KDoc("u", new java.sql.Timestamp(0),
+      s1 + " " + s2, "en", Seq(
+        Section("abstract", s1, Seq(longEnt)),
+        Section("body", s2))))
+    val bodyEnts = d.sections(1).entities
+    assert(bodyEnts.size == 1)
+    assert(bodyEnts.head.matchStr == "BC")
+    assert(bodyEnts.head.mappings.map(_.idx) == Seq("MONDO:1"))
+    val abstractAbbrevs = d.sections(0).entities
+      .filter(_.namespace == Abbreviation.Namespace)
+    assert(abstractAbbrevs.size == 1) // the definition-site BC
+  }
+}
