@@ -240,9 +240,12 @@ object TokenClassifier {
       if (!any || active.isEmpty) startSpans(labels, w)
       else if (continueOk) {
         active.foreach { case (c, ws) =>
-          labels.foreach { case (bio, cls) =>
+          // B entries first so the copy-on-new-B snapshot precedes any
+          // append of the current word (ref :106-126; the reference
+          // iterates a set — B-first makes the order deterministic)
+          labels.toSeq.sortBy(_._1).foreach { case (bio, cls) =>
             if (bio == "B" && cls.contains(c))
-              closed += TokSpan(c, ws.toSeq) // copy-on-new-B (ref :106-126)
+              closed += TokSpan(c, ws.toSeq) // copy-on-new-B
             if (cls.contains(c)) ws += w
           }
         }
