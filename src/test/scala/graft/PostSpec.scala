@@ -143,3 +143,41 @@ class MultiSectionSpec extends AnyFunSuite {
     assert(abstractAbbrevs.size == 1) // the definition-site BC
   }
 }
+
+/** F2 parity: fixtures generated by executing the reference
+  * MergeOverlappingEntsStep over 300 random entity layouts (full winner
+  * tuples kept tie-free — ties resolve by arbitrary set order in the
+  * reference). */
+class MergeOverlapsParitySpec extends AnyFunSuite {
+  test("sweep-merge matches reference on 300 fuzzed layouts") {
+    implicit val codec: scala.io.Codec = scala.io.Codec.UTF8
+    val src = scala.io.Source.fromResource("merge_overlap_fuzz.tsv")
+    val lines = try src.getLines().toList finally src.close()
+    assert(lines.size == 300)
+    val cfg = MergeOverlaps.Config(preferredOrder =
+      Seq("disease", "drug", "gene", "anatomy", "operator", "component"))
+    var bad = List.empty[String]
+    lines.foreach { line =>
+      val Array(inSpec, outSpec) = line.split("\t", -1)
+      val ents = inSpec.split(";").toSeq.map { es =>
+        val f = es.split(",")
+        Mention(s"m${f(0)}", f(2), Seq(CharSpan(f(0).toInt, f(1).toInt)), "t",
+          f(3).toInt, "N",
+          mappings = if (f(4) == "1")
+            Seq(Mapping("l", "S", "P", "X", "s", "HIGHLY_LIKELY", None, None))
+          else Seq.empty)
+      }
+      val kept = MergeOverlaps.processSection(cfg, Section("s", "x" * 300, ents))
+        .entities.map(e => (e.start, e.end, e.entityClass)).sorted
+      val expected =
+        if (outSpec.isEmpty) Seq.empty
+        else outSpec.split(";").toSeq.map { es =>
+          val f = es.split(",")
+          (f(0).toInt, f(1).toInt, f(2))
+        }.sorted
+      if (kept != expected)
+        bad ::= s"in=$inSpec\n got=$kept\n exp=$expected"
+    }
+    assert(bad.isEmpty, s"${bad.size} divergences; first 2:\n${bad.take(2).mkString("\n---\n")}")
+  }
+}

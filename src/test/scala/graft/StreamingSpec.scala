@@ -97,3 +97,53 @@ class GoldReaderSpec extends AnyFunSuite with SparkTestBase {
       .getAs[String]("mapping_id") == "ENSG1")
   }
 }
+
+/** Cross-validation: the stateful streaming sessionizer and the batch
+  * window-function sessionization (q5) must agree on closed sessions. */
+class SessionizeCrossCheckSpec extends AnyFunSuite with SparkTestBase {
+  test("streaming closed sessions consistent with batch lag-window sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"ts", $"event_type")
+      .as[graft.streaming.StreamingPipeline.Event]
+      .collect().toSeq
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamingPipeline.Event]
+    input.addData(events: _*)
+    val q = graft.streaming.StreamingPipeline.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("xcheck_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT user_id, sessionStart, nEvents FROM xcheck_sessions")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // batch: lag-window session starts (millisecond precision, matching the
+    // stream's gap rule); drop each user's LAST session (still open in the
+    // stream — never emitted)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val sessions = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("tsMs", unix_millis($"ts".cast("timestamp")))
+      .withColumn("prevMs", lag($"tsMs", 1).over(w))
+      .withColumn("newSess",
+        when($"prevMs".isNull || $"tsMs" - $"prevMs" > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("sessId", sum($"newSess").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sessId")
+      .agg(min($"tsMs").as("sessionStart"), count(lit(1)).as("nEvents"))
+    val lastSess = sessions.groupBy($"user_id")
+      .agg(max($"sessId").as("maxSess"))
+    val batch = sessions.join(lastSess, "user_id")
+      .filter($"sessId" =!= $"maxSess")
+      .select($"user_id", $"sessionStart", $"nEvents")
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(batch.nonEmpty)
+    assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
+  }
+}
