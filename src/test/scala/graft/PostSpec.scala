@@ -181,3 +181,45 @@ class MergeOverlapsParitySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.size} divergences; first 2:\n${bad.take(2).mkString("\n---\n")}")
   }
 }
+
+/** F3 parity: fixtures generated by executing the reference CleanupStep with
+  * its default-config actions over 300 random entity/mapping layouts. */
+class CleanupParitySpec extends AnyFunSuite {
+  test("cleanup matches reference on 300 fuzzed layouts") {
+    implicit val codec: scala.io.Codec = scala.io.Codec.UTF8
+    val src = scala.io.Source.fromResource("cleanup_fuzz.tsv")
+    val lines = try src.getLines().toList finally src.close()
+    assert(lines.size == 300)
+    val cfg = Cleanup.Config(stripUris = false, clearCandidates = false)
+    var bad = List.empty[String]
+    lines.foreach { line =>
+      val parts = line.split("\t", -1)
+      val (inStr, outStr) = (parts(0), parts(1))
+      val ents = inStr.split("#").toSeq.map { es =>
+        val f = es.split(",", -1)
+        val mappings =
+          if (f(3).isEmpty) Seq.empty
+          else f(3).split(";").toSeq.map { ms =>
+            val g = ms.split("\\|")
+            Mapping("l", "S", "P", g(0), "s", g(1), None,
+              if (g(2) == "NONE") None else Some(g(2)))
+          }
+        Mention(s"m${f(0)}", "c", Seq(CharSpan(f(0).toInt, f(1).toInt)), "ns",
+          f(2).toInt, "N", mappings = mappings)
+      }
+      val d = Cleanup.processDoc(cfg)(KDoc("u", new java.sql.Timestamp(0),
+        "y" * 120, "en", Seq(Section("s", "y" * 120, ents))))
+      val kept = d.entities.map(e =>
+        (e.start, e.mentionConfidence, e.mappings.map(_.idx).sorted.mkString(",")))
+        .sorted
+      val expected =
+        if (outStr.isEmpty) Seq.empty
+        else outStr.split("#").toSeq.map { es =>
+          val f = es.split(",", -1)
+          (f(0).toInt, f(1).toInt, f.drop(2).mkString(","))
+        }.sorted
+      if (kept != expected) bad ::= s"in=$inStr\n got=$kept\n exp=$expected"
+    }
+    assert(bad.isEmpty, s"${bad.size} divergences; first 2:\n${bad.take(2).mkString("\n---\n")}")
+  }
+}
