@@ -111,3 +111,33 @@ class SimilaritySpec extends AnyFunSuite {
       s.score("breast cancer", "insulin"))
   }
 }
+
+/** Cross-validation of the char-bigram tf-idf index against an independent
+  * numpy implementation of the sklearn formulae (the reference fits
+  * sklearn's TfidfVectorizer, link_index.py:123-139). */
+class TfIdfCrossCheckSpec extends AnyFunSuite {
+  test("search scores match the numpy implementation to 1e-6") {
+    implicit val codec: scala.io.Codec = scala.io.Codec.UTF8
+    val src = scala.io.Source.fromResource("tfidf_scores.tsv")
+    val lines = try src.getLines().toList finally src.close()
+    val syns = lines.head.split("\t")(1).split(";").toSeq
+    val index = graft.index.SynonymTfIdfIndex.fit(syns)
+    var bad = List.empty[String]
+    lines.tail.foreach { line =>
+      val parts = line.split("\t", -1)
+      val q = parts(0)
+      val expected =
+        if (parts(1).isEmpty) Seq.empty
+        else parts(1).split(";").toSeq.map { e =>
+          val Array(s, sc) = e.split("\\|"); (s, sc.toDouble)
+        }
+      val got = index.search(q, 5)
+      if (got.map(_._1) != expected.map(_._1))
+        bad ::= s"$q: order ${got.map(_._1)} vs ${expected.map(_._1)}"
+      else got.zip(expected).foreach { case ((_, g), (_, e)) =>
+        if (math.abs(g - e) > 1e-6) bad ::= s"$q: score $g vs $e"
+      }
+    }
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
+}
