@@ -237,6 +237,31 @@ object SparkEntry {
         .orderBy($"user_id")
     }),
 
+    "q6_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("value_cents", expr("cast(round(value * 100) as bigint)"))
+        .groupBy($"event_type")
+        .agg(
+          expr("cast(percentile(value_cents, 0.5) as double)").as("p50_cents"),
+          expr("cast(percentile(value_cents, 0.9) as double)").as("p90_cents"),
+          min($"value_cents").as("min_cents"),
+          max($"value_cents").as("max_cents"))
+        .orderBy($"event_type")
+    }),
+    "q7_rollup" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("revenue_cents"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("o_orderstatus"),
+          coalesce($"o_orderpriority", lit("ALL")).as("o_orderpriority"),
+          $"n_orders", $"revenue_cents")
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    }),
+
     // ---- training-data pipeline ops ---------------------------------------
     "dedup_exact" -> ((s, dir) => {
       import s.implicits._
@@ -428,6 +453,24 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q6_percentiles" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS value_cents
+        |           FROM events)
+        |SELECT event_type,
+        |  CAST(quantile_cont(value_cents, 0.5) AS DOUBLE) AS p50_cents,
+        |  CAST(quantile_cont(value_cents, 0.9) AS DOUBLE) AS p90_cents,
+        |  CAST(min(value_cents) AS BIGINT) AS min_cents,
+        |  CAST(max(value_cents) AS BIGINT) AS max_cents
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q7_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_md5,
         |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_same_text
