@@ -26,7 +26,21 @@ object Tokenizer {
 
   @inline private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c)
 
+  /** Single-entry identity memo per thread: pipeline stages tokenize the
+    * SAME section-text String instance back-to-back (trie boundaries,
+    * wordpieces, abbreviation scan, class filter) — the memo collapses those
+    * repeat scans without holding references beyond the current document. */
+  private val lastTokenized = new ThreadLocal[(String, Array[Token])]
+
   def tokenize(text: String): Array[Token] = {
+    val memo = lastTokenized.get()
+    if (memo != null && (memo._1 eq text)) return memo._2
+    val result = tokenizeUncached(text)
+    lastTokenized.set((text, result))
+    result
+  }
+
+  private def tokenizeUncached(text: String): Array[Token] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Token]
     val n = text.length
     var i = 0
