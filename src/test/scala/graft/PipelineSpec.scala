@@ -141,3 +141,36 @@ class TripleSinkSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE triples_bucketed")
   }
 }
+
+/** Robustness: messy foreign HTML (boilerplate, entities, unicode, nested
+  * tags, empty pre-extracted text) through the full pipeline. */
+class MessyHtmlSpec extends AnyFunSuite with SparkTestBase {
+  test("foreign html pages survive the pipeline and yield mentions") {
+    import spark.implicits._
+    def page(url: String, html: String) =
+      PageRow(url, new java.sql.Timestamp(0), html.getBytes("UTF-8"), "", "en")
+    val pages = Seq(
+      page("h1", """<html><head><title>Nav</title><script>var x="<sort>";</script></head>
+        |<body><nav>menu</nav><p>the sort and filter run in spark &amp; batch</p>
+        |<style>p{color:red}</style><!-- comment --></body></html>""".stripMargin),
+      page("h2", "<html><body><div><p>query κ window</p><p>value &#65; key</p></div></body></html>"),
+      page("h3", "no tags at all just sort and spark"),
+      page("h4", "<body><p></p></body>"), // empty body
+      page("h5", "<html><body><p>unclosed tag <b>filter here")
+    ).toDF()
+    val res = spark.sparkContext.broadcast(graft.index.Resources.corpus)
+    val (docs, _) = graft.pipeline.Pipeline.run(spark, pages, res)
+    val collected = docs.collect()
+    assert(collected.forall(_.error.isEmpty))
+    val triples = graft.triples.Triples.fromDocs(spark, docs).collect()
+    val byUrl = triples.groupBy(_.url)
+    assert(byUrl.contains("h1")) // sort/filter/spark/batch found
+    assert(byUrl.contains("h3"))
+    assert(byUrl.contains("h5")) // filter found despite unclosed tag
+    // offsets index into the EXTRACTED text
+    val h1 = collected.find(_.url == "h1").get
+    h1.sections.head.entities.foreach { e =>
+      assert(h1.text.substring(e.start, e.end) == e.matchStr)
+    }
+  }
+}
