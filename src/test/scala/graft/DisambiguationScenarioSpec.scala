@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import graft.index.Resources
+import graft.link._
+import graft.ontology.OntologyRow
+import graft.text.Normalizer
+
+/** Port of the reference's p27 disambiguation scenarios
+  * (kazu/tests/test_disambiguation_strategies.py:65-310): the ambiguous
+  * gene string "p27" resolving via document evidence, context tf-idf,
+  * annotation priors and default-label preference.
+  */
+class DisambiguationScenarioSpec extends AnyFunSuite {
+
+  private val P = "P27_DB"
+  private val rows = Seq(
+    OntologyRow(P, "gene", "1", "CDKN1B", "CDKN1B", "test"),
+    OntologyRow(P, "gene", "1", "CDKN1B", "p27", "test"),
+    OntologyRow(P, "gene", "2", "PSMD9", "p27", "test"),
+    OntologyRow(P, "gene", "3", "Autoantigen p27", "Autoantigen p27", "test"),
+    OntologyRow(P, "gene", "3", "Autoantigen p27", "p27", "test"))
+  private val res = Resources.build(rows, _ => "gene", version = "p27/1")
+  MappingResources.current.set(MappingResources.forResources(res))
+
+  private val p27Norm = Normalizer.normalize("p27", "gene")
+  private val cdkn1bNorm = Normalizer.normalize("CDKN1B", "gene")
+  private val autoNorm = Normalizer.normalize("Autoantigen p27", "gene")
+
+  private def cand(norm: String) =
+    CandidateWithMetrics(res.candidate(P, norm).get, LinkingMetrics())
+
+  private val p27IdSets: Set[EquivalentIdSet] =
+    res.candidate(P, p27Norm).get.associatedIdSets.map(_.canonical).toSet
+
+  private def mention(m: String, cls: String, start: Int,
+      cands: Seq[CandidateWithMetrics], mappings: Seq[Mapping] = Seq.empty) =
+    Mention(m, cls, Seq(CharSpan(start, start + m.length)), "test", 50,
+      Normalizer.normalize(m, cls), candidates = cands, mappings = mappings)
+
+  private def work(ms: Mention*): DocWork =
+    DocWork(KDoc("u", new java.sql.Timestamp(0), "text", "en",
+      Seq(Section("s", "text", ms.toSeq))))
+
+  test("p27 candidate is genuinely ambiguous (3 id sets)") {
+    assert(p27IdSets.size == 3)
+  }
+
+  test("DefinedElsewhereInDocument: resolves only once evidence exists") {
+    val strategy = new DefinedElsewhereInDocument(DisambiguationConfidence.HighlyLikely)
+    // no mappings anywhere → empty
+    val w0 = work(mention("p27", "gene", 0, Seq(cand(p27Norm))),
+      mention("Autoantigen p27", "gene", 40, Seq(cand(autoNorm))))
+    assert(strategy(p27IdSets, w0, P, "p27", p27Norm).isEmpty)
+
+    // the autoantigen mention is mapped to id 3 (built through
+    // MappingFactory, as the reference does) → p27 resolves to {3}
+    def factoryMapping(idx: String): Mapping =
+      MappingFactory.fromIdSets(
+        res.candidate(P, if (idx == "3") autoNorm else cdkn1bNorm).get
+          .associatedIdSets.filter(_.ids.exists(_.idx == idx)),
+        P, "test", StringMatchConfidence.HighlyLikely, None, None).head
+    val mapped3 = factoryMapping("3")
+    val w1 = work(mention("p27", "gene", 0, Seq(cand(p27Norm))),
+      mention("Autoantigen p27", "gene", 40, Seq(cand(autoNorm)), Seq(mapped3)))
+    val r1 = strategy(p27IdSets, w1, P, "p27", p27Norm)
+    assert(r1.map(_.ids.map(_.idx).toSet) == Set(Set("3")))
+
+    // a second mapped entity (CDKN1B → id 1) → two id sets survive
+    val mapped1 = factoryMapping("1")
+    val w2 = work(mention("p27", "gene", 0, Seq(cand(p27Norm))),
+      mention("Autoantigen p27", "gene", 40, Seq(cand(autoNorm)), Seq(mapped3)),
+      mention("CDKN1B", "gene", 70, Seq(cand(cdkn1bNorm)), Seq(mapped1)))
+    val r2 = strategy(p27IdSets, w2, P, "p27", p27Norm)
+    assert(r2.map(_.ids.map(_.idx).toSet) == Set(Set("3"), Set("1")))
+  }
+
+  test("TfIdf context: CDKN1B in context resolves p27 to id 1") {
+    val strategy = new TfIdfContextDisambiguation(
+      DisambiguationConfidence.Possible, contextThreshold = 0.0,
+      relevantAggregations = Set(graft.model.IdAggregation.Unambiguous,
+        graft.model.IdAggregation.ResolvedBySimilarity,
+        graft.model.IdAggregation.MergedAsNonSymbolic,
+        graft.model.IdAggregation.NoStrategy))
+    val w = work(
+      mention("CDKN1B", "gene", 48, Seq.empty),
+      mention("p27", "gene", 0, Seq(cand(p27Norm))))
+    val r = strategy(p27IdSets, w, P, "p27", p27Norm)
+    assert(r.map(_.ids.map(_.idx).toSet) == Set(Set("1")), r)
+  }
+
+  test("AnnotationLevel: higher prior wins; ties keep both") {
+    def resWithScores(scores: Map[String, Int]): Unit = {
+      val meta = res.metadata.map { case (k, m) =>
+        k -> m.copy(extras = m.extras ++ scores.get(m.idx).map(s =>
+          "annotation_score" -> s.toString))
+      }
+      val res2 = new Resources(res.trie, res.payloads, res.synonyms, meta,
+        res.entityClassOf, res.version + scores.hashCode)
+      MappingResources.current.set(MappingResources.forResources(res2))
+    }
+    val strategy = new AnnotationLevelDisambiguation(DisambiguationConfidence.Possible)
+    val w = work(mention("CDKN1B", "gene", 48, Seq(cand(cdkn1bNorm))))
+
+    resWithScores(Map("1" -> 10, "2" -> 5, "3" -> 5))
+    val r1 = strategy(p27IdSets, w, P, "CDKN1B", cdkn1bNorm)
+    assert(r1.map(_.ids.map(_.idx).toSet) == Set(Set("1")))
+
+    resWithScores(Map("1" -> 10, "2" -> 5, "3" -> 10))
+    val r2 = strategy(p27IdSets, w, P, "CDKN1B", cdkn1bNorm)
+    assert(r2.map(_.ids.map(_.idx).toSet) == Set(Set("1"), Set("3")))
+
+    MappingResources.current.set(MappingResources.forResources(res))
+  }
+
+  test("PreferDefaultLabelMatch: CDKN1B match keeps only id 1") {
+    val strategy = new PreferDefaultLabelMatch(DisambiguationConfidence.HighlyLikely)
+    val w = work(mention("CDKN1B", "gene", 48, Seq(cand(cdkn1bNorm))))
+    val r = strategy(p27IdSets, w, P, "CDKN1B", cdkn1bNorm)
+    assert(r.map(_.ids.map(_.idx).toSet) == Set(Set("1")))
+    // an unrelated match keeps nothing
+    assert(strategy(p27IdSets, w, P, "xyz",
+      Normalizer.normalize("xyz", "gene")).isEmpty)
+  }
+}
