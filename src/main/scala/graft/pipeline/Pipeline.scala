@@ -131,10 +131,44 @@ object Pipeline {
     val runCtx = new Run(spark, cfg, scala.collection.mutable.ArrayBuffer.empty)
 
     if (cfg.checkpointDir.isEmpty) {
-      // fused fast path: extract + all doc-local stages in one mapPartitions
-      val out = Pages.toDocs(spark, pages).mapPartitions(
-        fusedStages(resources.value, runner, classRules, withTransformerNer))
-      return (out, Seq.empty)
+      // fused fast path: extract + all doc-local stages in one mapPartitions.
+      // Lineage without a materialization barrier: per-partition counts are
+      // tracked in a CollectionAccumulator and surface as lineage rows once
+      // an action has run (counts reflect tasks executed so far).
+      val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("graft-lineage")
+      val resourceVersion = cfg.resourceVersion
+      val out = Pages.toDocs(spark, pages).mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var n = 0L; var fails = 0L
+        val mapped = fusedStages(resources.value, runner, classRules,
+          withTransformerNer)(it).map { d =>
+          n += 1; if (d.error.isDefined) fails += 1; d
+        }
+        new Iterator[KDoc] {
+          private var emitted = false
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h && !emitted) { emitted = true; acc.add((pid, n, fails)) }
+            h
+          }
+          def next(): KDoc = mapped.next()
+        }
+      }
+      // a view: materializes rows whenever accessed, so lineage read AFTER
+      // an action reflects the executed partitions
+      val lineageView: Seq[LineageRow] = new scala.collection.immutable.AbstractSeq[LineageRow] {
+        private def rows: Seq[LineageRow] = {
+          import scala.jdk.CollectionConverters._
+          acc.value.asScala.toSeq.map { case (pid, n, fails) =>
+            LineageRow("fused_pipeline", pid, s"partition-$pid",
+              resourceVersion, cfg.modelVersion, n, n, fails, 0L, cfg.runId)
+          }
+        }
+        def apply(i: Int): LineageRow = rows(i)
+        def length: Int = rows.length
+        def iterator: Iterator[LineageRow] = rows.iterator
+      }
+      return (out, lineageView)
     }
 
     val docs = runCtx.stage("extract", Pages.toDocs(spark, pages))

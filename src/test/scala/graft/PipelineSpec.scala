@@ -174,3 +174,16 @@ class MessyHtmlSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 }
+
+class FusedLineageSpec extends AnyFunSuite with SparkTestBase {
+  test("fused pipeline surfaces per-partition lineage after an action") {
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val pages = Pages.fromDocuments(spark, "/root/testdata/sf0.001").repartition(3)
+    val (docs, lineage) = Pipeline.run(spark, pages, res)
+    assert(lineage.isEmpty)          // nothing executed yet
+    val n = docs.count()             // action
+    assert(lineage.nonEmpty)
+    assert(lineage.map(_.rowsIn).sum == n)
+    assert(lineage.forall(_.stage == "fused_pipeline"))
+  }
+}
