@@ -98,3 +98,59 @@ class NerLinkSpec extends AnyFunSuite {
     assert(her2.mappings.map(_.idx).toSet == Set("ENSG2"))
   }
 }
+
+/** D1→D2→E5 end-to-end: a misspelled mention gets fuzzy candidates from the
+  * char-bigram index and maps through StrongMatchMappingStrategy. */
+class FuzzyLinkingSpec extends AnyFunSuite {
+  import graft.link._
+  import graft.ontology.OntologyRow
+
+  private val rows = Seq(
+    OntologyRow("DIS", "disease", "D:1", "influenza", "influenza", "t"),
+    OntologyRow("DIS", "disease", "D:2", "measles", "measles", "t"),
+    OntologyRow("DIS", "disease", "D:3", "mumps", "mumps", "t"))
+  private val res = graft.index.Resources.build(rows, _ => "disease",
+    version = "fuzzy-test/1")
+
+  test("misspelled mention → fuzzy candidates with search scores") {
+    // HIGHLY_LIKELY confidence: the reference's non-symbolic HL ladder is
+    // the one carrying StrongMatchMappingStrategy (PROBABLE runs exact-match
+    // only — conf/MappingStep/default.yaml)
+    val m = Mention("influenzza", "disease", Seq(CharSpan(0, 10)),
+      "TransformerNer", MentionConfidence.HighlyLikely,
+      graft.text.Normalizer.normalize("influenzza", "disease"))
+    val d = KDoc("u", new java.sql.Timestamp(0), "influenzza", "en",
+      Seq(Section("s", "influenzza", Seq(m))))
+    val linked = DictionaryLinking.processPartition(res)(Iterator(d)).next()
+    val cands = linked.entities.head.candidates
+    assert(cands.nonEmpty)
+    val best = cands.maxBy(_.metrics.searchScore.getOrElse(0.0))
+    assert(best.candidate.synonymNorm == "INFLUENZA")
+    assert(best.metrics.searchScore.exists(_ >= 80.0),
+      s"score ${best.metrics.searchScore}")
+    assert(best.metrics.exactMatch.contains(false))
+
+    // full mapping run: StrongMatch fires on the high fuzzy score
+    MappingResources.current.set(MappingResources.forResources(res))
+    val mapped = MappingStep.processPartition(res, Ladders.default)(
+      Iterator(linked)).next()
+    assert(mapped.entities.head.mappings.map(_.idx) == Seq("D:1"))
+    assert(mapped.entities.head.mappings.head.stringMatchStrategy ==
+      "StrongMatchWithEmbeddingConfirmationStringMatchingStrategy")
+  }
+
+  test("number-mismatched fuzzy hits are gated out") {
+    val rows2 = rows :+ OntologyRow("DIS", "disease", "D:4", "influenza 2",
+      "influenza 2", "t")
+    val res2 = graft.index.Resources.build(rows2, _ => "disease",
+      version = "fuzzy-test/2")
+    val m = Mention("influenza 3", "disease", Seq(CharSpan(0, 11)),
+      "TransformerNer", 50, graft.text.Normalizer.normalize("influenza 3", "disease"))
+    val d = KDoc("u", new java.sql.Timestamp(0), "influenza 3", "en",
+      Seq(Section("s", "influenza 3", Seq(m))))
+    val linked = DictionaryLinking.processPartition(res2)(Iterator(d)).next()
+    // "INFLUENZA 2" has number 2 ≠ 3 → NumberMatch gate drops it;
+    // "INFLUENZA" (no numbers) also fails multiset equality vs {3}
+    assert(linked.entities.head.candidates.isEmpty)
+  }
+}
