@@ -65,14 +65,19 @@ object ClassFilter {
   def processDoc(rules: Rules)(doc: KDoc): KDoc = {
     if (rules.isEmpty || doc.error.isDefined) return doc
 
-    // key → (tpConfigured, tpFired, fpFired)
+    // (key, ruleset) → (tpConfigured, tpFired, fpFired); class rules and
+    // mention rules evaluate INDEPENDENTLY — failing either drops the key
+    // (ref rules_based_disambiguation.py:248-260: class and mention matcher
+    // results are separate checks on the same (match, class) key)
     val state = scala.collection.mutable.HashMap
-      .empty[(String, String), (Boolean, Boolean, Boolean)]
+      .empty[(String, String, String), (Boolean, Boolean, Boolean)]
 
-    def rulesFor(e: Mention): Option[Map[String, Seq[Pattern]]] = {
+    def rulesFor(e: Mention): Seq[(String, Map[String, Seq[Pattern]])] = {
+      val cls = rules.classRules.get(e.entityClass).map("class" -> _)
       val mention = rules.mentionRules.get(e.entityClass)
         .flatMap(_.get(e.matchStr.toLowerCase(java.util.Locale.ROOT)))
-      mention.orElse(rules.classRules.get(e.entityClass))
+        .map("mention" -> _)
+      cls.toSeq ++ mention.toSeq
     }
 
     // pass 1: evaluate rules in sentence contexts, OR-aggregate per key
@@ -92,7 +97,7 @@ object ClassFilter {
         arr
       }
       s.entities.foreach { e =>
-        rulesFor(e).foreach { tpFp =>
+        rulesFor(e).foreach { case (which, tpFp) =>
           val sent = sents.find(sp => sp.start <= e.start && e.start < sp.end)
             .getOrElse(CharSpan(0, s.text.length))
           val idxs = toks.indices.filter(ti =>
@@ -101,7 +106,7 @@ object ClassFilter {
             idxs.map(ti => s.text.substring(toks(ti).start, toks(ti).end)).toIndexedSeq,
             idxs.map(ti => CharSpan(toks(ti).start, toks(ti).end)).toIndexedSeq,
             idxs.map(classAt(_)).toIndexedSeq)
-          val key = (e.matchStr, e.entityClass)
+          val key = (e.matchStr, e.entityClass, which)
           val tpPatterns = tpFp.getOrElse("tp", Seq.empty)
           val fpPatterns = tpFp.getOrElse("fp", Seq.empty)
           val (cfg0, tp0, fp0) =
@@ -114,13 +119,14 @@ object ClassFilter {
       }
     }
 
-    // pass 2: drop entities whose key failed
+    // pass 2: drop entities whose key failed either ruleset
     doc.copy(sections = doc.sections.map { s =>
       s.copy(entities = s.entities.filterNot { e =>
-        state.get((e.matchStr, e.entityClass)).exists {
-          case (tpConfigured, tpFired, fpFired) =>
-            (tpConfigured && !tpFired) || fpFired
-        }
+        Seq("class", "mention").exists(which =>
+          state.get((e.matchStr, e.entityClass, which)).exists {
+            case (tpConfigured, tpFired, fpFired) =>
+              (tpConfigured && !tpFired) || fpFired
+          })
       })
     })
   }
