@@ -121,19 +121,14 @@ object SparkEntry {
     "kg_cooccurrence" -> ((s, dir) => {
       import s.implicits._
       // entity co-occurrence edges: the graph-materialization aggregate.
-      // distinct-first (url, obj) then url-keyed self-join — the join key is
-      // the well-distributed url, not the hot obj (SCALE.md §3)
+      // Per-doc distinct objs are capped (top-N by mention count) before the
+      // url-keyed self-join so a pathological page cannot emit k^2/2 pairs;
+      // the cap (64) exceeds the whole ontology size, so on this corpus no
+      // row is dropped and the oracle stays exact (GraphStats + SCALE.md §3)
       val docs = pipelineDocs(s, dir)
-      val present = Triples.fromDocs(s, docs).toDF()
+      val triples = Triples.fromDocs(s, docs).toDF()
         .filter(!$"obj".isin(ambiguousObjs.toSeq: _*))
-        .select($"url", $"obj").distinct()
-      val a = present.toDF("url", "obj_a")
-      val b = present.toDF("url", "obj_b")
-      a.join(b, Seq("url"))
-        .filter($"obj_a" < $"obj_b")
-        .groupBy($"obj_a", $"obj_b")
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy($"obj_a", $"obj_b")
+      graft.triples.GraphStats.cooccurrenceEdges(s, triples)
     }),
     "kg_abbrev" -> ((s, dir) => {
       import s.implicits._

@@ -27,10 +27,17 @@ case class NormalizeExpression(left: Expression, right: Expression)
       NormalizeExpression.eval(str.asInstanceOf[UTF8String],
         cls.asInstanceOf[UTF8String]))
 
+  // Generated Java must NOT reference `graft.functions.NormalizeExpression
+  // .eval` as a static: scalac suppresses the companion's static forwarder
+  // because the class inherits `Expression.eval`, so Janino fails to compile
+  // and Spark silently falls back to interpreted execution. The standalone
+  // `Normalizer` object has real static forwarders (verified via javap), so
+  // the generated code calls the kernel there directly. CodegenSpec pins
+  // this: it compiles the generated source with fallback disabled.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (s, c) =>
       s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  graft.functions.NormalizeExpression.eval($s, $c));""".stripMargin)
+         |  graft.text.Normalizer.normalize($s.toString(), $c.toString()));""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NormalizeExpression =

@@ -42,34 +42,66 @@ object Pipeline {
   ) {
     import spark.implicits._
 
+    /** Checkpoint one stage. Cluster-safe: existence/resume decisions go
+      * through the Hadoop FileSystem of the checkpoint URI (works for
+      * file:, hdfs:, s3a:, ...), gated on the `_SUCCESS` marker so a
+      * partially-written stage dir is never resumed from. Lineage is
+      * gathered in a single pass DURING the checkpoint write (accumulator
+      * keyed by partition id — task retries overwrite, never double-count)
+      * and persisted to a `_LINEAGE` sidecar, so a resumed run recovers the
+      * stage's lineage without re-reading the stage table.
+      */
     def stage(name: String, ds: => Dataset[KDoc]): Dataset[KDoc] =
       cfg.checkpointDir match {
         case None => ds
         case Some(dir) =>
           val path = s"$dir/$name"
-          val fs = new java.io.File(path)
+          val hPath = new org.apache.hadoop.fs.Path(path)
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val success = new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")
+          val sidecar = new org.apache.hadoop.fs.Path(hPath, "_LINEAGE")
           val t0 = System.currentTimeMillis()
-          if (!(cfg.resume && fs.exists())) {
-            ds.write.mode("overwrite").parquet(path)
-          }
-          val out = spark.read.parquet(path).as[KDoc]
-          // per-partition lineage from the materialized stage table
-          val counts = out
-            .mapPartitions { it =>
+          val resumed = cfg.resume && fs.exists(success)
+          if (!resumed) {
+            val acc = spark.sparkContext
+              .collectionAccumulator[(Int, Long, Long)](s"graft-lineage-$name")
+            // count inside the write path: the parquet writer drains every
+            // partition iterator fully, so the on-exhaustion accumulator
+            // update always fires exactly once per task attempt
+            ds.mapPartitions { it =>
               val pid = org.apache.spark.TaskContext.getPartitionId()
               var n = 0L; var fails = 0L
-              it.foreach { d => n += 1; if (d.error.isDefined) fails += 1 }
-              Iterator((pid, n, fails))
-            }
-            .collect()
+              it.map { d =>
+                n += 1; if (d.error.isDefined) fails += 1; d
+              } ++ { acc.add((pid, n, fails)); Iterator.empty }
+            }.write.mode("overwrite").parquet(path)
+            // dedup by partition id (speculative/retried attempts of a
+            // deterministic stage produce identical counts; keep one)
+            import scala.jdk.CollectionConverters._
+            val counts = acc.value.asScala.toSeq
+              .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+            val out = fs.create(sidecar, true)
+            counts.foreach { case (pid, n, f) => out.write(s"$pid,$n,$f\n".getBytes("UTF-8")) }
+            out.close()
+          }
           val wall = System.currentTimeMillis() - t0
+          val counts: Seq[(Int, Long, Long)] =
+            if (!fs.exists(sidecar)) Seq.empty
+            else {
+              val in = fs.open(sidecar)
+              val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+              txt.linesIterator.filter(_.nonEmpty).map { l =>
+                val Array(p, n, f) = l.split(","); (p.toInt, n.toLong, f.toLong)
+              }.toSeq
+            }
           counts.foreach { case (pid, n, fails) =>
             lineage += LineageRow(name, pid, s"$path/part-$pid",
               cfg.resourceVersion, cfg.modelVersion,
               rowsIn = n, rowsOut = n, failures = fails,
-              wallMs = wall, runId = cfg.runId)
+              wallMs = if (resumed) 0L else wall, runId = cfg.runId)
           }
-          out
+          spark.read.parquet(path).as[KDoc]
       }
   }
 
@@ -159,10 +191,18 @@ object Pipeline {
       val lineageView: Seq[LineageRow] = new scala.collection.immutable.AbstractSeq[LineageRow] {
         private def rows: Seq[LineageRow] = {
           import scala.jdk.CollectionConverters._
-          acc.value.asScala.toSeq.map { case (pid, n, fails) =>
-            LineageRow("fused_pipeline", pid, s"partition-$pid",
-              resourceVersion, cfg.modelVersion, n, n, fails, 0L, cfg.runId)
-          }
+          // dedup by partition id: a retried/speculative task attempt adds a
+          // second entry for the same pid; the stage is deterministic, so
+          // attempts agree — keep one (the max, in case an earlier attempt
+          // was killed mid-partition and reported a partial count)
+          acc.value.asScala.toSeq
+            .groupBy(_._1)
+            .map { case (pid, es) => es.maxBy(e => (e._2, e._3)) }
+            .toSeq.sortBy(_._1)
+            .map { case (pid, n, fails) =>
+              LineageRow("fused_pipeline", pid, s"partition-$pid",
+                resourceVersion, cfg.modelVersion, n, n, fails, 0L, cfg.runId)
+            }
         }
         def apply(i: Int): LineageRow = rows(i)
         def length: Int = rows.length

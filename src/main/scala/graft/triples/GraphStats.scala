@@ -44,4 +44,43 @@ object GraphStats {
     mentions.join(docs, Seq("pred", "obj"))
       .orderBy($"pred", $"obj")
   }
+
+  /** Entity co-occurrence edges: for every pair of distinct entities
+    * mentioned in the same document, the number of co-mentioning documents.
+    *
+    * Scale shape: the self-join keys on the well-distributed `url`, never on
+    * the hot `obj` — but an unbounded per-document pair explosion is its own
+    * skew: a directory-style page mentioning 10^4 entities alone emits
+    * ~5*10^7 pairs. So distinct objs are capped per document at
+    * `maxObjsPerDoc` (top-N by mention count, obj tiebreak) BEFORE the
+    * self-join, bounding per-doc fanout at N^2/2. Truncation is surfaced
+    * through the Spark `observe` metric `n_truncated_doc_objs` (observation
+    * name "cooccurrence_cap"), so a production run logs how many (url, obj)
+    * rows the cap dropped instead of silently narrowing the graph.
+    */
+  def cooccurrenceEdges(
+      spark: SparkSession,
+      triples: DataFrame,
+      maxObjsPerDoc: Int = 64
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = triples
+      .groupBy($"url", $"obj")
+      .agg(count(lit(1)).as("_n_mentions"))
+    val w = Window.partitionBy($"url").orderBy($"_n_mentions".desc, $"obj")
+    val capped = perDoc
+      .withColumn("_rn", row_number().over(w))
+      .observe("cooccurrence_cap",
+        count(when($"_rn" > maxObjsPerDoc, true)).as("n_truncated_doc_objs"))
+      .filter($"_rn" <= maxObjsPerDoc)
+      .select($"url", $"obj")
+    val a = capped.toDF("url", "obj_a")
+    val b = capped.toDF("url", "obj_b")
+    a.join(b, Seq("url"))
+      .filter($"obj_a" < $"obj_b")
+      .groupBy($"obj_a", $"obj_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"obj_a", $"obj_b")
+  }
 }

@@ -32,6 +32,28 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(fileDf.head().getString(0).nonEmpty)
   }
 
+  test("generated code compiles — no silent interpreted fallback") {
+    // Regression test for the r1 ADVICE finding: generated Java that calls a
+    // Scala companion method as a static fails Janino compilation when scalac
+    // suppresses the forwarder (class inherits Expression.eval), and Spark
+    // silently falls back to interpreted execution. Compiling the generated
+    // source directly makes that failure loud.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fileDf = docs.select(
+      GraftFunctions.normalize(col("text"), lit("unknown")).as("n"),
+      GraftFunctions.classifySymbolic(col("text"), lit("unknown")).as("y"))
+    val wsc = fileDf.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, fileDf.queryExecution.executedPlan.toString)
+    wsc.foreach { w =>
+      val (_, source) = w.doCodeGen()
+      CodeGenerator.compile(source) // throws CompileException on bad codegen
+    }
+  }
+
   test("SQL registration: graft_normalize usable in spark.sql") {
     GraftFunctions.register(spark)
     spark.sql("SELECT 'erbB2s' AS s").createOrReplaceTempView("t_fn")

@@ -52,7 +52,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("checkpoint/resume: identical triples, lineage rows per stage×partition") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // explicit file: URI — resume decisions must go through the Hadoop
+    // FileSystem API (cluster-safe), not java.io.File (r1 ADVICE finding)
+    val local = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val dir = s"file:$local"
     val pages = Pages.fromDocuments(spark, sfDir)
     val res = spark.sparkContext.broadcast(Resources.corpus)
 
@@ -60,19 +63,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val (docs1, lineage1) = Pipeline.run(spark, pages, res, cfg = cfg)
     val t1 = Triples.fromDocs(spark, docs1).collect().toSet
 
-    // lineage: one row per (stage, partition)
+    // lineage: one row per (stage, partition), gathered during the write —
+    // no second read pass (counts live in the _LINEAGE sidecar)
     assert(lineage1.nonEmpty)
     val stages = lineage1.map(_.stage).distinct
     assert(stages.contains("extract") && stages.contains("trie_ner") &&
       stages.contains("mapping") && stages.contains("merge"))
     assert(lineage1.forall(_.rowsIn > 0))
     assert(lineage1.forall(_.runId == "run-a"))
+    stages.foreach { st =>
+      assert(new java.io.File(s"$local/$st/_LINEAGE").isFile, s"sidecar for $st")
+    }
 
-    // resume: stage dirs exist → read back, not recomputed; same output
+    // resume: stage dirs exist with _SUCCESS → read back, not recomputed;
+    // same output, lineage recovered from the sidecar, stage parquet
+    // untouched (modification times prove no rewrite)
+    def mtimes(): Map[String, Long] =
+      stages.map(st => st -> new java.io.File(s"$local/$st/_SUCCESS").lastModified).toMap
+    val before = mtimes()
     val cfg2 = cfg.copy(resume = true, runId = "run-b")
-    val (docs2, _) = Pipeline.run(spark, pages, res, cfg = cfg2)
+    val (docs2, lineage2) = Pipeline.run(spark, pages, res, cfg = cfg2)
     val t2 = Triples.fromDocs(spark, docs2).collect().toSet
     assert(t1 == t2)
+    assert(mtimes() == before, "resume must not rewrite completed stages")
+    assert(lineage2.map(l => (l.stage, l.partitionId, l.rowsIn)).toSet ==
+      lineage1.map(l => (l.stage, l.partitionId, l.rowsIn)).toSet)
+
+    // a stage dir WITHOUT _SUCCESS (partial write) is recomputed, not resumed
+    assert(new java.io.File(s"$local/mapping/_SUCCESS").delete())
+    val (docs3, _) = Pipeline.run(spark, pages, res,
+      cfg = cfg.copy(resume = true, runId = "run-c"))
+    assert(Triples.fromDocs(spark, docs3).collect().toSet == t1)
+    assert(new java.io.File(s"$local/mapping/_SUCCESS").isFile,
+      "partial stage must be rewritten with a fresh _SUCCESS")
   }
 
   test("acceptance: NER + triple P/R ≥ 0.95 vs independent gold") {
@@ -172,6 +195,33 @@ class MessyHtmlSpec extends AnyFunSuite with SparkTestBase {
     h1.sections.head.entities.foreach { e =>
       assert(h1.text.substring(e.start, e.end) == e.matchStr)
     }
+  }
+}
+
+/** Per-document fanout bound of the co-occurrence aggregate: a pathological
+  * page with k entities must not emit k²/2 pairs (r1 ADVICE finding). */
+class CooccurrenceCapSpec extends AnyFunSuite with SparkTestBase {
+  test("pathological doc is capped at top-N objs; truncation observed") {
+    import spark.implicits._
+    val patho = (0 until 200).map(i => ("u_patho", f"E:$i%03d", 1))
+    val normal = Seq(("u_1", "E:000", 5), ("u_1", "E:001", 1), ("u_2", "E:000", 1))
+    val triples = (patho ++ normal)
+      .flatMap { case (u, o, n) => Seq.fill(n)((u, "mentions_x", o)) }
+      .toDF("url", "pred", "obj")
+    val out = graft.triples.GraphStats.cooccurrenceEdges(spark, triples, maxObjsPerDoc = 64)
+    val rows = out.collect()
+    // kept objs for u_patho: top-64 by (count desc, obj) = E:000..E:063, so
+    // every emitted pair is among those (u_1's pair coincides with one)
+    assert(rows.length == 64 * 63 / 2, s"got ${rows.length} pairs")
+    val shared = rows.find(r => r.getString(0) == "E:000" && r.getString(1) == "E:001").get
+    assert(shared.getAs[Long]("n_docs") == 2) // u_patho + u_1
+    val metric = out.queryExecution.observedMetrics("cooccurrence_cap")
+    assert(metric.getAs[Long]("n_truncated_doc_objs") == 200 - 64)
+
+    // cap above the per-doc distinct-obj count ⇒ identical to the uncapped
+    // aggregate (the driver-query regime: 64 > ontology size)
+    val un = graft.triples.GraphStats.cooccurrenceEdges(spark, triples, maxObjsPerDoc = 1000)
+    assert(un.count() == 200L * 199 / 2) // u_1's pair coincides with a patho pair
   }
 }
 
