@@ -18,7 +18,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // transformer-NER inference is real compute now (MiniBern): surface the
+    // per-frame forward-pass cost next to the timings
+    val flops = graft.ner.MiniBern.flops(graft.ner.TokenClassifier.MaxSeqLen - 2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","model_flops_per_frame":$flops}""")
     spark.stop()
   }
 }

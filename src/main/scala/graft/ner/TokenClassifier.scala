@@ -12,11 +12,12 @@ import graft.text.{Normalizer, Tokenizer}
   * tokenization with offsets, sliding-window framing (max_seq 128 / stride
   * 16 / batch 4, ref conf defaults), half-stride frame stitching, word
   * reassembly, BIO span decoding, per-class suffix stripping — executed in
-  * `mapPartitions` with an executor-pinned model session. The model forward
-  * pass itself is a STUB (no ONNX runtime jar in this container):
-  * [[StubModel]] emits deterministic logits from a tiny embedded
-  * vocabulary, standing in for the TinyBERN2 ONNX session. Swapping in a
-  * real model touches ONLY [[ModelSession]].
+  * `mapPartitions` with an executor-pinned model session. The forward pass
+  * is [[MiniBern]]: a from-scratch pure-JVM transformer encoder (batched
+  * GEMMs, multi-head attention, GELU FFN, layer norms) with embedded
+  * deterministic weights — real inference FLOPs per frame, standing in for
+  * the TinyBERN2 ONNX session that the zero-egress container cannot host.
+  * Swapping in an exported model touches ONLY [[ModelSession]].
   */
 object TokenClassifier {
 
@@ -63,53 +64,13 @@ object TokenClassifier {
     def version: String
   }
 
-  /** Deterministic stub: tags whole words from an embedded vocabulary with
-    * B-/I- labels (first piece B, continuation pieces I). Production: an
-    * ONNX Runtime session created lazily per executor JVM, batched input
-    * ids, softmax over logits.
-    */
-  final class StubModel(vocab: Map[String, String]) extends ModelSession {
-    val version = "stub-ner/1"
-    private val labelIdx: Map[String, Int] = Labels.zipWithIndex.toMap
-    def predict(frames: Seq[IndexedSeq[Piece]]): Array[Array[Array[Float]]] =
-      frames.map { frame =>
-        val out = new Array[Array[Float]](frame.length)
-        // single pass over runs of equal wordId (pieces are word-ordered)
-        var i = 0
-        while (i < frame.length) {
-          var j = i + 1
-          while (j < frame.length && frame(j).wordId == frame(i).wordId) j += 1
-          val sb = new java.lang.StringBuilder()
-          var k = i
-          while (k < j) {
-            val t = frame(k).token
-            sb.append(if (t.startsWith("##")) t.substring(2) else t)
-            k += 1
-          }
-          val cls = vocab.get(sb.toString.toLowerCase(java.util.Locale.ROOT))
-          k = i
-          while (k < j) {
-            val logits = new Array[Float](Labels.size)
-            java.util.Arrays.fill(logits, -10f)
-            cls match {
-              case Some(c) =>
-                val prefix = if (frame(k).token.startsWith("##")) "I-" else "B-"
-                logits(labelIdx(prefix + c)) = 10f
-              case None => logits(0) = 10f
-            }
-            out(k) = logits
-            k += 1
-          }
-          i = j
-        }
-        out
-      }.toArray
-  }
-
-  /** The stub's "learned" vocabulary over the synthetic corpus: overlaps the
-    * gazetteer on some terms (exercising overlap merge) and adds terms the
-    * trie does not know (exercising the dictionary-linking path D1/D2). */
-  val CorpusStubVocab: Map[String, String] = Map(
+  /** The model's recognized vocabulary over the synthetic corpus: overlaps
+    * the gazetteer on some terms (exercising overlap merge) and adds terms
+    * the trie does not know (exercising the dictionary-linking path D1/D2).
+    * These words become the [[MiniBern]] prototype head; MiniBernSpec
+    * asserts the trained separation margin over the whole corpus vocabulary,
+    * so tagging behavior is exactly: these words and nothing else. */
+  val CorpusVocab: Map[String, String] = Map(
     "window" -> "operator",
     "sort" -> "operator",
     "vector" -> "component",
@@ -119,10 +80,35 @@ object TokenClassifier {
 
   private object SessionHolder {
     // lazy singleton per executor JVM (ref: per-Ray-worker model copy,
-    // amortized per JVM here)
-    lazy val session: ModelSession = new StubModel(CorpusStubVocab)
+    // amortized per JVM here); weights are deterministic, so every executor
+    // materializes the identical model
+    lazy val session: ModelSession = new MiniBern(CorpusVocab)
   }
   def executorSession: ModelSession = SessionHolder.session
+
+  // --- activations (ref hf_token_classification.py:326-352) ----------------
+
+  object Activations {
+    /** get_single_label_activations: softmax over the label axis. */
+    def softmax(logits: Array[Float]): Array[Float] = {
+      var max = Float.NegativeInfinity
+      logits.foreach(l => if (l > max) max = l)
+      val out = new Array[Float](logits.length)
+      var z = 0.0
+      var i = 0
+      while (i < logits.length) {
+        out(i) = math.exp((logits(i) - max).toDouble).toFloat; z += out(i); i += 1
+      }
+      i = 0
+      while (i < logits.length) { out(i) = (out(i) / z).toFloat; i += 1 }
+      out
+    }
+
+    /** get_multilabel_activations: heaviside(logits, 0) as 0/1 ints
+      * (torch.heaviside with values=[0.0] maps x==0 → 0). */
+    def heaviside(logits: Array[Float]): Array[Float] =
+      logits.map(l => if (l > 0f) 1f else 0f)
+  }
 
   // --- framing + stitching -------------------------------------------------
 
@@ -283,16 +269,77 @@ object TokenClassifier {
         matchNorm = Normalizer.normalize(matchStr, span.clazz))
     }
 
+  // --- multilabel span finding (ref MultilabelSpanFinder,
+  // tokenized_word_processor.py:215-317): labels are class-level, a word
+  // carries every class whose heaviside-activated confidence is 1 anywhere
+  // in the word; spans per class start/extend/close independently ----------
+
+  /** Class labels active on a word under multilabel activations: any piece
+    * with confidence > 0 for a non-O label contributes that label's class
+    * (ref get_class_labels, :270-281). */
+  def multilabelClasses(word: Word): Set[String] =
+    (for {
+      conf <- word.logits.iterator
+      li <- conf.indices.iterator
+      if li > 0 && conf(li) > 0f
+    } yield Labels(li).split("-", 2)(1)).toSet
+
+  def findSpansMultilabel(text: String, words: IndexedSeq[Word]): Seq[TokSpan] = {
+    val active = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Word]]
+    val closed = scala.collection.mutable.ArrayBuffer.empty[TokSpan]
+    words.foreach { w =>
+      val classes = multilabelClasses(w)
+      val newLabels = (classes -- active.keySet).toSeq.sorted
+      // labels no longer predicted close their span (ref :309-310)
+      (active.keySet.toSet -- classes).toSeq.sorted.foreach { c =>
+        closed += TokSpan(c, active.remove(c).get.toSeq)
+      }
+      // new labels start a span with this word (ref :305-307)
+      newLabels.foreach { c =>
+        active += c -> scala.collection.mutable.ArrayBuffer(w)
+      }
+      // continuing labels extend, unless a span-breaking char precedes the
+      // word or nothing continues (ref span_continue_condition :283-296,
+      // :312-315 — note: on a break char the span stays ACTIVE but the
+      // word is not appended, faithful to the reference)
+      val continuing = (classes & active.keySet.toSet) -- newLabels
+      val continueOk = continuing.nonEmpty &&
+        !(w.charStart > 0 && SpanBreakingChars.contains(text.charAt(w.charStart - 1)))
+      if (continueOk)
+        continuing.toSeq.sorted.foreach(c => active(c) += w)
+    }
+    active.toSeq.foreach { case (c, ws) => closed += TokSpan(c, ws.toSeq) }
+    closed.toSeq
+  }
+
   // --- the stage -----------------------------------------------------------
 
-  def processText(session: ModelSession, text: String): Seq[Mention] = {
+  /** Run the token-classification NER over one section text.
+    *
+    * `useMultilabel=false` (default, ref conf): logits → softmax
+    * confidences → per-piece argmax → BIO SimpleSpanFinder.
+    * `useMultilabel=true`: logits → heaviside 0/1 confidences → class-level
+    * MultilabelSpanFinder.
+    */
+  def processText(
+      session: ModelSession,
+      text: String,
+      useMultilabel: Boolean = false
+  ): Seq[Mention] = {
     val pieces = wordpieces(text)
     if (pieces.isEmpty) return Seq.empty
     val fs = frames(pieces)
     // batched forward passes (BatchSize frames per call)
     val logits = fs.grouped(BatchSize).flatMap(b => session.predict(b)).toArray
-    val words = stitchToWords(fs, logits)
-    spansToMentions(findSpans(text, words), text)
+    val act: Array[Float] => Array[Float] =
+      if (useMultilabel) Activations.heaviside else Activations.softmax
+    val activated = logits.map(_.map(act))
+    val words = stitchToWords(fs, activated)
+    val spans =
+      if (useMultilabel) findSpansMultilabel(text, words)
+      else findSpans(text, words)
+    spansToMentions(spans, text)
   }
 
   def processDoc(session: ModelSession)(doc: KDoc): KDoc =

@@ -15,7 +15,7 @@ class TokenClassifierSpec extends AnyFunSuite {
     assert(ps.map(_.wordId) == Seq(0, 0, 1, 1))
   }
 
-  test("stub model tags vocab words via BIO decode") {
+  test("model tags vocab words via BIO decode") {
     val ments = TokenClassifier.processText(session, "the window is big")
     assert(ments.map(m => (m.matchStr, m.entityClass)) ==
       Seq(("window", "operator")))
