@@ -269,12 +269,22 @@ object SparkEntry {
     }),
     "dedup_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val d = docsDf(s, dir)
-        .filter($"doc_id" < 100)
-        .select($"doc_id", array_distinct(split($"text", " ")).as("words"))
-      val a = d.select($"doc_id".as("doc_a"), $"words".as("wa"))
-      val b = d.select($"doc_id".as("doc_b"), $"words".as("wb"))
-      a.join(broadcast(b), $"doc_a" < $"doc_b")
+      // sketch → verify: MinHash band candidates (equi-join on (band,
+      // bucket) — NO cartesian/inequality join in the plan), then exact
+      // word-set Jaccard on candidates only. The sketch hashes 1-gram
+      // shingles — the SAME set the verify stage measures (3-gram shingles
+      // estimate order-sensitive overlap, a different similarity). Banding
+      // 32×2 puts the S-curve threshold at (1/32)^(1/2)≈0.18, so a true
+      // pair at j≥0.8 is missed w.p. (1−0.8²)^32 ≈ 6e-15 — the oracle
+      // (all-pairs ground truth) stays exact. At 100 TB the candidate join
+      // is the only quadratic-risk stage and it is bounded by bucket size.
+      val d = docsDf(s, dir).filter($"doc_id" < 100)
+      val cands = Dedup.minhashCandidatePairs(s, d, numHashes = 64, bands = 32)
+      val words = d.select($"doc_id",
+        array_distinct(split($"text", " ")).as("words"))
+      cands
+        .join(words.select($"doc_id".as("doc_a"), $"words".as("wa")), "doc_a")
+        .join(words.select($"doc_id".as("doc_b"), $"words".as("wb")), "doc_b")
         .withColumn("jaccard",
           size(array_intersect($"wa", $"wb")).cast("double") /
             size(array_union($"wa", $"wb")).cast("double"))
@@ -296,16 +306,19 @@ object SparkEntry {
     }),
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
-      // embedding-cosine near-duplicate pairs (vec_id < 200 candidate set;
-      // at scale the LSH bucketing of Ann.lshTopK generates candidates)
+      // sketch → verify: banded-LSH candidate pairs (equi-join on (table,
+      // bucket) — the cartesian inequality join is gone from the plan),
+      // exact cosine verification on candidates only. The 0.4 similarity
+      // threshold is adversarially low for hyperplane LSH (bit-agree prob
+      // 0.63), so coverage needs many short tables (4 bits × 48); at
+      // production near-dup thresholds (≥0.8) the same code prunes with
+      // far fewer tables (see Ann.LshConfig.forCorpus). AnnSpec asserts
+      // candidate coverage of every true pair on this corpus.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .filter($"vec_id" < 200)
-        .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      val a = emb.toDF("id_a", "emb_a")
-      val b = emb.toDF("id_b", "emb_b")
-      a.join(broadcast(b), $"id_a" < $"id_b")
-        .as[(Long, Seq[Float], Long, Seq[Float])]
-        .map { case (x, va, y, vb) =>
+      Ann.lshCandidatePairs(s, emb, Ann.LshConfig(4, 48))
+        .as[(Long, Long, Seq[Float], Seq[Float])]
+        .map { case (x, y, va, vb) =>
           (x, y, math.rint(Ann.cosine(va, vb) * 10000) / 10000)
         }
         .toDF("id_a", "id_b", "cos_sim")
@@ -315,12 +328,35 @@ object SparkEntry {
     "ann_brute" -> ((s, dir) =>
       Ann.bruteTopK(s, s.read.parquet(s"$dir/embeddings.parquet"))),
     "ann_lsh" -> ((s, dir) =>
-      Ann.lshTopK(s, s.read.parquet(s"$dir/embeddings.parquet"))),
+      // pinned to the auto-sizing result for the verify corpus (N=500 →
+      // 3 bits/table, 6 tables; LshConfig.forCorpus(500)) so the DuckDB
+      // oracle can replicate the exact plane set; the library default
+      // auto-sizes from the corpus count (AnnSpec covers sf0.1)
+      Ann.lshTopK(s, s.read.parquet(s"$dir/embeddings.parquet"),
+        cfg = OracleLshConfig)),
     "ann_ivf" -> ((s, dir) =>
-      Ann.ivfTopK(s, s.read.parquet(s"$dir/embeddings.parquet")))
+      // kmeansIters=0 keeps the strided deterministic seed centroids, which
+      // the DuckDB oracle replicates row-for-row; Lloyd-refined centroids
+      // (the production default) are recall-tested in AnnSpec
+      Ann.ivfTopK(s, s.read.parquet(s"$dir/embeddings.parquet"),
+        numCells = 8, nProbe = 4, kmeansIters = 0))
   )
 
+  /** ann_lsh oracle geometry: LshConfig.forCorpus(500) materialized. */
+  private val OracleLshConfig = Ann.LshConfig(3, 6)
+
   // ---- oracle SQL ----------------------------------------------------------
+
+  /** Hyperplane literals for the ann_lsh oracle: (table, planeIdx, coeffs).
+    * Scala Double.toString round-trips exactly through DuckDB's parser, so
+    * both engines dot against bit-identical planes. */
+  private def lshPlaneValues(cfg: Ann.LshConfig, dim: Int = 64): String =
+    (0 until cfg.numTables).flatMap { t =>
+      (0 until cfg.bitsPerTable).map { b =>
+        val vals = Ann.hyperplane(dim, t * cfg.bitsPerTable + b).mkString(", ")
+        s"($t, $b, [$vals]::DOUBLE[])"
+      }
+    }.mkString(", ")
 
   private def nerTermsValues: String =
     CorpusOntology.nerTerms
@@ -546,6 +582,72 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q_vec_id
         |                            ORDER BY cos_sim DESC, neighbor_vec_id) AS rank
         |  FROM pairs)
+        |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, neighbor_vec_id, cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+    // replicates the banded multi-table index bit-for-bit: identical plane
+    // literals, sign-bit buckets, same-bucket candidates, exact-cosine top-k
+    "ann_lsh" ->
+      s"""WITH planes(tbl, pidx, vals) AS (VALUES ${lshPlaneValues(OracleLshConfig)}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |sig AS (
+         |  SELECT e.vec_id, p.tbl,
+         |         CAST(sum(CASE WHEN list_dot_product(e.emb, p.vals) >= 0
+         |                       THEN CAST(1 AS BIGINT) << p.pidx ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.tbl),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_vec_id, s.vec_id AS neighbor_vec_id
+         |  FROM sig q JOIN sig s ON s.tbl = q.tbl AND s.bucket = q.bucket
+         |  WHERE q.vec_id < 10 AND s.vec_id != q.vec_id),
+         |scored AS (
+         |  SELECT c.q_vec_id, c.neighbor_vec_id,
+         |         round(list_cosine_similarity(eq.emb, en.emb), 4) AS cos_sim
+         |  FROM cand c JOIN e eq ON eq.vec_id = c.q_vec_id
+         |              JOIN e en ON en.vec_id = c.neighbor_vec_id),
+         |ranked AS (
+         |  SELECT q_vec_id, neighbor_vec_id, cos_sim,
+         |         row_number() OVER (PARTITION BY q_vec_id
+         |                            ORDER BY cos_sim DESC, neighbor_vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, neighbor_vec_id, cos_sim
+         |FROM ranked WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin,
+    // replicates IVF with the deterministic strided-seed quantizer
+    // (kmeansIters=0): sample = vec_id % 7 ordered, centroid c = sample row
+    // floor(c·n/8); nearest-centroid assignment (L2, cell tiebreak); each
+    // query probes its 4 closest cells by cosine
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |samp AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        |         FROM e WHERE vec_id % 7 = 0),
+        |cent AS (SELECT r.range AS cell, s.emb AS cemb
+        |         FROM range(8) r JOIN samp s
+        |           ON s.rn = (r.range * (SELECT count(*) FROM samp)) // 8),
+        |assign AS (
+        |  SELECT e.vec_id, e.emb, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_distance(e.emb, c.cemb), c.cell) AS rnk
+        |  FROM e CROSS JOIN cent c),
+        |cells AS (SELECT vec_id, emb, cell FROM assign WHERE rnk = 1),
+        |probes AS (
+        |  SELECT q_vec_id, cell FROM (
+        |    SELECT q.vec_id AS q_vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |                              ORDER BY list_cosine_similarity(q.emb, c.cemb) DESC, c.cell) AS rnk
+        |    FROM e q CROSS JOIN cent c WHERE q.vec_id < 10)
+        |  WHERE rnk <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.q_vec_id, s.vec_id AS neighbor_vec_id
+        |  FROM probes p JOIN cells s ON s.cell = p.cell
+        |  WHERE s.vec_id != p.q_vec_id),
+        |scored AS (
+        |  SELECT c.q_vec_id, c.neighbor_vec_id,
+        |         round(list_cosine_similarity(eq.emb, en.emb), 4) AS cos_sim
+        |  FROM cand c JOIN e eq ON eq.vec_id = c.q_vec_id
+        |              JOIN e en ON en.vec_id = c.neighbor_vec_id),
+        |ranked AS (
+        |  SELECT q_vec_id, neighbor_vec_id, cos_sim,
+        |         row_number() OVER (PARTITION BY q_vec_id
+        |                            ORDER BY cos_sim DESC, neighbor_vec_id) AS rank
+        |  FROM scored)
         |SELECT q_vec_id, CAST(rank AS BIGINT) AS rank, neighbor_vec_id, cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_vec_id, rank""".stripMargin
   )

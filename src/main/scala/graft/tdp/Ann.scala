@@ -10,9 +10,19 @@ import org.apache.spark.sql.expressions.Window
   * - brute-force top-k cosine: the correctness baseline. Query side is tiny
   *   and broadcast; the big side streams once — no shuffle of the corpus,
   *   partial top-k per partition then a final k·|queries| merge.
-  * - LSH-bucketed (random hyperplane signs): the scale path. Corpus hashed
-  *   once; candidate set = same-bucket rows; top-k within candidates. At
-  *   100 TB the bucket join replaces the full scan per query batch.
+  * - banded multi-table LSH (random hyperplane signs): the scale path.
+  *   `numTables` independent tables of `bitsPerTable` planes each; a
+  *   candidate shares a full bucket with the query in ≥1 table. Bucket
+  *   count per table is 2^bits ∝ corpus size (see [[LshConfig.forCorpus]]),
+  *   so the per-probe candidate set stays ~constant as N grows — the index
+  *   gets BIGGER, not the probe. (The r1 single-table/8-bit setting was a
+  *   disguised linear scan at 10^12 rows; multi-table banding is the
+  *   standard fix — recall comes from independent tables, precision from
+  *   bits per table.)
+  * - IVF (inverted-file): k-means coarse quantizer, corpus stored
+  *   partitioned BY CELL, queries probe their nProbe closest cells. Cells
+  *   scale ~√N ([[ivfAutoCells]]) so probe cost is ~√N per query with
+  *   cell-partition pruning at the storage layer.
   */
 object Ann {
 
@@ -25,15 +35,56 @@ object Ann {
       (h.toDouble / Long.MaxValue)
     }
 
-  def signBits(vec: Array[Float], planes: Array[Array[Double]]): Int = {
-    var bits = 0
+  /** Banded multi-table index geometry.
+    *
+    * @param bitsPerTable hyperplanes per table (buckets = 2^bits)
+    * @param numTables    independent tables (recall ladder)
+    */
+  final case class LshConfig(bitsPerTable: Int, numTables: Int) {
+    require(bitsPerTable >= 1 && bitsPerTable <= 62)
+    /** plane id-space is partitioned per table so tables are independent */
+    def planes(dim: Int): Array[Array[Array[Double]]] =
+      Array.tabulate(numTables)(t =>
+        Array.tabulate(bitsPerTable)(b => hyperplane(dim, t * bitsPerTable + b)))
+  }
+
+  object LshConfig {
+    /** Collision probability of one hyperplane bit at cosine similarity s
+      * (Goemans–Williamson): p = 1 − θ/π. */
+    def bitAgreeProb(cosSim: Double): Double =
+      1.0 - math.acos(math.max(-1.0, math.min(1.0, cosSim))) / math.Pi
+
+    /** Size the index for a corpus: bits so buckets hold ~`bucketTarget`
+      * rows (candidate work per probe stays constant as N grows), tables so
+      * a true neighbour at `targetSim` is found with `targetRecall`:
+      * L = ln(1−r) / ln(1−p^b). At 10^12 rows with near-dup similarity 0.8
+      * this gives b≈34, L≈8 — per-probe candidates ≈ L·bucketTarget. */
+    def forCorpus(
+        n: Long,
+        targetSim: Double = 0.45,
+        targetRecall: Double = 0.85,
+        bucketTarget: Long = 64
+    ): LshConfig = {
+      val bits = math.max(2,
+        math.ceil(math.log(math.max(2.0, n.toDouble / bucketTarget)) / math.log(2)).toInt)
+      val p = bitAgreeProb(targetSim)
+      val pBand = math.pow(p, bits)
+      val tables =
+        if (pBand >= 1.0) 1
+        else math.max(1, math.ceil(math.log(1 - targetRecall) / math.log(1 - pBand)).toInt)
+      LshConfig(bits, math.min(tables, 64))
+    }
+  }
+
+  def signBits(vec: Array[Float], planes: Array[Array[Double]]): Long = {
+    var bits = 0L
     var p = 0
     while (p < planes.length) {
       var s = 0.0
       val pl = planes(p)
       var i = 0
       while (i < vec.length && i < pl.length) { s += vec(i) * pl(i); i += 1 }
-      if (s >= 0) bits |= (1 << p)
+      if (s >= 0) bits |= (1L << p)
       p += 1
     }
     bits
@@ -71,9 +122,15 @@ object Ann {
       }
       .toDF("q_vec_id", "neighbor_vec_id", "cos_sim")
       .filter($"q_vec_id" =!= $"neighbor_vec_id")
+    topK(pairs, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy($"q_vec_id")
       .orderBy($"cos_sim".desc, $"neighbor_vec_id")
-    pairs
+    scored
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"q_vec_id", $"rank".cast("long").as("rank"),
@@ -81,13 +138,96 @@ object Ann {
       .orderBy($"q_vec_id", $"rank")
   }
 
+  /** (vec_id, embedding, table, bucket) — the index rows. The only shuffle
+    * key downstream is (table, bucket): a 12-byte pair, never the vectors. */
+  def lshSignatures(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      cfg: LshConfig,
+      dim: Int = 64
+  ): DataFrame = {
+    import spark.implicits._
+    val planes = cfg.planes(dim)
+    val bc = spark.sparkContext.broadcast(planes)
+    embeddings.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        val arr = v.toArray
+        bc.value.indices.iterator.map(t => (id, v, t, signBits(arr, bc.value(t))))
+      }
+      .toDF("vec_id", "embedding", "table", "bucket")
+  }
+
+  /** Bucket-occupancy statistics per table (max/avg/count), for index-health
+    * logging — a production run inspects these before trusting recall. */
+  def lshBucketStats(spark: SparkSession, embeddings: DataFrame, cfg: LshConfig): DataFrame = {
+    import spark.implicits._
+    lshSignatures(spark, embeddings, cfg)
+      .groupBy($"table", $"bucket").agg(count(lit(1)).as("n"))
+      .groupBy($"table")
+      .agg(count(lit(1)).as("n_buckets"), max($"n").as("max_bucket"),
+        round(avg($"n"), 2).as("avg_bucket"))
+      .orderBy($"table")
+  }
+
+  /** Banded multi-table LSH top-k: candidates share a full bucket with the
+    * query in at least one table; exact cosine verifies. */
+  def lshTopK(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 5,
+      cfg: LshConfig = null
+  ): DataFrame = {
+    import spark.implicits._
+    val resolved = Option(cfg).getOrElse(LshConfig.forCorpus(embeddings.count()))
+    val sigs = lshSignatures(spark, embeddings, resolved)
+    val queries = sigs.filter($"vec_id" < numQueries)
+      .select($"vec_id".as("q_vec_id"), $"embedding".as("q_embedding"),
+        $"table", $"bucket")
+    val cands = sigs.join(broadcast(queries), Seq("table", "bucket"))
+      .filter($"vec_id" =!= $"q_vec_id")
+      .select($"q_vec_id", $"q_embedding", $"vec_id", $"embedding")
+      .distinct()
+      .observe("ann_lsh_stats", count(lit(1)).as("n_candidates"))
+      .as[(Long, Seq[Float], Long, Seq[Float])]
+      .map { case (qid, qv, id, v) =>
+        (qid, id, math.rint(cosine(qv, v) * 10000) / 10000)
+      }
+      .toDF("q_vec_id", "neighbor_vec_id", "cos_sim")
+    topK(cands, k)
+  }
+
+  /** All near-dup candidate PAIRS from the banded index (for dedup: the
+    * sketch stage before exact verification). Equi-join on (table, bucket)
+    * — no inequality/cartesian join anywhere in the plan. */
+  def lshCandidatePairs(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      cfg: LshConfig
+  ): DataFrame = {
+    val sigs = lshSignatures(spark, embeddings, cfg)
+    val a = sigs.as("a"); val b = sigs.as("b")
+    a.join(b,
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .distinct()
+  }
+
   // --- IVF (inverted-file) variant -----------------------------------------
+
+  /** Cells ∝ √N: probe cost and cell size balance at √N each — the standard
+    * IVF sizing. (8 cells at any N — the r1 default — meant each probe
+    * scanned N/8: a disguised linear scan.) */
+  def ivfAutoCells(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Deterministic k-means coarse quantizer: seeds = evenly-strided input
     * vectors, fixed iteration count — reproducible across runs/executors.
-    * Production: train on a driver-collected sample, broadcast centroids;
-    * the corpus is then partitioned BY CELL so each query probes only
-    * nProbe cells — the classic IVF index shape. */
+    * `iters = 0` keeps the strided seeds themselves (fully replicable by
+    * the DuckDB oracle; Lloyd refinement is the production default and is
+    * recall-tested in AnnSpec). */
   def trainCentroids(vectors: Seq[Array[Float]], k: Int, iters: Int = 5): Array[Array[Float]] = {
     require(vectors.nonEmpty)
     val n = vectors.size
@@ -117,7 +257,9 @@ object Ann {
       var d = 0.0; var i = 0
       val ct = centroids(c)
       while (i < v.length && i < ct.length) {
-        val diff = v(i) - ct(i); d += diff * diff; i += 1
+        // double-precision difference: float-float rounds to float and
+        // would diverge from the (double-exact) DuckDB oracle arithmetic
+        val diff = v(i).toDouble - ct(i).toDouble; d += diff * diff; i += 1
       }
       if (d < bestD) { bestD = d; best = c }
       c += 1
@@ -125,26 +267,32 @@ object Ann {
     best
   }
 
-  /** IVF top-k: corpus assigned to nearest-centroid cells once; each query
-    * probes its nProbe closest cells. */
+  /** IVF top-k: corpus assigned to nearest-centroid cells once and
+    * REPARTITIONED BY CELL (at 100 TB: stored partitioned by cell, so a
+    * probe reads only its nProbe/numCells fraction); each query probes its
+    * nProbe closest cells. `numCells = 0` → auto √N sizing. */
   def ivfTopK(
       spark: SparkSession,
       embeddings: DataFrame,
       numQueries: Int = 10,
       k: Int = 5,
-      numCells: Int = 8,
-      nProbe: Int = 3
+      numCells: Int = 0,
+      nProbe: Int = 3,
+      kmeansIters: Int = 5
   ): DataFrame = {
     import spark.implicits._
     val base = embeddings.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-    // driver-side sample for centroid training (bounded, deterministic)
-    val sample = base.filter($"vec_id" % 7 === 0).limit(2048)
-      .collect().map(_._2.toArray).toSeq
-    val centroids = trainCentroids(sample, numCells)
+    val cellCount = if (numCells > 0) numCells else ivfAutoCells(base.count())
+    // driver-side sample for centroid training: bounded AND deterministic
+    // (sorted by vec_id — a bare `limit` has no defined order)
+    val sample = base.filter($"vec_id" % 7 === 0)
+      .collect().sortBy(_._1).take(2048).map(_._2.toArray).toSeq
+    val centroids = trainCentroids(sample, cellCount, kmeansIters)
     val bc = spark.sparkContext.broadcast(centroids)
     val cells = base.map { case (id, v) =>
       (id, v, nearestCentroid(v.toArray, bc.value))
     }.toDF("vec_id", "embedding", "cell")
+      .repartition(col("cell")) // cell-partitioned candidate storage
     val queries = base.filter(_._1 < numQueries)
       .flatMap { case (qid, qv) =>
         val dists = bc.value.indices.map(c =>
@@ -160,52 +308,6 @@ object Ann {
         (qid, id, math.rint(cosine(qv, v) * 10000) / 10000)
       }
       .toDF("q_vec_id", "neighbor_vec_id", "cos_sim")
-    val w = Window.partitionBy($"q_vec_id")
-      .orderBy($"cos_sim".desc, $"neighbor_vec_id")
-    cands.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"q_vec_id", $"rank".cast("long").as("rank"),
-        $"neighbor_vec_id", $"cos_sim")
-      .orderBy($"q_vec_id", $"rank")
-  }
-
-  /** LSH-bucketed ANN: candidates share a sign-bucket with the query (probed
-    * over all `planes`-bit buckets at hamming distance ≤ 1 for recall). */
-  def lshTopK(
-      spark: SparkSession,
-      embeddings: DataFrame,
-      numQueries: Int = 10,
-      k: Int = 5,
-      numPlanes: Int = 8
-  ): DataFrame = {
-    import spark.implicits._
-    val planes = Array.tabulate(numPlanes)(p => hyperplane(64, p))
-    val base = embeddings.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      .map { case (id, v) => (id, v, signBits(v.toArray, planes)) }
-      .toDF("vec_id", "embedding", "bucket")
-    val queries = base.filter($"vec_id" < numQueries)
-      .as[(Long, Seq[Float], Int)]
-      // multi-probe: own bucket + all 1-bit flips
-      .flatMap { case (id, v, b) =>
-        (b +: (0 until numPlanes).map(p => b ^ (1 << p))).distinct
-          .map(pb => (id, v, pb))
-      }
-      .toDF("q_vec_id", "q_embedding", "bucket")
-    val cands = base.join(broadcast(queries), "bucket")
-      .filter($"vec_id" =!= $"q_vec_id")
-      .select($"q_vec_id", $"q_embedding", $"vec_id", $"embedding")
-      .distinct()
-      .as[(Long, Seq[Float], Long, Seq[Float])]
-      .map { case (qid, qv, id, v) =>
-        (qid, id, math.rint(cosine(qv, v) * 10000) / 10000)
-      }
-      .toDF("q_vec_id", "neighbor_vec_id", "cos_sim")
-    val w = Window.partitionBy($"q_vec_id")
-      .orderBy($"cos_sim".desc, $"neighbor_vec_id")
-    cands.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"q_vec_id", $"rank".cast("long").as("rank"),
-        $"neighbor_vec_id", $"cos_sim")
-      .orderBy($"q_vec_id", $"rank")
+    topK(cands, k)
   }
 }

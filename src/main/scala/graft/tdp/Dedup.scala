@@ -42,8 +42,12 @@ object Dedup {
     h
   }
 
-  def minhashSignature(text: String, numHashes: Int = 64): Array[Long] = {
-    val sh = shingles(text)
+  /** MinHash over `shingleN`-gram shingles. The shingle order must match
+    * the similarity the verify stage measures: 3-grams estimate
+    * order-sensitive text overlap; 1-grams estimate word-SET Jaccard
+    * (duplicate words collapse under min-hashing automatically). */
+  def minhashSignature(text: String, numHashes: Int = 64, shingleN: Int = 3): Array[Long] = {
+    val sh = shingles(text, shingleN)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     sh.foreach { s =>
       val base = hash64(s, 0)
@@ -108,6 +112,43 @@ object Dedup {
       .toDF("doc_a", "doc_b", "est_jaccard")
       .filter($"est_jaccard" >= threshold)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Candidate pairs only (no signature re-verification): the sketch stage
+    * of a sketch→verify dedup. `bands × rowsPerBand = numHashes`; with 32
+    * bands × 2 rows the S-curve threshold sits near (1/32)^(1/2) ≈ 0.18 —
+    * a true pair at Jaccard ≥ 0.8 is missed w.p. (1−0.8²)^32 ≈ 6e-15, so
+    * an exact verify stage downstream reproduces the all-pairs ground
+    * truth while the plan stays an equi-join on (band, bucket). */
+  def minhashCandidatePairs(
+      spark: SparkSession,
+      docs: DataFrame, // (doc_id, text)
+      numHashes: Int = 64,
+      bands: Int = 32,
+      shingleN: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val buckets = docs
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = minhashSignature(text, numHashes, shingleN)
+        (0 until bands).iterator.map { b =>
+          val bucket = java.util.Arrays.hashCode(
+            sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
+          (b, bucket, id)
+        }
+      }
+      .toDF("band", "bucket", "doc_id")
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   // --- SimHash -------------------------------------------------------------

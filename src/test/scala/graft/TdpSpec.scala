@@ -85,6 +85,85 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     assert(recall >= 0.8, s"LSH recall $recall")
   }
+
+  test("auto-sized banded index: recall ≥ 0.8 on the sf0.1 corpus, bucket " +
+    "occupancy logged") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = df.count()
+    val cfg = Ann.LshConfig.forCorpus(n)
+    info(s"N=$n → ${cfg.bitsPerTable} bits/table × ${cfg.numTables} tables")
+    val stats = Ann.lshBucketStats(spark, df, cfg).collect()
+    stats.take(3).foreach(r => info(s"occupancy: $r"))
+    assert(stats.length == cfg.numTables)
+    // buckets actually split the corpus (no degenerate all-in-one bucket)
+    assert(stats.forall(_.getAs[Long]("max_bucket") < n))
+    val brute = Ann.bruteTopK(spark, df, numQueries = 10, k = 5)
+      .select("q_vec_id", "neighbor_vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(spark, df, numQueries = 10, k = 5, cfg = cfg)
+      .select("q_vec_id", "neighbor_vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    info(s"LSH recall at sf0.1: $recall")
+    assert(recall >= 0.8, s"LSH recall $recall")
+  }
+
+  test("index sizing scales with the corpus: constant per-probe work") {
+    // the property the 100-TB design rests on: buckets/table ∝ N, so the
+    // expected bucket size (candidates per probe per table) stays constant
+    val small = Ann.LshConfig.forCorpus(1000L)
+    val big = Ann.LshConfig.forCorpus(1000000000000L) // 10^12
+    assert(big.bitsPerTable >= small.bitsPerTable + 25) // 2^30× more buckets
+    assert(big.bitsPerTable <= 40)
+    // higher target similarity ⇒ strictly fewer tables for the same recall
+    val hi = Ann.LshConfig.forCorpus(1000000L, targetSim = 0.9)
+    val lo = Ann.LshConfig.forCorpus(1000000L, targetSim = 0.6)
+    assert(hi.numTables < lo.numTables, s"${hi.numTables} vs ${lo.numTables}")
+  }
+
+  test("dedup candidate generation covers every true pair (sketch→verify)") {
+    import spark.implicits._
+    // embedding pairs: every cos≥0.4 pair among vec_id<200 must be an LSH
+    // candidate (the driver oracle compares against all-pairs ground truth)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter($"vec_id" < 200)
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val truePairs = (for {
+      (ida, va) <- vecs; (idb, vb) <- vecs
+      if ida < idb && math.rint(Ann.cosine(va, vb) * 10000) / 10000 >= 0.4
+    } yield (ida, idb)).toSet
+    assert(truePairs.nonEmpty)
+    val cands = Ann.lshCandidatePairs(spark, emb, Ann.LshConfig(4, 48))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truePairs.subsetOf(cands),
+      s"missed pairs: ${truePairs -- cands}")
+
+    // jaccard pairs: every word-set j≥0.8 pair among doc_id<100 must be a
+    // 1-gram minhash band candidate
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter($"doc_id" < 100)
+    val sets = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split(" ").toSet) }
+    val trueJac = (for {
+      (ida, sa) <- sets; (idb, sb) <- sets
+      if ida < idb && (sa & sb).size.toDouble / (sa | sb).size >= 0.8
+    } yield (ida, idb)).toSet
+    assert(trueJac.size > 100)
+    val jacCands = graft.tdp.Dedup.minhashCandidatePairs(spark, docs, 64, 32)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(trueJac.subsetOf(jacCands), s"missed: ${(trueJac -- jacCands).take(5)}")
+  }
+
+  test("dedup/ann plans contain no cartesian or inequality-only join") {
+    // the r1 scale-killer: BroadcastNestedLoopJoin from `id_a < id_b`-only
+    // join conditions; the sketch→verify rewrite must keep equi-joins
+    Seq("dedup_jaccard", "dedup_embedding", "ann_lsh") .foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q plan still has a non-equi join:\n$plan")
+    }
+  }
 }
 
 class TextStatsSpec extends AnyFunSuite with SparkTestBase {
@@ -125,6 +204,25 @@ class IvfAnnSpec extends AnyFunSuite with SparkTestBase {
     val ivf = Ann.ivfTopK(spark, df, numQueries = 5, k = 5, numCells = 6, nProbe = 2)
       .select("q_vec_id", "neighbor_vec_id").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
+  test("auto √N cells + Lloyd-refined centroids: recall ≥ 0.8 at sf0.1") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = df.count()
+    assert(Ann.ivfAutoCells(n) >= math.sqrt(n.toDouble).toInt)
+    val brute = Ann.bruteTopK(spark, df, numQueries = 10, k = 5)
+      .select("q_vec_id", "neighbor_vec_id").as[(Long, Long)].collect().toSet
+    // nProbe trades recall for probe cost; this corpus has RANDOM vectors
+    // (true neighbours at cos≈0.4), the adversarial case for any ANN —
+    // recall 0.8 needs probing ~half the cells here, while clustered data
+    // (the IvfAnnSpec case above) reaches it with nProbe=2/6
+    val nProbe = Ann.ivfAutoCells(n) / 2
+    val ivf = Ann.ivfTopK(spark, df, numQueries = 10, k = 5, nProbe = nProbe)
+      .select("q_vec_id", "neighbor_vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(s"IVF recall at sf0.1 (auto cells, nProbe=$nProbe): $recall")
     assert(recall >= 0.8, s"IVF recall $recall")
   }
 }
