@@ -154,6 +154,36 @@ object SparkEntry {
           $"matchStr".as("match"))
         .orderBy($"url", $"start")
     }),
+    "kg_disambig" -> ((s, dir) => {
+      import s.implicits._
+      // Oracles the disambiguation ladder itself, with NO exclusion list
+      // (r1 VERDICT next-round #3): a deterministic suffix appends (a) the
+      // unambiguous definer "filter", (b) the genuinely ambiguous symbol
+      // "XSF" — two EquivalentIdSets {OP:SORT}/{OP:FILTER} — which
+      // DefinedElsewhereInDocument (E8) must narrow to OP:FILTER because
+      // only FILTER is defined elsewhere in the doc, and (c) "scan", whose
+      // MERGED_AS_NON_SYMBOLIC single id set emits both scan ids with
+      // disambiguation_not_required (faithful reference semantics for
+      // non-symbolic ambiguity). Docs containing "sort" are excluded by
+      // the same regex on both sides — there OP:SORT would legitimately
+      // remain defined-elsewhere too and XSF would stay ambiguous.
+      val pages0 = Pages.fromDocuments(s, dir)
+        .filter(!$"text".rlike("(?i)\\bsort\\b"))
+      val pages = pages0.withColumn("text",
+        concat($"text", lit(" filter wins. XSF wins. scan ends.")))
+      val withHtml = pages.select($"url", $"warc_ts",
+        to_binary(concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")),
+          lit("utf-8")).as("html"),
+        $"text", $"lang")
+      val (docs, _) = Pipeline.run(s, withHtml, resources(s))
+      val lens = pages0.select($"url", length($"text").as("orig_len"))
+      Triples.fromDocs(s, docs).toDF()
+        .join(lens, "url")
+        .filter($"start" >= $"orig_len")
+        .select($"url", $"start", $"end", $"pred", $"obj",
+          $"matchStr".as("match"))
+        .orderBy($"url", $"start", $"obj")
+    }),
     "kg_triples" -> ((s, dir) => {
       import s.implicits._
       val docs = pipelineDocs(s, dir)
@@ -441,6 +471,22 @@ object SparkEntry {
         |       'HJ' AS "match"
         |FROM documents CROSS JOIN occ
         |ORDER BY url, start""".stripMargin,
+    "kg_disambig" ->
+      """WITH base AS (
+        |  SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
+        |         length(text) AS len
+        |  FROM documents
+        |  WHERE NOT regexp_matches(text, '(?i)\bsort\b')),
+        |expected(off_s, off_e, obj, m) AS (VALUES
+        |  (1, 7, 'OP:FILTER', 'filter'),
+        |  (14, 17, 'OP:FILTER', 'XSF'),
+        |  (24, 28, 'OP:INDEX_SCAN', 'scan'),
+        |  (24, 28, 'OP:TABLE_SCAN', 'scan'))
+        |SELECT url, CAST(len + off_s AS INT) AS start,
+        |       CAST(len + off_e AS INT) AS "end",
+        |       'mentions_operator' AS pred, obj, m AS "match"
+        |FROM base CROSS JOIN expected
+        |ORDER BY url, start, obj""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -41,6 +41,15 @@ object CorpusOntology {
       op("OP:INDEX_SCAN", "index scan", "scan") ++
       op("OP:WINDOW", "window", "window") ++
       op("OP:FILTER", "filter", "filter") ++
+      // genuinely AMBIGUOUS symbolic synonym: "XSF" maps to two operators
+      // with dissimilar default labels, so scoreAndGroupIds keeps TWO
+      // EquivalentIdSets (symbolic + sim 0.0 < 0.70) — the shape that
+      // engages the disambiguation ladder (contrast "scan", which merges
+      // into ONE set as MERGED_AS_NON_SYMBOLIC and needs no
+      // disambiguation). Absent from all corpus text; exercised by the
+      // kg_disambig oracle suffix.
+      op("OP:SORT", "sort", "XSF") ++
+      op("OP:FILTER", "filter", "XSF") ++
       op("OP:AGGREGATE", "aggregate", "agg", "group") ++
       op("OP:ORDER_BY", "order by", "order") ++
       sysr("SYS:SPARK", "spark", "spark") ++
