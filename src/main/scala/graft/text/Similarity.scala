@@ -76,15 +76,107 @@ object Similarity {
     100.0 * (1.0 - indelDistance(a, b).toDouble / total)
   }
 
-  def tokenSortRatio(a: String, b: String): Double =
-    ratio(a.split("\\s+").sorted.mkString(" "), b.split("\\s+").sorted.mkString(" "))
+  private def words(s: String): Array[String] =
+    s.split("\\s+").filter(_.nonEmpty) // python str.split() semantics
 
-  /** Ref RapidFuzzStringSimilarityScorer: token_sort_ratio for long
-    * multi-token references, else a best-of blend (WRatio stand-in). */
+  private def sortJoin(s: String): String = words(s).sorted.mkString(" ")
+
+  def tokenSortRatio(a: String, b: String): Double =
+    ratio(sortJoin(a), sortJoin(b))
+
+  /** fuzz.partial_ratio: best `ratio` of the shorter string against any
+    * length-≤|shorter| window of the longer (including the truncated
+    * boundary windows rapidfuzz scans). Exhaustive over all window
+    * alignments — rapidfuzz's character-set skip is a pruning of provably
+    * suboptimal windows, so the optimum is identical. */
+  def partialRatio(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 100.0
+    val (s1, s2) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s1.isEmpty) return 0.0
+    def best(shorter: String, longer: String): Double = {
+      var res = 0.0
+      var k = -(shorter.length - 1)
+      while (k <= longer.length - 1) {
+        val lo = math.max(0, k)
+        val hi = math.min(longer.length, k + shorter.length)
+        if (hi > lo) {
+          val r = ratio(shorter, longer.substring(lo, hi))
+          if (r > res) res = r
+        }
+        k += 1
+      }
+      res
+    }
+    val r = best(s1, s2)
+    // rapidfuzz: equal lengths are tried in both roles
+    if (r != 100.0 && s1.length == s2.length) math.max(r, best(s2, s1)) else r
+  }
+
+  /** fuzz.token_set_ratio (rapidfuzz fuzz_py semantics): compare the sorted
+    * unique-token difference strings assuming the intersection matches. */
+  def tokenSetRatio(a: String, b: String): Double = {
+    val ta = words(a).toSet
+    val tb = words(b).toSet
+    if (ta.isEmpty || tb.isEmpty) return 0.0
+    val sect = ta & tb
+    val diffAb = (ta -- tb).toSeq.sorted.mkString(" ")
+    val diffBa = (tb -- ta).toSeq.sorted.mkString(" ")
+    if (sect.nonEmpty && (diffAb.isEmpty || diffBa.isEmpty)) return 100.0
+    val sectLen = sect.toSeq.sorted.mkString(" ").length
+    val sectBonus = if (sectLen != 0) 1 else 0
+    val sectAbLen = sectLen + sectBonus + diffAb.length
+    val sectBaLen = sectLen + sectBonus + diffBa.length
+    val totalLen = sectAbLen + sectBaLen
+    val dist = indelDistance(diffAb, diffBa)
+    val result =
+      if (totalLen == 0) 100.0 else 100.0 - 100.0 * dist / totalLen
+    if (sectLen == 0) return result
+    val sectAbRatio = 100.0 - 100.0 * (sectBonus + diffAb.length) / (sectLen + sectAbLen)
+    val sectBaRatio = 100.0 - 100.0 * (sectBonus + diffBa.length) / (sectLen + sectBaLen)
+    math.max(result, math.max(sectAbRatio, sectBaRatio))
+  }
+
+  /** fuzz.token_ratio = max(token_sort_ratio, token_set_ratio). */
+  def tokenRatio(a: String, b: String): Double =
+    math.max(tokenSortRatio(a, b), tokenSetRatio(a, b))
+
+  /** fuzz.partial_token_ratio: early-100 on any shared token, else best of
+    * partial over sorted-joined tokens and over the difference strings. */
+  def partialTokenRatio(a: String, b: String): Double = {
+    val ta = words(a).toSet
+    val tb = words(b).toSet
+    if ((ta & tb).nonEmpty) return 100.0
+    val sortedA = sortJoin(a); val sortedB = sortJoin(b)
+    val diffA = ta.toSeq.sorted.mkString(" ")
+    val diffB = tb.toSeq.sorted.mkString(" ")
+    val r = partialRatio(sortedA, sortedB)
+    if (diffA.length < sortedA.length || diffB.length < sortedB.length)
+      math.max(r, partialRatio(diffA, diffB))
+    else r
+  }
+
+  /** fuzz.WRatio — the weighted combination rapidfuzz documents: plain
+    * ratio, token ratios scaled by 0.95, and (for very different lengths)
+    * partial ratios scaled by 0.9 / 0.6. */
+  def wRatio(a: String, b: String): Double = {
+    val UnbaseScale = 0.95
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val lenRatio = math.max(a.length, b.length).toDouble / math.min(a.length, b.length)
+    var end = ratio(a, b)
+    if (lenRatio < 1.5)
+      return math.max(end, tokenRatio(a, b) * UnbaseScale)
+    val partialScale = if (lenRatio < 8.0) 0.9 else 0.6
+    end = math.max(end, partialRatio(a, b) * partialScale)
+    math.max(end, partialTokenRatio(a, b) * UnbaseScale * partialScale)
+  }
+
+  /** Ref RapidFuzzStringSimilarityScorer (string_similarity_scorers.py:81-92):
+    * token_sort_ratio when the reference term is long (>10 chars) AND
+    * multi-token (>4 space-split tokens), else WRatio. */
   object Fuzzy extends Scorer {
     def score(ref: String, query: String): Double =
       if (ref.length > 10 && ref.split(" ").length > 4) tokenSortRatio(ref, query)
-      else math.max(ratio(ref, query), tokenSortRatio(ref, query))
+      else wRatio(ref, query)
   }
 
   /** The SapBERT slot (ref SapbertStringSimilarityScorer + SapBertHelper):
