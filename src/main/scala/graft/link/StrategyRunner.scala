@@ -131,9 +131,17 @@ final case class StrategyRunner(
 /** The default strategy-ladder configuration, mirroring
   * kazu/conf/MappingStep/default.yaml:1-218 structure (symbolic vs
   * non-symbolic × {HIGHLY_LIKELY, PROBABLE, POSSIBLE} with per-class
-  * overrides). The reference's GildaTfIdf (pretrained wiki contexts) slot is
-  * filled by the context tf-idf strategy; the SapBERT embedding scorer slot
-  * by the deterministic embedding scorer (Similarity.defaultEmbedding).
+  * overrides). Per conf/DisambiguationStrategies/default.yaml the gene
+  * ladder's middle slot is GildaTfIdf — implemented with the exact 0.01
+  * runner-up-delta semantics (link.GildaTfIdfDisambiguation, p27 scenario
+  * ported) and instantiable here via `geneContextStrategy`. The DEFAULT
+  * binding keeps the document-context tf-idf strategy in that slot: with
+  * no pretrained wiki-context asset in this environment, Gilda contexts
+  * synthesized from ontology labels+synonyms rank by context LENGTH when a
+  * document carries no discriminating text, silently resolving cases that
+  * must stay ambiguous (NerLinkSpec pins that behavior). The SapBERT
+  * embedding scorer slot is the deterministic embedding scorer
+  * (Similarity.defaultEmbedding).
   */
 object Ladders {
 
@@ -144,6 +152,11 @@ object Ladders {
     new DefinedElsewhereInDocument(DHL),
     new TfIdfContextDisambiguation(DP)
   )
+  /** The reference gene slot (GildaTfIdf) for deployments that supply a
+    * real pretrained context table. */
+  def geneContextStrategy(scorer: GildaScorer): DisambiguationStrategy =
+    new GildaTfIdfDisambiguation(DP, explicitScorer = Some(scorer))
+
   private def disambGene: Seq[DisambiguationStrategy] = Seq(
     new DefinedElsewhereInDocument(DHL),
     new TfIdfContextDisambiguation(DP),

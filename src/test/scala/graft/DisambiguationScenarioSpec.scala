@@ -114,6 +114,59 @@ class DisambiguationScenarioSpec extends AnyFunSuite {
     MappingResources.current.set(MappingResources.forResources(res))
   }
 
+  test("GildaTfIdf: wiki-style context resolves p27 to id 1; delta rule fails ties") {
+    // port of test_GildaTfIdfContextStrategy (test_disambiguation_strategies
+    // .py:311-369): id 1 carries the CDKN1B wiki paragraph as context, every
+    // other id an irrelevant string; doc text mentions CDKN1B
+    val contexts = Map(
+      (P, "1") ->
+        """Cyclin-dependent kinase inhibitor 1B (p27Kip1) is an enzyme inhibitor
+          |that in humans is encoded by the CDKN1B gene. It encodes a protein
+          |which belongs to the Cip/Kip family of cyclin dependent kinase (Cdk)
+          |inhibitor proteins. The encoded protein binds to and prevents the
+          |activation of cyclin E-CDK2 or cyclin D-CDK4 complexes, and thus
+          |controls the cell cycle progression at G1.""".stripMargin,
+      (P, "2") -> "this is not relevant",
+      (P, "3") -> "this is not relevant")
+    // the reference fits its vectorizer on a broad pretrained corpus
+    // (model_path), NOT on the contexts. Mimic its idf profile: English
+    // function words appear in nearly every document of any large corpus
+    // (idf → 1), while entity terms stay rare — so append the function
+    // words to every tinybern-sentence chunk
+    val modelCorpus = scala.io.Source
+      .fromFile("src/test/resources/minibern_golden.tsv").getLines()
+      .filter(_.nonEmpty).map(_.split(" ")(0)).grouped(20)
+      .map(_.mkString(" ") + " this is not but in it of the a and")
+      .toSeq ++ contexts.values
+    val scorer = GildaScorer.forContexts(contexts, Some(modelCorpus))
+    val strategy = new GildaTfIdfDisambiguation(
+      DisambiguationConfidence.Probable, explicitScorer = Some(scorer))
+    val text = "p27 is often confused, but in this context it's CDKN1B"
+    val w = DocWork(KDoc("u", new java.sql.Timestamp(0), text, "en",
+      Seq(Section("s", text, Seq(
+        mention("p27", "gene", 0, Seq(cand(p27Norm))),
+        mention("CDKN1B", "gene", text.length - 6, Seq.empty))))))
+    val r = strategy(p27IdSets, w, P, "p27", p27Norm)
+    assert(r.map(_.ids.map(_.idx).toSet) == Set(Set("1")), r)
+
+    // delta rule: when the runner-up is within 0.01 the strategy must fail
+    // rather than guess (strategies.py:345-356)
+    val tiedScorer = GildaScorer.forContexts(Map(
+      (P, "1") -> "CDKN1B gene context",
+      (P, "2") -> "CDKN1B gene context",
+      (P, "3") -> "something else"))
+    val tied = new GildaTfIdfDisambiguation(
+      DisambiguationConfidence.Probable, explicitScorer = Some(tiedScorer))
+    assert(tied(p27IdSets, w, P, "p27", p27Norm).isEmpty)
+
+    // ids without any context score 0 (the null-vector rule): with only an
+    // irrelevant corpus, no set beats another and disambiguation fails
+    val nullScorer = GildaScorer.forContexts(Map((P, "9") -> "unrelated"))
+    val nulls = new GildaTfIdfDisambiguation(
+      DisambiguationConfidence.Probable, explicitScorer = Some(nullScorer))
+    assert(nulls(p27IdSets, w, P, "p27", p27Norm).isEmpty)
+  }
+
   test("PreferDefaultLabelMatch: CDKN1B match keeps only id 1") {
     val strategy = new PreferDefaultLabelMatch(DisambiguationConfidence.HighlyLikely)
     val w = work(mention("CDKN1B", "gene", 48, Seq(cand(cdkn1bNorm))))
