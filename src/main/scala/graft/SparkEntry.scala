@@ -24,11 +24,14 @@ object SparkEntry {
 
   /** Full KG pipeline docs for a scale-factor dir (no checkpointing in
     * driver-run queries; checkpoint/resume is exercised by PipelineSpec and
-    * the spark-submit mains). */
+    * the spark-submit mains). Persisted: every downstream query ends in an
+    * orderBy, whose range-partitioner SAMPLING pass would otherwise
+    * recompute the whole pipeline (incl. transformer inference) a second
+    * time before the real pass. */
   private def pipelineDocs(spark: SparkSession, sfDir: String) = {
     val pages = Pages.fromDocuments(spark, sfDir)
     val (docs, _) = Pipeline.run(spark, pages, resources(spark))
-    docs
+    docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def docsDf(s: SparkSession, dir: String): DataFrame =
@@ -147,7 +150,8 @@ object SparkEntry {
         to_binary(concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")),
           lit("utf-8")).as("html"),
         $"text", $"lang")
-      val (docs, _) = Pipeline.run(s, pagesWithHtml, resources(s))
+      val (docs0, _) = Pipeline.run(s, pagesWithHtml, resources(s))
+      val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Triples.fromDocs(s, docs).toDF()
         .filter($"namespace" === "AbbreviationFinder")
         .select($"url", $"start", $"end", $"pred", $"obj",
@@ -175,7 +179,8 @@ object SparkEntry {
         to_binary(concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")),
           lit("utf-8")).as("html"),
         $"text", $"lang")
-      val (docs, _) = Pipeline.run(s, withHtml, resources(s))
+      val (docs0, _) = Pipeline.run(s, withHtml, resources(s))
+      val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lens = pages0.select($"url", length($"text").as("orig_len"))
       Triples.fromDocs(s, docs).toDF()
         .join(lens, "url")

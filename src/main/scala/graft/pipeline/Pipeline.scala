@@ -32,7 +32,7 @@ object Pipeline {
       resume: Boolean = false,
       runId: String = "run-0",
       resourceVersion: String = "synthetic-ontology/1",
-      modelVersion: String = "stub-ner/1"
+      modelVersion: String = "minibern/3"
   )
 
   final class Run(
@@ -162,6 +162,18 @@ object Pipeline {
     import spark.implicits._
     val runCtx = new Run(spark, cfg, scala.collection.mutable.ArrayBuffer.empty)
 
+    // Input balancing (SURVEY §4): the transformer stage is the compute
+    // hot spot, so the input must spread across all cores BEFORE the fused
+    // mapPartitions — a small parquet source arrives as one split, which
+    // would serialize the whole pipeline onto one task. Hash on url (the
+    // well-distributed key). At corpus scale the source arrives in
+    // thousands of splits and this is a no-op.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val pagesBalanced =
+      if (pages.rdd.getNumPartitions < parallelism)
+        pages.repartition(parallelism, org.apache.spark.sql.functions.col("url"))
+      else pages
+
     if (cfg.checkpointDir.isEmpty) {
       // fused fast path: extract + all doc-local stages in one mapPartitions.
       // Lineage without a materialization barrier: per-partition counts are
@@ -169,7 +181,7 @@ object Pipeline {
       // an action has run (counts reflect tasks executed so far).
       val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("graft-lineage")
       val resourceVersion = cfg.resourceVersion
-      val out = Pages.toDocs(spark, pages).mapPartitions { it =>
+      val out = Pages.toDocs(spark, pagesBalanced).mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var n = 0L; var fails = 0L
         val mapped = fusedStages(resources.value, runner, classRules,
@@ -211,7 +223,7 @@ object Pipeline {
       return (out, lineageView)
     }
 
-    val docs = runCtx.stage("extract", Pages.toDocs(spark, pages))
+    val docs = runCtx.stage("extract", Pages.toDocs(spark, pagesBalanced))
     val trie = runCtx.stage("trie_ner",
       docs.mapPartitions(_.map(TrieNer.processDoc(resources.value))))
     val ner =
