@@ -327,6 +327,27 @@ object SparkEntry {
         .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
     }),
+    "dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      // the dedup DECISION stage: sketch (minhash bands) → exact verify →
+      // connected components → one canonical doc per duplicate cluster.
+      // Iterative hash-min label propagation; the oracle recomputes the
+      // transitive closure of the all-pairs j≥0.8 graph with a recursive
+      // CTE, so the distributed iteration is checked against an
+      // independent exact algorithm.
+      val d = docsDf(s, dir).filter($"doc_id" < 100)
+      val cands = Dedup.minhashCandidatePairs(s, d, numHashes = 64, bands = 32)
+      val words = d.select($"doc_id", array_distinct(split($"text", " ")).as("words"))
+      val pairs = cands
+        .join(words.select($"doc_id".as("doc_a"), $"words".as("wa")), "doc_a")
+        .join(words.select($"doc_id".as("doc_b"), $"words".as("wb")), "doc_b")
+        .filter(size(array_intersect($"wa", $"wb")).cast("double") /
+          size(array_union($"wa", $"wb")).cast("double") >= 0.8)
+        .select($"doc_a", $"doc_b")
+      Dedup.connectedComponents(s, d.select($"doc_id"), pairs)
+        .withColumn("is_canonical", $"cluster_id" === $"doc_id")
+        .orderBy($"doc_id")
+    }),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(s, docsDf(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
@@ -568,6 +589,26 @@ object SparkEntry {
         |WHERE len(list_intersect(a.words, b.words)) * 1.0 /
         |      len(list_distinct(list_concat(a.words, b.words))) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // independent exact check of the distributed label propagation: the
+    // oracle computes the transitive closure of the j≥0.8 graph recursively
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        |      FROM documents WHERE doc_id < 100),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.words, b.words)) * 1.0 /
+        |        len(list_distinct(list_concat(a.words, b.words))) >= 0.8),
+        |edges AS (SELECT da AS s, db AS t FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT reach.doc_id, e.t FROM reach JOIN edges e ON e.s = reach.r)
+        |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
+        |       min(r) = doc_id AS is_canonical
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

@@ -151,6 +151,59 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-duplicate pairs — the stage that turns
+    * a pair list into dedup DECISIONS (keep one doc per duplicate cluster).
+    *
+    * Algorithm: iterative hash-min label propagation. Every doc starts with
+    * label = its own id; each round every edge pushes the smaller label
+    * across, until no label changes. Rounds = O(cluster diameter) — near-dup
+    * clusters are shallow (stars around a template), so a handful of rounds
+    * converge even at 10^12 docs; every round is one groupBy(doc) shuffle
+    * keyed on the well-distributed doc id, nothing keys on the (hot)
+    * cluster label. The iteration-count and convergence are driven from the
+    * driver via a cheap `isEmpty` on the change set (AQE sizes each round).
+    *
+    * Returns (doc_id, cluster_id) with cluster_id = min doc id of the
+    * component — the canonical survivor of each cluster.
+    */
+  def connectedComponents(
+      spark: SparkSession,
+      docIds: DataFrame, // (doc_id)
+      pairs: DataFrame,  // (doc_a, doc_b)
+      maxIterations: Int = 20
+  ): DataFrame = {
+    import spark.implicits._
+    // undirected edge list, symmetric
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .cache()
+    var labels = docIds.select($"doc_id", $"doc_id".as("cluster_id"))
+      .as[(Long, Long)].cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // each doc adopts the min label among itself and its neighbours
+      val neighbourMin = edges
+        .join(labels.toDF("doc_id", "cluster_id"), $"dst" === $"doc_id")
+        .select($"src".as("doc_id"), $"cluster_id")
+      val updated = labels.toDF("doc_id", "cluster_id")
+        .union(neighbourMin)
+        .groupBy($"doc_id")
+        .agg(org.apache.spark.sql.functions.min($"cluster_id").as("cluster_id"))
+        .as[(Long, Long)].cache()
+      val changed = updated.toDF("doc_id", "new_label")
+        .join(labels.toDF("doc_id", "old_label"), "doc_id")
+        .filter($"new_label" =!= $"old_label")
+      converged = changed.isEmpty
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.toDF("doc_id", "cluster_id")
+  }
+
   // --- SimHash -------------------------------------------------------------
 
   def simhash(text: String): Long = {

@@ -39,6 +39,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.exists(p => p._1 == 5L && p._2 == 200L))
   }
 
+  test("connected components: chains, stars, singletons converge to min-id") {
+    import spark.implicits._
+    val docs = (0L to 12L).toDF("doc_id")
+    // chain 0-1-2-3-4 (needs multiple propagation rounds), star 7←{8,9,10},
+    // pair (5,6), singletons 11,12
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (7L, 8L), (7L, 9L), (7L, 10L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = graft.tdp.Dedup.connectedComponents(spark, docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 4L).forall(got(_) == 0L))
+    assert((7L to 10L).forall(got(_) == 7L))
+    assert(got(5L) == 5L && got(6L) == 5L)
+    assert(got(11L) == 11L && got(12L) == 12L)
+  }
+
   test("signature similarity approximates jaccard") {
     val a = Dedup.minhashSignature("the quick brown fox jumps over the lazy dog today", 128)
     val b = Dedup.minhashSignature("the quick brown fox jumps over the lazy dog today", 128)
