@@ -352,6 +352,16 @@ object SparkEntry {
       Dedup.minhashPairs(s, docsDf(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, docsDf(s, dir))),
+    "pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      // PII redaction end-to-end with exactly checkable outcomes: inject a
+      // deterministic PII suffix into every document (the corpus itself is
+      // synthetic and PII-free), scrub, emit redaction counts + the md5 of
+      // the scrubbed text — the oracle replays the same RE2-safe patterns
+      val withPii = docsDf(s, dir).withColumn("text",
+        concat($"text", lit(" contact bob@example.com or 555-123-4567 at 10.0.0.1 now.")))
+      TextStats.scrubPii(s, withPii)
+    }),
     "text_quality" -> ((s, dir) => TextStats.quality(s, docsDf(s, dir))),
     "lang_id" -> ((s, dir) => TextStats.langId(s, docsDf(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextStats.fingerprintDocs(s, docsDf(s, dir))),
@@ -609,6 +619,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
         |       min(r) = doc_id AS is_canonical
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pii_scrub" -> {
+      val email = TextStats.EmailRe
+      val phone = TextStats.PhoneRe
+      val ip = TextStats.Ipv4Re
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         text || ' contact bob@example.com or 555-123-4567 at 10.0.0.1 now.' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'),
+         |                   '$phone', '[PHONE]', 'g'), '$ip')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g'),
+         |      '$ip', '[IP]', 'g')) AS scrubbed_md5
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

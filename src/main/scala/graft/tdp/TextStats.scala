@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** PII scrubbing — a first-class pretraining-corpus op: redact emails,
+    * phone numbers, and IPv4 addresses with typed placeholders and count
+    * the redactions per document. Pure codegen'd built-ins (regexp_count /
+    * regexp_replace), narrow map, scan-speed at 100 TB. Patterns restrict
+    * to the regex subset with identical semantics in java.util.regex and
+    * RE2 (no lookaround/backrefs), so the DuckDB oracle replays them
+    * verbatim. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def scrubPii(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(
+        $"doc_id",
+        regexp_count($"text", lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count($"text", lit(PhoneRe)).cast("long").as("n_phones"),
+        // count IPs on the phone-scrubbed text so a phone number is never
+        // double-counted as an IP-like digit run
+        regexp_count(regexp_replace(regexp_replace($"text", EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        md5(to_binary(
+          regexp_replace(regexp_replace(regexp_replace($"text",
+            EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]"),
+          lit("utf-8"))).as("scrubbed_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-doc quality metrics, expressed in codegen'd built-in functions
     * (no UDF in the hot path): char/token/distinct-token counts, stopword
     * count and ratio, BPE-ish regex token count. */

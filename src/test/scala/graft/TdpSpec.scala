@@ -192,6 +192,24 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Double]("stopword_ratio") == 2.0 / 6.0)
   }
 
+  test("pii scrub: emails, phones, ipv4 redacted with typed placeholders") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.org or x@y.io, call 555-123-4567, host 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "ip 192.168.1.255 and digits 0205551234?")) // unseparated → no phone
+      .toDF("doc_id", "text")
+    val rows = graft.tdp.TextStats.scrubPii(spark, docs).collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("n_emails") == 2)
+    assert(r1.getAs[Long]("n_phones") == 1)
+    assert(r1.getAs[Long]("n_ips") == 1)
+    assert(rows(1).getAs[Long]("n_emails") == 0)
+    assert(rows(1).getAs[Long]("n_ips") == 0)
+    assert(rows(2).getAs[Long]("n_ips") == 1)
+    assert(rows(2).getAs[Long]("n_phones") == 0)
+  }
+
   test("language id picks profile languages") {
     assert(TextStats.predictLang("the cat and the dog is in that house it was")._1 == "en")
     assert(TextStats.predictLang("der Hund und die Katze ist nicht da und das")._1 == "de")
