@@ -158,6 +158,60 @@ class MiniBernSpec extends AnyFunSuite with SparkTestBase {
     assert(ments.map(m => (m.matchStr, m.entityClass)) == Seq(("window", "operator")))
   }
 
+  test("property: long multi-frame texts — model mentions equal the " +
+    "regex-derived vocabulary occurrences (stitching never drops or " +
+    "fabricates at frame boundaries)") {
+    val rnd = new scala.util.Random(4242)
+    val filler = Vector("alpha", "bravo", "charlie", "delta", "echofox",
+      "golf", "hotel", "india", "juliet", "kilowatt", "lima", "papa")
+    val vocabWords = TokenClassifier.CorpusVocab.keys.toVector
+    (0 until 20).foreach { _ =>
+      val nWords = 150 + rnd.nextInt(400) // several frames
+      val words = (0 until nWords).map { _ =>
+        if (rnd.nextInt(12) == 0) vocabWords(rnd.nextInt(vocabWords.size))
+        else filler(rnd.nextInt(filler.size))
+      }
+      val text = words.mkString(" ")
+      val mentions = TokenClassifier.processText(session, text)
+      // expected coverage from an independent word-level simulation of the
+      // SimpleSpanFinder semantics (already fixture-pinned by 400
+      // reference-executed BIO cases): an O word closes spans; a vocab
+      // word starts a span only when none is active; same-class extends
+      // (copy-on-new-B); a DIFFERENT-class B while a span is active is
+      // dropped without starting (the reference quirk, :96-126). What this
+      // test pins is everything else: frame stitching, word-local
+      // determinism, and offsets over multi-frame texts.
+      val starts = words.scanLeft(0)((off, w) => off + w.length + 1)
+      val active = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def closeAll(): Unit = {
+        active.foreach { case (_, s, e) => spans += ((s, e)) }
+        active.clear()
+      }
+      words.zipWithIndex.foreach { case (w, i) =>
+        val s = starts(i); val e = s + w.length
+        TokenClassifier.CorpusVocab.get(w) match {
+          case None => closeAll()
+          case Some(cls) =>
+            if (active.isEmpty) active += ((cls, s, e))
+            else active.indices.foreach { ai =>
+              val (c, as, _) = active(ai)
+              if (c == cls) { spans += ((as, active(ai)._3)); active(ai) = (c, as, e) }
+            }
+        }
+      }
+      closeAll()
+      val expectedCovered = spans.flatMap { case (s, e) => s until e }.toSet
+        .filter(i => !text.charAt(i).isWhitespace)
+      val gotCovered = mentions.flatMap(m => m.start until m.end).toSet
+        .filter(i => !text.charAt(i).isWhitespace) // merged spans cover joins
+      assert(gotCovered == expectedCovered,
+        s"coverage mismatch in: ${text.take(120)}...")
+      // offsets always index the text exactly
+      mentions.foreach(m => assert(text.substring(m.start, m.end) == m.matchStr))
+    }
+  }
+
   test("FLOPs accounting: a full frame costs real compute") {
     val perFrame = MiniBern.flops(TokenClassifier.MaxSeqLen - 2)
     assert(perFrame > 10_000_000L, s"per-frame FLOPs $perFrame")
