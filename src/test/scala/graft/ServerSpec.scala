@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URI
+
+/** The serving surface (ref web API routes, kazu/web/routes.py:20-29):
+  * in-process per-document pipeline behind the JDK HttpServer. */
+class ServerSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  test("ner_and_linking / ner_only / batch endpoints serve the pipeline") {
+    val server = graft.serve.Server.start(graft.index.Resources.corpus, 0)
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String): String = {
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json").build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200, resp.body())
+        resp.body()
+      }
+
+      // full pipeline: grounded mappings present
+      val full = mapper.readTree(post("/api/kazu/ner_and_linking",
+        """{"text":"the filter runs in spark"}"""))
+      val ents = full.path("sections").path(0).path("entities")
+      assert(ents.size() > 0)
+      val idxs = (0 until ents.size()).flatMap { i =>
+        val ms = ents.path(i).path("mappings")
+        (0 until ms.size()).map(j => ms.path(j).path("idx").asText())
+      }
+      assert(idxs.contains("OP:FILTER") && idxs.contains("SYS:SPARK"), idxs)
+
+      // ner_only: mentions, no mappings (step group semantics) — incl. a
+      // transformer-NER-only term ("customer" is not in the gazetteer)
+      val ner = mapper.readTree(post("/api/kazu/ner_only",
+        """{"text":"the customer filter"}"""))
+      val nerEnts = ner.path("sections").path(0).path("entities")
+      val matches = (0 until nerEnts.size()).map(i =>
+        nerEnts.path(i).path("match").asText()).toSet
+      assert(matches == Set("customer", "filter"), matches)
+      (0 until nerEnts.size()).foreach(i =>
+        assert(nerEnts.path(i).path("mappings").size() == 0))
+
+      // batch: array in, array out, aligned
+      val batch = mapper.readTree(post("/api/kazu/batch",
+        """[{"text":"sort here"},{"text":"no entities whatsoever"}]"""))
+      assert(batch.isArray && batch.size() == 2)
+      assert(batch.path(0).path("sections").path(0).path("entities").size() > 0)
+      assert(batch.path(1).path("sections").path(0).path("entities").size() == 0)
+
+      // malformed request → 400, not a crash
+      val bad = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/kazu/ner_only"))
+        .POST(HttpRequest.BodyPublishers.ofString("{nope")).build()
+      assert(client.send(bad, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+    } finally server.stop(0)
+  }
+}
