@@ -58,6 +58,37 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n_mentions"))
   }
 
+  // --- streaming exact dedup (training-data ingest) -------------------------
+
+  final case class DedupDecision(url: String, textMd5: String,
+      isFirstSeen: Boolean, nOccurrence: Long)
+
+  /** Stateful exact dedup over a continuous page stream: the first document
+    * carrying a given content hash survives; every later occurrence (same
+    * micro-batch or any later one) is flagged a duplicate with its
+    * occurrence number. State = one counter per distinct content hash; the
+    * shuffle keys on the 32-hex md5, never the text — at ingest scale the
+    * state store (RocksDB in production) holds |distinct contents| longs.
+    * Within a micro-batch, arrival order is made deterministic by url. */
+  def dedupStream(spark: SparkSession, pages: DataFrame): Dataset[DedupDecision] = {
+    import spark.implicits._
+    pages
+      .select($"url", md5(to_binary($"text", lit("utf-8"))).as("text_md5"))
+      .as[(String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (hash, rows, state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (url, h) =>
+            seen += 1
+            DedupDecision(url, h, isFirstSeen = seen == 1, nOccurrence = seen)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   // --- event sessionization with custom state ------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -147,3 +147,34 @@ class SessionizeCrossCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch, s"streamed ${streamed.size} vs batch ${batch.size}")
   }
 }
+
+/** Streaming exact dedup: first-seen survives within and across
+  * micro-batches; duplicates carry their occurrence number. */
+class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
+  test("first-seen wins across micro-batches; duplicates flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val pages = input.toDF().toDF("url", "text")
+    val q = graft.streaming.StreamingPipeline.dedupStream(spark, pages)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    // batch 1: two distinct texts + an in-batch duplicate
+    input.addData(("u1", "alpha text"), ("u2", "beta text"), ("u3", "alpha text"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate and a fresh text
+    input.addData(("u4", "alpha text"), ("u5", "gamma text"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM dedup_stream")
+      .as[graft.streaming.StreamingPipeline.DedupDecision].collect()
+      .map(d => d.url -> d).toMap
+    assert(rows("u1").isFirstSeen && rows("u1").nOccurrence == 1)
+    assert(!rows("u3").isFirstSeen && rows("u3").nOccurrence == 2) // in-batch dup
+    assert(!rows("u4").isFirstSeen && rows("u4").nOccurrence == 3) // cross-batch dup
+    assert(rows("u2").isFirstSeen && rows("u5").isFirstSeen)
+    assert(rows.values.count(_.isFirstSeen) == 3)
+  }
+}
