@@ -42,26 +42,30 @@ object Pipeline {
   ) {
     import spark.implicits._
 
-    /** Checkpoint one stage. Cluster-safe: existence/resume decisions go
-      * through the Hadoop FileSystem of the checkpoint URI (works for
-      * file:, hdfs:, s3a:, ...), gated on the `_SUCCESS` marker so a
-      * partially-written stage dir is never resumed from. Lineage is
-      * gathered in a single pass DURING the checkpoint write (accumulator
-      * keyed by partition id — task retries overwrite, never double-count)
-      * and persisted to a `_LINEAGE` sidecar, so a resumed run recovers the
-      * stage's lineage without re-reading the stage table.
+    /** Checkpoint one stage to a versioned snapshot table ([[Snapshots]]:
+      * the Iceberg contract — stage a complete `v=<n>` dir, then publish by
+      * atomic pointer swap, old snapshots stay readable by version).
+      * Cluster-safe: all decisions go through the Hadoop FileSystem of the
+      * checkpoint URI (file:, hdfs:, s3a:, ...), and resume only ever binds
+      * to a PUBLISHED complete snapshot. Lineage is gathered in a single
+      * pass DURING the snapshot write (accumulator keyed by partition id —
+      * task retries overwrite, never double-count) and persisted to a
+      * `_LINEAGE` sidecar inside the snapshot, so a resumed run recovers
+      * the stage's lineage without re-reading the stage table.
       */
     def stage(name: String, ds: => Dataset[KDoc]): Dataset[KDoc] =
       cfg.checkpointDir match {
         case None => ds
         case Some(dir) =>
-          val path = s"$dir/$name"
-          val hPath = new org.apache.hadoop.fs.Path(path)
-          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val success = new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")
-          val sidecar = new org.apache.hadoop.fs.Path(hPath, "_LINEAGE")
+          val table = new org.apache.hadoop.fs.Path(s"$dir/$name")
+          val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val t0 = System.currentTimeMillis()
-          val resumed = cfg.resume && fs.exists(success)
+          val current = Snapshots.currentVersion(fs, table)
+          val resumed = cfg.resume && current.isDefined
+          val version =
+            if (resumed) current.get else Snapshots.nextVersion(fs, table)
+          val vPath = Snapshots.versionPath(table, version)
+          val sidecar = new org.apache.hadoop.fs.Path(vPath, "_LINEAGE")
           if (!resumed) {
             val acc = spark.sparkContext
               .collectionAccumulator[(Int, Long, Long)](s"graft-lineage-$name")
@@ -74,7 +78,7 @@ object Pipeline {
               it.map { d =>
                 n += 1; if (d.error.isDefined) fails += 1; d
               } ++ { acc.add((pid, n, fails)); Iterator.empty }
-            }.write.mode("overwrite").parquet(path)
+            }.write.mode("overwrite").parquet(vPath.toString)
             // dedup by partition id (speculative/retried attempts of a
             // deterministic stage produce identical counts; keep one)
             import scala.jdk.CollectionConverters._
@@ -83,6 +87,7 @@ object Pipeline {
             val out = fs.create(sidecar, true)
             counts.foreach { case (pid, n, f) => out.write(s"$pid,$n,$f\n".getBytes("UTF-8")) }
             out.close()
+            Snapshots.publish(fs, table, version) // atomic replace
           }
           val wall = System.currentTimeMillis() - t0
           val counts: Seq[(Int, Long, Long)] =
@@ -96,13 +101,31 @@ object Pipeline {
               }.toSeq
             }
           counts.foreach { case (pid, n, fails) =>
-            lineage += LineageRow(name, pid, s"$path/part-$pid",
+            lineage += LineageRow(name, pid, s"$vPath/part-$pid",
               cfg.resourceVersion, cfg.modelVersion,
               rowsIn = n, rowsOut = n, failures = fails,
               wallMs = if (resumed) 0L else wall, runId = cfg.runId)
           }
-          spark.read.parquet(path).as[KDoc]
+          spark.read.parquet(vPath.toString).as[KDoc]
       }
+  }
+
+  /** Time-travel read of a checkpointed stage: `version < 0` resolves the
+    * published current snapshot. */
+  def readStage(
+      spark: SparkSession,
+      checkpointDir: String,
+      stage: String,
+      version: Long = -1L
+  ): Dataset[KDoc] = {
+    import spark.implicits._
+    val table = new org.apache.hadoop.fs.Path(s"$checkpointDir/$stage")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v =
+      if (version >= 0) version
+      else Snapshots.currentVersion(fs, table).getOrElse(
+        sys.error(s"no published snapshot for $table"))
+    spark.read.parquet(Snapshots.versionPath(table, v).toString).as[KDoc]
   }
 
   /** Operator fusion: all post-extract stages are per-document pure

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Iceberg-snapshot-style versioned tables over any Hadoop FileSystem —
+  * the checkpoint contract the north rule names (atomic replace +
+  * readable-by-version), expressed without an Iceberg runtime jar (none
+  * ships in this sandbox):
+  *
+  * ```
+  * <table>/v=<n>/part-*.parquet + _SUCCESS + _LINEAGE   (immutable snapshot)
+  * <table>/_CURRENT                                     (pointer file: "n")
+  * ```
+  *
+  * Writers stage a complete new `v=<n>` directory and then PUBLISH by
+  * swapping the `_CURRENT` pointer (tmp file + rename — atomic on
+  * HDFS-like filesystems; an object-store deployment swaps via the
+  * catalog's conditional put, same contract). Readers resolve the pointer
+  * and only ever see complete snapshots (`_SUCCESS`-gated). Old snapshots
+  * remain readable by version — time travel — until [[expire]]d.
+  */
+object Snapshots {
+
+  def versionPath(table: Path, v: Long): Path = new Path(table, s"v=$v")
+  private def pointer(table: Path): Path = new Path(table, "_CURRENT")
+
+  /** The published current version, if its snapshot is complete. */
+  def currentVersion(fs: FileSystem, table: Path): Option[Long] =
+    if (!fs.exists(pointer(table))) None
+    else {
+      val in = fs.open(pointer(table))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      txt.toLongOption.filter(v =>
+        fs.exists(new Path(versionPath(table, v), "_SUCCESS")))
+    }
+
+  /** All snapshot versions present on disk (complete or not), ascending. */
+  def allVersions(fs: FileSystem, table: Path): Seq[Long] =
+    if (!fs.exists(table)) Seq.empty
+    else fs.listStatus(table).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+      .sorted
+
+  /** Next version to stage: one past the highest on disk (NOT the current
+    * pointer — a failed staging attempt must not be overwritten blindly). */
+  def nextVersion(fs: FileSystem, table: Path): Long =
+    allVersions(fs, table).lastOption.map(_ + 1).getOrElse(0L)
+
+  /** Atomically publish `v` as the current snapshot. */
+  def publish(fs: FileSystem, table: Path, v: Long): Unit = {
+    val tmp = new Path(table, s"_CURRENT.tmp-$v")
+    val out = fs.create(tmp, true)
+    out.write(v.toString.getBytes("UTF-8"))
+    out.close()
+    fs.delete(pointer(table), false)
+    require(fs.rename(tmp, pointer(table)), s"pointer swap failed for $table v=$v")
+  }
+
+  /** Drop all complete-or-partial snapshots except the current one and the
+    * `keep` most recent. Never drops the published snapshot. */
+  def expire(fs: FileSystem, table: Path, keep: Int = 1): Seq[Long] = {
+    val current = currentVersion(fs, table)
+    val candidates = allVersions(fs, table)
+      .filterNot(current.contains)
+      .dropRight(math.max(0, keep - 1))
+    candidates.foreach(v => fs.delete(versionPath(table, v), true))
+    candidates
+  }
+}

@@ -64,7 +64,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val t1 = Triples.fromDocs(spark, docs1).collect().toSet
 
     // lineage: one row per (stage, partition), gathered during the write —
-    // no second read pass (counts live in the _LINEAGE sidecar)
+    // no second read pass (counts live in the _LINEAGE sidecar inside the
+    // published v=0 snapshot)
     assert(lineage1.nonEmpty)
     val stages = lineage1.map(_.stage).distinct
     assert(stages.contains("extract") && stages.contains("trie_ner") &&
@@ -72,30 +73,51 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(lineage1.forall(_.rowsIn > 0))
     assert(lineage1.forall(_.runId == "run-a"))
     stages.foreach { st =>
-      assert(new java.io.File(s"$local/$st/_LINEAGE").isFile, s"sidecar for $st")
+      assert(new java.io.File(s"$local/$st/v=0/_LINEAGE").isFile, s"sidecar for $st")
+      assert(new java.io.File(s"$local/$st/_CURRENT").isFile, s"pointer for $st")
     }
 
-    // resume: stage dirs exist with _SUCCESS → read back, not recomputed;
-    // same output, lineage recovered from the sidecar, stage parquet
-    // untouched (modification times prove no rewrite)
+    // resume: published snapshots exist → read back, not recomputed; same
+    // output, lineage recovered from the sidecar, snapshot untouched
+    // (modification times prove no rewrite)
     def mtimes(): Map[String, Long] =
-      stages.map(st => st -> new java.io.File(s"$local/$st/_SUCCESS").lastModified).toMap
+      stages.map(st => st -> new java.io.File(s"$local/$st/v=0/_SUCCESS").lastModified).toMap
     val before = mtimes()
     val cfg2 = cfg.copy(resume = true, runId = "run-b")
     val (docs2, lineage2) = Pipeline.run(spark, pages, res, cfg = cfg2)
     val t2 = Triples.fromDocs(spark, docs2).collect().toSet
     assert(t1 == t2)
-    assert(mtimes() == before, "resume must not rewrite completed stages")
+    assert(mtimes() == before, "resume must not rewrite published snapshots")
     assert(lineage2.map(l => (l.stage, l.partitionId, l.rowsIn)).toSet ==
       lineage1.map(l => (l.stage, l.partitionId, l.rowsIn)).toSet)
 
-    // a stage dir WITHOUT _SUCCESS (partial write) is recomputed, not resumed
-    assert(new java.io.File(s"$local/mapping/_SUCCESS").delete())
+    // an UNPUBLISHED snapshot (pointer present but _SUCCESS missing — a
+    // torn write) is never resumed from: a fresh v=1 is staged + published
+    assert(new java.io.File(s"$local/mapping/v=0/_SUCCESS").delete())
     val (docs3, _) = Pipeline.run(spark, pages, res,
       cfg = cfg.copy(resume = true, runId = "run-c"))
     assert(Triples.fromDocs(spark, docs3).collect().toSet == t1)
-    assert(new java.io.File(s"$local/mapping/_SUCCESS").isFile,
-      "partial stage must be rewritten with a fresh _SUCCESS")
+    assert(new java.io.File(s"$local/mapping/v=1/_SUCCESS").isFile,
+      "recompute must stage a NEW snapshot version")
+    assert(scala.io.Source.fromFile(s"$local/mapping/_CURRENT").mkString.trim == "1")
+
+    // time travel: the superseded extract snapshot stays readable by
+    // version and equals the current one (deterministic recompute)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mappingTable = new org.apache.hadoop.fs.Path(s"$dir/mapping")
+    assert(graft.pipeline.Snapshots.allVersions(fs, mappingTable) == Seq(0L, 1L))
+    val v1 = Pipeline.readStage(spark, dir, "mapping").collect().map(_.url).sorted
+    // v=0 lost its _SUCCESS above, so compare against v=1 explicitly
+    val v1Again = Pipeline.readStage(spark, dir, "mapping", version = 1).collect()
+      .map(_.url).sorted
+    assert(v1.sameElements(v1Again))
+
+    // expiry: old snapshots are dropped, the published one never is
+    val expired = graft.pipeline.Snapshots.expire(fs, mappingTable, keep = 1)
+    assert(expired == Seq(0L))
+    assert(graft.pipeline.Snapshots.allVersions(fs, mappingTable) == Seq(1L))
+    assert(graft.pipeline.Snapshots.currentVersion(fs, mappingTable).contains(1L))
   }
 
   test("acceptance: NER + triple P/R ≥ 0.95 vs independent gold") {
