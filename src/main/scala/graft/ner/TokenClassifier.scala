@@ -342,11 +342,11 @@ object TokenClassifier {
     spansToMentions(spans, text)
   }
 
-  def processDoc(session: ModelSession)(doc: KDoc): KDoc =
+  def processDoc(session: ModelSession, useMultilabel: Boolean = false)(doc: KDoc): KDoc =
     if (doc.error.isDefined) doc
     else
       try doc.copy(sections = doc.sections.map(s =>
-        s.copy(entities = s.entities ++ processText(session, s.text))))
+        s.copy(entities = s.entities ++ processText(session, s.text, useMultilabel))))
       catch {
         case e: Exception =>
           doc.copy(error = Some(s"TokenClassifier: ${e.getMessage}"))
