@@ -26,10 +26,15 @@ object Main {
     val output = opts.getOrElse("output", "/tmp/graft-out")
     val runId = opts.getOrElse("run-id", s"run-${java.util.UUID.randomUUID()}")
 
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
       .appName(s"graft-$stepGroup")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.shuffle.partitions", cpus)
+    // spark-submit injects the master; standalone runs fall back to local
+    val withMaster =
+      if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[$cpus]")
+    val spark = withMaster
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
