@@ -120,6 +120,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.pipeline.Snapshots.currentVersion(fs, mappingTable).contains(1L))
   }
 
+  test("fused and staged execution paths produce identical triples") {
+    // two independent compositions of the same stages: the fused single
+    // mapPartitions (no checkpoint) vs the snapshot-staged path — their
+    // outputs must agree exactly
+    val pages = Pages.fromDocuments(spark, sfDir).limit(120)
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val (fused, _) = Pipeline.run(spark, pages, res)
+    val dir = s"file:${java.nio.file.Files.createTempDirectory("graft-fvs")}"
+    val (staged, _) = Pipeline.run(spark, pages, res,
+      cfg = Pipeline.Config(checkpointDir = Some(dir), runId = "fvs"))
+    val a = Triples.fromDocs(spark, fused).collect().toSet
+    val b = Triples.fromDocs(spark, staged).collect().toSet
+    assert(a == b, s"fused-only: ${(a -- b).take(3)}; staged-only: ${(b -- a).take(3)}")
+    assert(a.nonEmpty)
+  }
+
   test("acceptance: NER + triple P/R ≥ 0.95 vs independent gold") {
     import spark.implicits._
     // gold derived INDEPENDENTLY of the pipeline: regex over raw text for
