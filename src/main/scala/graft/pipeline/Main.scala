@@ -60,6 +60,20 @@ object Main {
             (d.url, e.matchStr, e.entityClass, e.start, e.end, e.namespace))))
           .toDF("url", "match", "entity_class", "start", "end", "namespace")
           .write.mode("overwrite").parquet(s"$output/mentions")
+      case "incremental" =>
+        // process ONLY pages whose url is absent from the existing triples
+        // table, append the new triples (at corpus scale a crawl slice must
+        // never trigger a full reprocess)
+        val existing = spark.read.option("basePath", s"$output/triples")
+          .parquet(s"$output/triples")
+        val newPages = Pipeline.newPagesOnly(pages, existing)
+        val (docs, lineage) = Pipeline.run(spark, newPages, res, cfg = cfg)
+        Triples.fromDocs(spark, docs).toDF().write.mode("append")
+          .partitionBy("pred").parquet(s"$output/triples")
+        Pipeline.failures(spark, docs, runId).toDF()
+          .write.mode("append").parquet(s"$output/failures")
+        if (lineage.nonEmpty)
+          lineage.toDF().write.mode("append").parquet(s"$output/lineage")
       case "linking_only" | "full" =>
         val (docs, lineage) = Pipeline.run(spark, pages, res, cfg = cfg)
         val triples = Triples.fromDocs(spark, docs)

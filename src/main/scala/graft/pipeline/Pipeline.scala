@@ -277,4 +277,16 @@ object Pipeline {
     import spark.implicits._
     docs.flatMap(d => d.error.map(e => FailureRow(d.url, "pipeline", e, runId)))
   }
+
+  /** Incremental ingest: restrict a page batch to urls NOT already present
+    * in the existing triples table (left-anti join on url — at 10^12 docs a
+    * new crawl slice must never reprocess the corpus; the anti-join keys on
+    * the well-distributed url and AQE handles the size asymmetry). Pages
+    * whose processing produced no triples are re-attempted — cheap, and it
+    * makes the operation idempotent rather than at-most-once. */
+  def newPagesOnly(
+      pages: org.apache.spark.sql.DataFrame,
+      existingTriples: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame =
+    pages.join(existingTriples.select("url").distinct(), Seq("url"), "left_anti")
 }

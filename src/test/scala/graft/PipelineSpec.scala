@@ -136,6 +136,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("incremental ingest: a new crawl slice processes only unseen urls") {
+    import spark.implicits._
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val all = Pages.fromDocuments(spark, sfDir)
+    val firstHalf = all.filter($"url".substr(-1, 1).isin("0", "2", "4", "6", "8"))
+    val (docs1, _) = Pipeline.run(spark, firstHalf, res)
+    val existing = Triples.fromDocs(spark, docs1).toDF().cache()
+
+    // second batch = the FULL corpus; the anti-join must cut it to unseen
+    val newPages = Pipeline.newPagesOnly(all, existing)
+    assert(newPages.count() + firstHalf.count() >= all.count())
+    assert(newPages.join(firstHalf.select("url"), Seq("url")).count() ==
+      firstHalf.join(existing.select("url"), Seq("url"), "left_anti").count(),
+      "only no-triple pages of the first batch may reappear")
+    val (docs2, _) = Pipeline.run(spark, newPages, res)
+    val appended = Triples.fromDocs(spark, docs2).toDF()
+
+    // union equals a from-scratch full run
+    val (docsFull, _) = Pipeline.run(spark, all, res)
+    val full = Triples.fromDocs(spark, docsFull).collect().toSet
+    val incremental = (existing.as[graft.model.Triple].collect() ++
+      appended.as[graft.model.Triple].collect()).toSet
+    assert(incremental == full)
+
+    // a third incremental pass over the same corpus adds nothing for pages
+    // that produced triples
+    val third = Pipeline.newPagesOnly(all,
+      existing.union(appended)).count()
+    val noTriplePages = all.count() - existing.union(appended)
+      .select("url").distinct().count()
+    assert(third == noTriplePages)
+  }
+
   test("acceptance: NER + triple P/R ≥ 0.95 vs independent gold") {
     import spark.implicits._
     // gold derived INDEPENDENTLY of the pipeline: regex over raw text for
