@@ -50,7 +50,9 @@ object Main {
 
     stepGroup match {
       case "ner_only" =>
-        // trie + transformer NER, no linking/mapping: emit mention rows
+        // trie + transformer NER, no linking/mapping: emit mention rows AND
+        // the document JSON so a later linking_only run can resume from it
+        // (step-group composability, ref pipeline/__init__.py:233-276)
         val docs = Pages.toDocs(spark, pages).mapPartitions { it =>
           val session = graft.ner.TokenClassifier.executorSession
           it.map(d => graft.ner.TokenClassifier.processDoc(session)(
@@ -60,6 +62,14 @@ object Main {
             (d.url, e.matchStr, e.entityClass, e.start, e.end, e.namespace))))
           .toDF("url", "match", "entity_class", "start", "end", "namespace")
           .write.mode("overwrite").parquet(s"$output/mentions")
+        Json.writeJson(docs, s"$output/docs_json")
+      case "linking_only" =>
+        // consume ner_only's document JSON: run ONLY the linking + mapping +
+        // post-processing stages over the already-recognized entities
+        val docs = Json.readJson(spark, s"$input")
+          .mapPartitions(Pipeline.linkingStages(res.value))
+        Triples.fromDocs(spark, docs).toDF().write.mode("overwrite")
+          .partitionBy("pred").parquet(s"$output/triples")
       case "incremental" =>
         // process ONLY pages whose url is absent from the existing triples
         // table, append the new triples (at corpus scale a crawl slice must
@@ -74,7 +84,7 @@ object Main {
           .write.mode("append").parquet(s"$output/failures")
         if (lineage.nonEmpty)
           lineage.toDF().write.mode("append").parquet(s"$output/lineage")
-      case "linking_only" | "full" =>
+      case "full" =>
         val (docs, lineage) = Pipeline.run(spark, pages, res, cfg = cfg)
         val triples = Triples.fromDocs(spark, docs)
         // graph table layout: partition by predicate (tiny, one per entity

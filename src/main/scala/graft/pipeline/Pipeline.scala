@@ -144,21 +144,32 @@ object Pipeline {
       withTransformerNer: Boolean
   )(docs: Iterator[KDoc]): Iterator[KDoc] = {
     val session = TokenClassifier.executorSession
-    val cleanupCfg = Cleanup.Config()
-    val mergeCfg = MergeOverlaps.Config()
     val trie = TrieNer.processDoc(resources) _
     val transformer = TokenClassifier.processDoc(session) _
-    val classFilter = ClassFilter.processDoc(classRules) _
-    val abbrev = Abbreviations.step
-    val perDocAfterLinking: KDoc => KDoc = d =>
-      MergeOverlaps.processDoc(mergeCfg)(
-        Cleanup.processDoc(cleanupCfg)(abbrev(d)))
     // partition-level stages wrap the per-doc chain
     val nerDocs = docs.map { d =>
       val t = trie(d)
       if (withTransformerNer) transformer(t) else t
     }
-    val linked = DictionaryLinking.processPartition(resources)(nerDocs)
+    linkingStages(resources, runner, classRules)(nerDocs)
+  }
+
+  /** The `linking_only` step group (ref conf/Pipeline/default.yaml:14-20,
+    * pipeline/__init__.py:233-276): every stage AFTER NER, over documents
+    * that already carry entities — composable with a prior `ner_only`
+    * output (docs JSON). `fusedStages` = NER + this. */
+  def linkingStages(
+      resources: Resources,
+      runner: StrategyRunner = Ladders.default,
+      classRules: ClassFilter.Rules = ClassFilter.Rules()
+  )(docs: Iterator[KDoc]): Iterator[KDoc] = {
+    val cleanupCfg = Cleanup.Config()
+    val mergeCfg = MergeOverlaps.Config()
+    val classFilter = ClassFilter.processDoc(classRules) _
+    val perDocAfterLinking: KDoc => KDoc = d =>
+      MergeOverlaps.processDoc(mergeCfg)(
+        Cleanup.processDoc(cleanupCfg)(Abbreviations.step(d)))
+    val linked = DictionaryLinking.processPartition(resources)(docs)
       .map(classFilter)
     MappingStep.processPartition(resources, runner)(linked)
       .map(perDocAfterLinking)

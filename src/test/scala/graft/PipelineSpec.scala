@@ -136,6 +136,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("step groups compose: ner_only docs through a JSON round-trip and " +
+    "linkingStages equal the full pipeline") {
+    import spark.implicits._
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val pages = Pages.fromDocuments(spark, sfDir).limit(100)
+    // ner_only: trie + transformer, no linking
+    val nerDocs = Pages.toDocs(spark, pages).mapPartitions { it =>
+      val session = graft.ner.TokenClassifier.executorSession
+      it.map(d => graft.ner.TokenClassifier.processDoc(session)(
+        graft.ner.TrieNer.processDoc(res.value)(d)))
+    }
+    // hand off through the docs-JSON contract, as Main does
+    val dir = java.nio.file.Files.createTempDirectory("graft-stepgroup").toString
+    graft.pipeline.Json.writeJson(nerDocs, dir)
+    val resumedDocs = graft.pipeline.Json.readJson(spark, dir)
+      .mapPartitions(Pipeline.linkingStages(res.value))
+    val composed = Triples.fromDocs(spark, resumedDocs).collect().toSet
+
+    val (fullDocs, _) = Pipeline.run(spark, pages, res)
+    val full = Triples.fromDocs(spark, fullDocs).collect().toSet
+    assert(composed == full)
+    assert(composed.nonEmpty)
+  }
+
   test("incremental ingest: a new crawl slice processes only unseen urls") {
     import spark.implicits._
     val res = spark.sparkContext.broadcast(Resources.corpus)
