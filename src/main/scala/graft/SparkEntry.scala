@@ -352,6 +352,16 @@ object SparkEntry {
       Dedup.minhashPairs(s, docsDf(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, docsDf(s, dir))),
+    "corpus_sample" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic stratified sampling: 30% of en docs, 10% of others —
+      // byte-reproducible across engines (pure integer hash, no RNG)
+      TextStats.stratifiedSample(s, docsDf(s, dir),
+          Map("en" -> 3000, "de" -> 1000, "fr" -> 1000, "es" -> 1000,
+            "zh" -> 1000))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
     "pii_scrub" -> ((s, dir) => {
       import s.implicits._
       // PII redaction end-to-end with exactly checkable outcomes: inject a
@@ -619,6 +629,13 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id,
         |       min(r) = doc_id AS is_canonical
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id + 17) * 2654435761) % 10000 <
+        |      CASE WHEN lang = 'en' THEN 3000
+        |           WHEN lang IN ('de', 'fr', 'es', 'zh') THEN 1000
+        |           ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
     "pii_scrub" -> {
       val email = TextStats.EmailRe
       val phone = TextStats.PhoneRe

@@ -38,6 +38,31 @@ object TextStats {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic stratified sampling — reproducible corpus subsampling
+    * for training-data curation: keep a document iff an integer hash of
+    * (doc_id, salt) falls under its language's rate. Pure integer
+    * arithmetic (Knuth multiplicative hash into [0, 10000)), so the sample
+    * is identical across runs, engines, partitionings, and cluster sizes —
+    * no RNG state, no sampling-order dependence; a narrow codegen'd filter
+    * at scan speed. */
+  def stratifiedSample(
+      spark: SparkSession,
+      docs: DataFrame, // (doc_id, lang, ...)
+      ratesPerMyriad: Map[String, Int], // lang → keep-rate out of 10000
+      salt: Long = 17L
+  ): DataFrame = {
+    import spark.implicits._
+    val rateExpr = ratesPerMyriad.toSeq.sortBy(_._1)
+      .foldLeft(lit(0)) { case (acc, (lang, rate)) =>
+        when($"lang" === lang, lit(rate)).otherwise(acc)
+      }
+    docs
+      .withColumn("_bucket",
+        pmod(($"doc_id" + lit(salt)) * lit(2654435761L), lit(10000L)))
+      .filter($"_bucket" < rateExpr)
+      .drop("_bucket")
+  }
+
   /** Per-doc quality metrics, expressed in codegen'd built-in functions
     * (no UDF in the hot path): char/token/distinct-token counts, stopword
     * count and ratio, BPE-ish regex token count. */

@@ -192,6 +192,26 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Double]("stopword_ratio") == 2.0 / 6.0)
   }
 
+  test("stratified sample: deterministic, partitioning-invariant, rate-accurate") {
+    import spark.implicits._
+    val docs = (0L until 10000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 3000, "de" -> 500)
+    val a = graft.tdp.TextStats.stratifiedSample(spark, docs, rates)
+      .select("doc_id").as[Long].collect().toSet
+    val b = graft.tdp.TextStats.stratifiedSample(spark, docs.repartition(13), rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val en = a.count(_ % 4 == 0).toDouble / 2500
+    val de = a.count(_ % 4 != 0).toDouble / 7500
+    assert(math.abs(en - 0.30) < 0.03, s"en rate $en")
+    assert(math.abs(de - 0.05) < 0.02, s"de rate $de")
+    // a different salt draws a different (still deterministic) sample
+    val c = graft.tdp.TextStats.stratifiedSample(spark, docs, rates, salt = 99L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(c != a)
+  }
+
   test("pii scrub: emails, phones, ipv4 redacted with typed placeholders") {
     import spark.implicits._
     val docs = Seq(
