@@ -170,9 +170,36 @@ object Dedup {
       spark: SparkSession,
       docIds: DataFrame, // (doc_id)
       pairs: DataFrame,  // (doc_a, doc_b)
-      maxIterations: Int = 20
+      maxIterations: Int = 20,
+      localEdgeThreshold: Long = 1L << 20
   ): DataFrame = {
     import spark.implicits._
+    // Adaptive local execution: the candidate-pair graph is orders of
+    // magnitude smaller than the corpus (only near-duplicates edge), so
+    // when it fits the driver comfortably, a local union-find beats paying
+    // whole-job overhead per distributed round. The iterative path below
+    // is the shape that scales when it genuinely doesn't fit.
+    if (pairs.count() <= localEdgeThreshold) {
+      val ids = docIds.select($"doc_id").as[Long].collect()
+      val es = pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          // min-id root wins, so the root IS the canonical cluster id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      return ids.map(id => (id, find(id))).toSeq
+        .toDF("doc_id", "cluster_id")
+    }
     // undirected edge list, symmetric
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
@@ -183,19 +210,29 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // each doc adopts the min label among itself and its neighbours
+      // one shuffle per round: the doc's own label rides through the
+      // aggregation tagged `is_own`, so the new label (min over self +
+      // neighbours) AND the change count come out of the same job — the
+      // change count via an observe metric instead of a separate join
+      val own = labels.toDF("doc_id", "cluster_id")
+        .withColumn("is_own", org.apache.spark.sql.functions.lit(true))
       val neighbourMin = edges
         .join(labels.toDF("doc_id", "cluster_id"), $"dst" === $"doc_id")
-        .select($"src".as("doc_id"), $"cluster_id")
-      val updated = labels.toDF("doc_id", "cluster_id")
-        .union(neighbourMin)
+        .select($"src".as("doc_id"), $"cluster_id",
+          org.apache.spark.sql.functions.lit(false).as("is_own"))
+      import org.apache.spark.sql.functions.{min, max, when, sum, lit => flit}
+      val updated = own.union(neighbourMin)
         .groupBy($"doc_id")
-        .agg(org.apache.spark.sql.functions.min($"cluster_id").as("cluster_id"))
+        .agg(min($"cluster_id").as("cluster_id"),
+          max(when($"is_own", $"cluster_id")).as("_old"))
+        .observe(s"cc_round_$iter",
+          sum(when($"cluster_id" =!= $"_old", 1L).otherwise(0L)).as("n_changed"))
+        .select($"doc_id", $"cluster_id")
         .as[(Long, Long)].cache()
-      val changed = updated.toDF("doc_id", "new_label")
-        .join(labels.toDF("doc_id", "old_label"), "doc_id")
-        .filter($"new_label" =!= $"old_label")
-      converged = changed.isEmpty
+      updated.count() // materialize (also populates the observe metric)
+      val changed = updated.queryExecution.observedMetrics(s"cc_round_$iter")
+        .getAs[Long]("n_changed")
+      converged = changed == 0L
       labels.unpersist()
       labels = updated
       iter += 1

@@ -39,19 +39,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.exists(p => p._1 == 5L && p._2 == 200L))
   }
 
-  test("connected components: chains, stars, singletons converge to min-id") {
+  test("connected components: chains, stars, singletons converge to min-id " +
+    "— local union-find and distributed propagation agree") {
     import spark.implicits._
     val docs = (0L to 12L).toDF("doc_id")
     // chain 0-1-2-3-4 (needs multiple propagation rounds), star 7←{8,9,10},
     // pair (5,6), singletons 11,12
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
       (7L, 8L), (7L, 9L), (7L, 10L), (5L, 6L)).toDF("doc_a", "doc_b")
-    val got = graft.tdp.Dedup.connectedComponents(spark, docs, pairs)
+    def check(got: Map[Long, Long]): Unit = {
+      assert((0L to 4L).forall(got(_) == 0L))
+      assert((7L to 10L).forall(got(_) == 7L))
+      assert(got(5L) == 5L && got(6L) == 5L)
+      assert(got(11L) == 11L && got(12L) == 12L)
+    }
+    val local = graft.tdp.Dedup.connectedComponents(spark, docs, pairs)
       .as[(Long, Long)].collect().toMap
-    assert((0L to 4L).forall(got(_) == 0L))
-    assert((7L to 10L).forall(got(_) == 7L))
-    assert(got(5L) == 5L && got(6L) == 5L)
-    assert(got(11L) == 11L && got(12L) == 12L)
+    check(local)
+    // force the distributed hash-min path and require identical output
+    val distributed = graft.tdp.Dedup.connectedComponents(spark, docs, pairs,
+        localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    check(distributed)
+    assert(local == distributed)
   }
 
   test("signature similarity approximates jaccard") {
