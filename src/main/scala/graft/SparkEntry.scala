@@ -24,15 +24,21 @@ object SparkEntry {
 
   /** Full KG pipeline docs for a scale-factor dir (no checkpointing in
     * driver-run queries; checkpoint/resume is exercised by PipelineSpec and
-    * the spark-submit mains). Persisted: every downstream query ends in an
-    * orderBy, whose range-partitioner SAMPLING pass would otherwise
-    * recompute the whole pipeline (incl. transformer inference) a second
-    * time before the real pass. */
-  private def pipelineDocs(spark: SparkSession, sfDir: String) = {
-    val pages = Pages.fromDocuments(spark, sfDir)
-    val (docs, _) = Pipeline.run(spark, pages, resources(spark))
-    docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+    * the spark-submit mains). Persisted AND memoized per (session, dir):
+    * every downstream query ends in an orderBy whose range-partitioner
+    * SAMPLING pass would otherwise recompute the whole pipeline (incl.
+    * transformer inference) a second time, and the several kg_* queries of
+    * one Verify/Bench session share a single materialization instead of
+    * each holding its own corpus-sized cache until session end. */
+  private val docsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      org.apache.spark.sql.Dataset[graft.model.KDoc]]
+  private def pipelineDocs(spark: SparkSession, sfDir: String) =
+    docsCache.getOrElseUpdate((spark, sfDir), {
+      val pages = Pages.fromDocuments(spark, sfDir)
+      val (docs, _) = Pipeline.run(spark, pages, resources(spark))
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -754,8 +760,10 @@ object SparkEntry {
     // query probes its 4 closest cells by cosine
     "ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |samp0 AS (SELECT vec_id, emb FROM e WHERE vec_id % 7 = 0
+        |          ORDER BY vec_id LIMIT 2048),
         |samp AS (SELECT emb, row_number() OVER (ORDER BY vec_id) - 1 AS rn
-        |         FROM e WHERE vec_id % 7 = 0),
+        |         FROM samp0),
         |cent AS (SELECT r.range AS cell, s.emb AS cemb
         |         FROM range(8) r JOIN samp s
         |           ON s.rn = (r.range * (SELECT count(*) FROM samp)) // 8),

@@ -53,16 +53,19 @@ object Main {
         // trie + transformer NER, no linking/mapping: emit mention rows AND
         // the document JSON so a later linking_only run can resume from it
         // (step-group composability, ref pipeline/__init__.py:233-276)
+        // persisted: the mention rows AND the docs-JSON hand-off are two
+        // actions over the same (transformer-inference-heavy) lineage
         val docs = Pages.toDocs(spark, pages).mapPartitions { it =>
           val session = graft.ner.TokenClassifier.executorSession
           it.map(d => graft.ner.TokenClassifier.processDoc(session)(
             graft.ner.TrieNer.processDoc(res.value)(d)))
-        }
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         docs.flatMap(d => d.sections.flatMap(_.entities.map(e =>
             (d.url, e.matchStr, e.entityClass, e.start, e.end, e.namespace))))
           .toDF("url", "match", "entity_class", "start", "end", "namespace")
           .write.mode("overwrite").parquet(s"$output/mentions")
         Json.writeJson(docs, s"$output/docs_json")
+        docs.unpersist()
       case "linking_only" =>
         // consume ner_only's document JSON: run ONLY the linking + mapping +
         // post-processing stages over the already-recognized entities
@@ -73,10 +76,15 @@ object Main {
       case "incremental" =>
         // process ONLY pages whose url is absent from the existing triples
         // table, append the new triples (at corpus scale a crawl slice must
-        // never trigger a full reprocess)
-        val existing = spark.read.option("basePath", s"$output/triples")
-          .parquet(s"$output/triples")
-        val newPages = Pipeline.newPagesOnly(pages, existing)
+        // never trigger a full reprocess). Bootstrap: with no existing
+        // table yet, every page is new.
+        val triplesPath = new org.apache.hadoop.fs.Path(s"$output/triples")
+        val fs = triplesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val newPages =
+          if (!fs.exists(triplesPath)) pages
+          else Pipeline.newPagesOnly(pages,
+            spark.read.option("basePath", s"$output/triples")
+              .parquet(s"$output/triples"))
         val (docs, lineage) = Pipeline.run(spark, newPages, res, cfg = cfg)
         Triples.fromDocs(spark, docs).toDF().write.mode("append")
           .partitionBy("pred").parquet(s"$output/triples")

@@ -48,18 +48,32 @@ object Snapshots {
   def nextVersion(fs: FileSystem, table: Path): Long =
     allVersions(fs, table).lastOption.map(_ + 1).getOrElse(0L)
 
-  /** Atomically publish `v` as the current snapshot. */
+  /** Atomically publish `v` as the current snapshot: rename-with-OVERWRITE
+    * through FileContext, so a concurrent reader always sees either the old
+    * or the new pointer — never a missing one. Filesystems without an
+    * AbstractFileSystem binding fall back to delete+rename, which narrows
+    * the guarantee to single-writer (the pipeline's deployment model). */
   def publish(fs: FileSystem, table: Path, v: Long): Unit = {
     val tmp = new Path(table, s"_CURRENT.tmp-$v")
     val out = fs.create(tmp, true)
     out.write(v.toString.getBytes("UTF-8"))
     out.close()
-    fs.delete(pointer(table), false)
-    require(fs.rename(tmp, pointer(table)), s"pointer swap failed for $table v=$v")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        table.toUri, fs.getConf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(pointer(table)),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(pointer(table), false)
+        require(fs.rename(tmp, pointer(table)),
+          s"pointer swap failed for $table v=$v")
+    }
   }
 
-  /** Drop all complete-or-partial snapshots except the current one and the
-    * `keep` most recent. Never drops the published snapshot. */
+  /** Drop old snapshots, retaining `keep` snapshots IN TOTAL: the published
+    * one plus the `keep − 1` most recent others. Never drops the published
+    * snapshot. `keep = 1` keeps only the published snapshot. */
   def expire(fs: FileSystem, table: Path, keep: Int = 1): Seq[Long] = {
     val current = currentVersion(fs, table)
     val candidates = allVersions(fs, table)

@@ -283,10 +283,12 @@ object Ann {
     import spark.implicits._
     val base = embeddings.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
     val cellCount = if (numCells > 0) numCells else ivfAutoCells(base.count())
-    // driver-side sample for centroid training: bounded AND deterministic
-    // (sorted by vec_id — a bare `limit` has no defined order)
+    // driver-side sample for centroid training: bounded BEFORE collecting
+    // (orderBy + limit execute distributed — the driver never sees more
+    // than 2048 vectors) and deterministic (vec_id order)
     val sample = base.filter($"vec_id" % 7 === 0)
-      .collect().sortBy(_._1).take(2048).map(_._2.toArray).toSeq
+      .orderBy($"vec_id").limit(2048)
+      .collect().map(_._2.toArray).toSeq
     val centroids = trainCentroids(sample, cellCount, kmeansIters)
     val bc = spark.sparkContext.broadcast(centroids)
     val cells = base.map { case (id, v) =>

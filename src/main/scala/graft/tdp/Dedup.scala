@@ -174,14 +174,20 @@ object Dedup {
       localEdgeThreshold: Long = 1L << 20
   ): DataFrame = {
     import spark.implicits._
+    // pay for the (sketch → verify) candidate lineage ONCE: the adaptive
+    // gate's count and the chosen branch both consume it
+    val cachedPairs = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = cachedPairs.count()
     // Adaptive local execution: the candidate-pair graph is orders of
     // magnitude smaller than the corpus (only near-duplicates edge), so
-    // when it fits the driver comfortably, a local union-find beats paying
-    // whole-job overhead per distributed round. The iterative path below
-    // is the shape that scales when it genuinely doesn't fit.
-    if (pairs.count() <= localEdgeThreshold) {
-      val ids = docIds.select($"doc_id").as[Long].collect()
-      val es = pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    // when the EDGES fit the driver a local union-find beats paying
+    // whole-job overhead per distributed round. Only edge-participating ids
+    // are collected — never the corpus id list; every other doc is its own
+    // singleton cluster, restored by a broadcast-map lookup (coalesce) on
+    // the distributed side. The iterative path below is the shape that
+    // scales when the edge set genuinely doesn't fit.
+    if (edgeCount <= localEdgeThreshold) {
+      val es = cachedPairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -197,12 +203,18 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      return ids.map(id => (id, find(id))).toSeq
+      val roots: Map[Long, Long] =
+        es.flatMap(e => Seq(e._1, e._2)).distinct.map(id => id -> find(id)).toMap
+      val bc = spark.sparkContext.broadcast(roots)
+      val out = docIds.select($"doc_id").as[Long]
+        .map(id => (id, bc.value.getOrElse(id, id)))
         .toDF("doc_id", "cluster_id")
+      cachedPairs.unpersist()
+      return out
     }
     // undirected edge list, symmetric
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val edges = cachedPairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(cachedPairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
       .cache()
     var labels = docIds.select($"doc_id", $"doc_id".as("cluster_id"))
@@ -238,6 +250,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    cachedPairs.unpersist()
+    // returning partially-propagated labels would silently split clusters
+    // (docs farther than maxIterations hops from the component minimum keep
+    // a non-minimal id) — fail loudly instead
+    require(converged,
+      s"connected components did not converge in $maxIterations rounds " +
+        "(component diameter exceeds the bound); raise maxIterations")
     labels.toDF("doc_id", "cluster_id")
   }
 
