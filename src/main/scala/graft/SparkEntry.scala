@@ -46,10 +46,11 @@ object SparkEntry {
   /** Terms excluded from the oracle-checked triple aggregate: ambiguous
     * synonyms ("scan", "join", "merge") resolve through order-dependent
     * document-context disambiguation; nested phrases change counts via
-    * overlap-merge; and terms in the stub transformer-NER vocabulary gain
-    * model spans (adjacent B-labels extend into multi-word spans, ref
-    * SimpleSpanFinder copy-on-new-B) that merge locations. All those paths
-    * are covered by ScalaTest goldens instead. */
+    * overlap-merge; and terms in the transformer-NER model vocabulary
+    * (TokenClassifier.CorpusVocab) gain model spans (adjacent B-labels
+    * extend into multi-word spans, ref SimpleSpanFinder copy-on-new-B)
+    * that merge locations. Those paths are covered by ScalaTest goldens
+    * plus the kg_disambig oracle (which runs with NO exclusions). */
   private val ambiguousObjs = Set(
     "OP:TABLE_SCAN", "OP:INDEX_SCAN", "OP:HASH_JOIN", "OP:MERGE_JOIN", "SYS:TABLE",
     "OP:SORT", "OP:WINDOW", "SYS:VECTOR", "SYS:STREAM")
