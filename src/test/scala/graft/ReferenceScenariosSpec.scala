@@ -84,6 +84,31 @@ class ReferenceScenariosSpec extends AnyFunSuite {
     assert(ments.head.entityClass == EntType1)
   }
 
+  test("same class at different confidences: one entity at the max " +
+    "(ref max_mention_test_case)") {
+    // parser 1: case-insensitive PROBABLE; parser 2: case-sensitive
+    // HIGHLY_LIKELY with the exact-cased surface form, SAME entity class —
+    // the single aggregated hit must take the higher confidence and carry
+    // both parsers' candidates (test_memory_efficient_string_matching
+    // .py:43-130)
+    val res = buildRes(Seq(
+      resource(FirstParser, EntType1).copy(synonyms = Seq(
+        graft.ontology.SynonymSpec(SynText, caseSensitive = false,
+          MentionConfidence.Probable))),
+      resource(SecondParser, EntType1, caseSensitive = true,
+        text = "ComplexVII Diseaseα")))
+    val ments = TrieNer.matchText(res, DocText)
+    assert(ments.size == 1)
+    assert(ments.head.mentionConfidence == MentionConfidence.HighlyLikely)
+    assert(ments.head.candidates.map(_.candidate.parserName).toSet ==
+      Set(FirstParser, SecondParser))
+    // a lowercase occurrence: the case-sensitive resource doesn't fire, so
+    // the hit falls back to the case-insensitive PROBABLE reading
+    val lower = TrieNer.matchText(res, DocText.toLowerCase)
+    assert(lower.size == 1)
+    assert(lower.head.mentionConfidence == MentionConfidence.Probable)
+  }
+
   test("novel curated synonym is matched and carries its syn_norm") {
     val novel = "This sentence is just to test"
     val novelNorm = graft.text.Normalizer.normalize(novel, EntType1)
