@@ -33,12 +33,28 @@ object SparkEntry {
   private val docsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       org.apache.spark.sql.Dataset[graft.model.KDoc]]
-  private def pipelineDocs(spark: SparkSession, sfDir: String) =
+  /** Sessions that already carry the eviction listener (below). */
+  private val evictionHooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private def pipelineDocs(spark: SparkSession, sfDir: String) = {
+    // evict this session's entries when its application ends, so a
+    // long-lived process that creates many sessions doesn't strongly retain
+    // stopped sessions and their persisted datasets for the JVM lifetime
+    if (evictionHooked.add(spark))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          docsCache.filterInPlace { case ((s, _), _) => s ne spark }
+          evictionHooked.remove(spark)
+        }
+      })
     docsCache.getOrElseUpdate((spark, sfDir), {
       val pages = Pages.fromDocuments(spark, sfDir)
       val (docs, _) = Pipeline.run(spark, pages, resources(spark))
       docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -302,11 +318,18 @@ object SparkEntry {
     // ---- training-data pipeline ops ---------------------------------------
     "dedup_exact" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"text_md5")
-      docsDf(s, dir)
+      // groupBy + join back, NOT a window over text_md5: a window puts every
+      // row of a duplicate cluster on one reducer (a 10^7-copy boilerplate
+      // page = one straggler task at web scale), while groupBy collapses
+      // each map partition to one row per distinct hash before the shuffle
+      // (partial aggregation), and the join back keys on the same hash with
+      // AQE handling any residual skew
+      val hashed = docsDf(s, dir)
         .select($"doc_id", md5(to_binary($"text", lit("utf-8"))).as("text_md5"))
-        .withColumn("n_same_text", count(lit(1)).over(w))
+      val counts = hashed.groupBy($"text_md5")
+        .agg(count(lit(1)).as("n_same_text"))
+      hashed.join(counts, "text_md5")
+        .select($"doc_id", $"text_md5", $"n_same_text")
         .orderBy($"doc_id")
     }),
     "dedup_jaccard" -> ((s, dir) => {
@@ -638,7 +661,7 @@ object SparkEntry {
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "corpus_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id + 17) * 2654435761) % 10000 <
+        |WHERE (((doc_id + 17) % 2147483648) * 2654435761) % 10000 <
         |      CASE WHEN lang = 'en' THEN 3000
         |           WHEN lang IN ('de', 'fr', 'es', 'zh') THEN 1000
         |           ELSE 0 END

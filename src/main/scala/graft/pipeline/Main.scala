@@ -78,16 +78,39 @@ object Main {
         // table, append the new triples (at corpus scale a crawl slice must
         // never trigger a full reprocess). Bootstrap: with no existing
         // table yet, every page is new.
+        //
+        // Idempotence needs the append to be ATOMIC with respect to the
+        // anti-join: a raw `mode("append")` that dies mid-write would leave
+        // a url with a partial triple set that the rerun's anti-join then
+        // skips forever. So each increment is staged to a side directory
+        // and committed by a single directory rename into the table as a
+        // new `inc=<id>` partition — the rename IS the manifest: a failed
+        // run leaves only invisible staging data and the rerun reprocesses
+        // those urls from scratch.
         val triplesPath = new org.apache.hadoop.fs.Path(s"$output/triples")
         val fs = triplesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasTable = fs.exists(triplesPath) &&
+          fs.listStatus(triplesPath).exists(_.getPath.getName.startsWith("inc="))
         val newPages =
-          if (!fs.exists(triplesPath)) pages
+          if (!hasTable) pages
           else Pipeline.newPagesOnly(pages,
             spark.read.option("basePath", s"$output/triples")
               .parquet(s"$output/triples"))
         val (docs, lineage) = Pipeline.run(spark, newPages, res, cfg = cfg)
-        Triples.fromDocs(spark, docs).toDF().write.mode("append")
-          .partitionBy("pred").parquet(s"$output/triples")
+        val staging = new org.apache.hadoop.fs.Path(s"$output/_staging_triples_$runId")
+        Triples.fromDocs(spark, docs).toDF().write.mode("overwrite")
+          .partitionBy("pred").parquet(staging.toString)
+        fs.mkdirs(triplesPath)
+        // unique partition name even if the same run-id is retried after a
+        // successful commit (the retry's anti-join usually empties it anyway)
+        var target = new org.apache.hadoop.fs.Path(triplesPath, s"inc=$runId")
+        var attempt = 1
+        while (fs.exists(target)) {
+          attempt += 1
+          target = new org.apache.hadoop.fs.Path(triplesPath, s"inc=$runId-$attempt")
+        }
+        require(fs.rename(staging, target),
+          s"incremental commit failed: rename $staging -> $target")
         Pipeline.failures(spark, docs, runId).toDF()
           .write.mode("append").parquet(s"$output/failures")
         if (lineage.nonEmpty)

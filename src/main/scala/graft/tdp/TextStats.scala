@@ -57,8 +57,14 @@ object TextStats {
         when($"lang" === lang, lit(rate)).otherwise(acc)
       }
     docs
+      // mask to 31 bits BEFORE the multiply: (2^31-1) * 2654435761 < 2^63,
+      // so the product never wraps int64 — Spark wraps silently on overflow
+      // while DuckDB raises, so an unmasked multiply breaks cross-engine
+      // byte-reproducibility for doc_id ≳ 3.5e9 (and at 10^12 docs it WOULD
+      // overflow); the masked hash is identical in both engines at any id
       .withColumn("_bucket",
-        pmod(($"doc_id" + lit(salt)) * lit(2654435761L), lit(10000L)))
+        pmod(pmod($"doc_id" + lit(salt), lit(2147483648L)) * lit(2654435761L),
+          lit(10000L)))
       .filter($"_bucket" < rateExpr)
       .drop("_bucket")
   }

@@ -165,6 +165,33 @@ class DisambiguationScenarioSpec extends AnyFunSuite {
     val nulls = new GildaTfIdfDisambiguation(
       DisambiguationConfidence.Probable, explicitScorer = Some(nullScorer))
     assert(nulls(p27IdSets, w, P, "p27", p27Norm).isEmpty)
+
+    // multi-id equivalent set: the reference's idx_to_set yields a distinct
+    // set OBJECT per idx, so two ids of the SAME EquivalentIdSet tying
+    // within 0.01 also fail disambiguation (strategies.py:345-356 under
+    // `is`-identity) — the delta rule applies to every subsequent idx
+    val multiSet: Set[EquivalentIdSet] = Set(
+      EquivalentIdSet(Seq(IdAndSource("1a", P), IdAndSource("1b", P))),
+      EquivalentIdSet(Seq(IdAndSource("9", P))))
+    val sameSetTie = new GildaTfIdfDisambiguation(
+      DisambiguationConfidence.Probable,
+      explicitScorer = Some(GildaScorer.forContexts(Map(
+        (P, "1a") -> "CDKN1B gene context",
+        (P, "1b") -> "CDKN1B gene context",
+        (P, "9") -> "something else"))))
+    assert(sameSetTie(multiSet, w, P, "p27", p27Norm).isEmpty,
+      "two same-set ids within the 0.01 delta must fail, as the reference does")
+    // but a clear margin between the two same-set ids still resolves to
+    // that set (the runner-up idx maps back to the winning set)
+    val sameSetClear = new GildaTfIdfDisambiguation(
+      DisambiguationConfidence.Probable,
+      explicitScorer = Some(GildaScorer.forContexts(Map(
+        (P, "1a") -> contexts((P, "1")),
+        (P, "1b") -> "barely related words",
+        (P, "9") -> "something else"),
+        Some(modelCorpus))))
+    assert(sameSetClear(multiSet, w, P, "p27", p27Norm)
+      .map(_.ids.map(_.idx).toSet) == Set(Set("1a", "1b")))
   }
 
   test("PreferDefaultLabelMatch: CDKN1B match keeps only id 1") {

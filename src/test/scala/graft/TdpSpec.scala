@@ -189,6 +189,17 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
         s"$q plan still has a non-equi join:\n$plan")
     }
   }
+
+  test("dedup_exact plan has no window over the duplicate-cluster key") {
+    // a count() OVER (PARTITION BY text_md5) puts an entire duplicate
+    // cluster on one reducer — the r2 hot-key anti-pattern; the fixed shape
+    // is groupBy (map-side partial agg) + join back
+    val df = SparkEntry.queries("dedup_exact")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"dedup_exact still uses a window:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected a partial aggregate in:\n$plan")
+  }
 }
 
 class TextStatsSpec extends AnyFunSuite with SparkTestBase {
