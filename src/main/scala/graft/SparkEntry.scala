@@ -406,9 +406,17 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextStats.langId(s, docsDf(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextStats.fingerprintDocs(s, docsDf(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
+      // REAL codec work: the payload is a length-delimited container of
+      // synthetic PNG frames and extractMeta runs javax.imageio decodes in
+      // the executor-pinned codec session; the oracle re-derives the
+      // decoded metadata from the doc_id formulas (geometry + gray-value
+      // checksum), so a codec that misreads even one pixel hash-mismatches.
+      // n_bytes (PNG-compressed size) is engine-side only — compression
+      // output length is not relationally derivable.
       val media = Multimodal.mediaFromDocuments(s, docsDf(s, dir))
       Multimodal.extractMeta(s, media)
-        .select(col("doc_id"), col("n_bytes"), col("n_frames"))
+        .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+          col("n_pixels"), col("px_sum"))
     }),
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
@@ -422,7 +430,13 @@ object SparkEntry {
       // candidate coverage of every true pair on this corpus.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .filter($"vec_id" < 200)
+      // candidate pairs are (id, id) only — the bucket self-join never
+      // shuffles vectors; the verify stage re-fetches them here with two
+      // id-keyed equi-joins (each vector crosses the wire once, not ×tables)
       Ann.lshCandidatePairs(s, emb, Ann.LshConfig(4, 48))
+        .join(emb.select($"vec_id".as("id_a"), $"embedding".as("emb_a")), "id_a")
+        .join(emb.select($"vec_id".as("id_b"), $"embedding".as("emb_b")), "id_b")
+        .select($"id_a", $"id_b", $"emb_a", $"emb_b")
         .as[(Long, Long, Seq[Float], Seq[Float])]
         .map { case (x, y, va, vb) =>
           (x, y, math.rint(Ann.cosine(va, vb) * 10000) / 10000)
@@ -726,9 +740,20 @@ object SparkEntry {
          |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
     "multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(ceil(octet_length(encode(text)) / 128.0) AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_frames,
+        |                  8 + doc_id % 24 AS w, 8 + (doc_id * 31) % 24 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         sum((x.range + y.range + d.doc_id + f.range) % 256) AS px_sum
+        |  FROM d, range(3) f, range(32) x, range(32) y
+        |  WHERE f.range < d.n_frames AND x.range < d.w AND y.range < d.h
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, CAST(d.n_frames AS BIGINT) AS n_frames,
+        |       CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |       CAST(d.w * d.h AS BIGINT) AS n_pixels,
+        |       CAST(px.px_sum AS BIGINT) AS px_sum
+        |FROM d JOIN px USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

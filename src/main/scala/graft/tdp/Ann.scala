@@ -198,20 +198,25 @@ object Ann {
   }
 
   /** All near-dup candidate PAIRS from the banded index (for dedup: the
-    * sketch stage before exact verification). Equi-join on (table, bucket)
-    * — no inequality/cartesian join anywhere in the plan. */
+    * sketch stage before exact verification), as (id_a, id_b) ONLY. Equi-
+    * join on (table, bucket) — no inequality/cartesian join anywhere in the
+    * plan — and the self-join shuffles 20-byte key+id rows, never the
+    * vectors: a bucket self-join that carries the embeddings multiplies
+    * shuffle bytes by payload × numTables (the r2 finding). The verify
+    * stage re-fetches vectors with two cheap equi-joins on the
+    * well-distributed id (see SparkEntry.dedup_embedding). */
   def lshCandidatePairs(
       spark: SparkSession,
       embeddings: DataFrame,
       cfg: LshConfig
   ): DataFrame = {
-    val sigs = lshSignatures(spark, embeddings, cfg)
-    val a = sigs.as("a"); val b = sigs.as("b")
+    val keys = lshSignatures(spark, embeddings, cfg)
+      .select(col("table"), col("bucket"), col("vec_id"))
+    val a = keys.as("a"); val b = keys.as("b")
     a.join(b,
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
   }
 

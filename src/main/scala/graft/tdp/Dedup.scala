@@ -85,26 +85,32 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, text) => (id, minhashSignature(text, numHashes)) }
       .toDF("doc_id", "sig")
-    // explode into (band, bucket) keys — the ONLY shuffle key; no text moves
+    // explode into (band, bucket, id) keys — the ONLY shuffle payload of the
+    // self-join; shipping the 64-hash signature on both sides would
+    // multiply shuffle bytes by 512 B × bands (the r2 finding). The verify
+    // stage re-fetches signatures by the well-distributed doc id instead.
     val buckets = sigs
       .as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
         (0 until bands).iterator.map { b =>
           val bucket = java.util.Arrays.hashCode(
             sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
-          (b, bucket, id, sig)
+          (b, bucket, id)
         }
       }
-      .toDF("band", "bucket", "doc_id", "sig")
+      .toDF("band", "bucket", "doc_id")
     val a = buckets.as("a")
     val b = buckets.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    pairs
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .select($"doc_a", $"doc_b", $"sig_a", $"sig_b")
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (x, y, sa, sb) =>
         (x, y, signatureSimilarity(sa.toSeq, sb.toSeq))

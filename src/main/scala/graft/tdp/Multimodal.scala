@@ -5,54 +5,115 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) ride as opaque
   * `binary` columns with typed metadata; decode / feature-extraction runs
-  * batched inside `mapPartitions` with an executor-pinned "codec" session —
-  * the same execution shape as the ONNX NER stage. The actual decoder is a
-  * STUB (no media libs in this container): [[StubCodec]] produces
-  * deterministic fake frames from the bytes, while the Spark-side schema,
-  * partitioning, batch shape and session lifecycle are real and tested.
+  * batched inside `mapPartitions` with an executor-pinned codec session —
+  * the same execution shape as the ONNX NER stage.
+  *
+  * The codec is REAL: payloads are multi-frame containers of PNG images
+  * (4-byte big-endian length prefix per frame, the classic length-delimited
+  * framing), decoded with `javax.imageio` — actual inflate + defilter work
+  * per frame, not a byte-slicing stub. The corpus has no media, so
+  * [[mediaFromDocuments]] synthesizes the payloads deterministically from
+  * doc_id (width/height/frame-count/pixels are closed-form functions of
+  * doc_id), which is what lets the DuckDB oracle reproduce the decoded
+  * metadata — dimensions, pixel count, pixel-value checksum — without ever
+  * parsing a PNG. At scale the same operators read real bytes from the
+  * lake; only the synthesizer is corpus-specific.
   */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
   final case class MediaMeta(doc_id: Long, n_bytes: Long, n_frames: Long,
-      feature_hash: Long)
+      width: Long, height: Long, n_pixels: Long, px_sum: Long)
+
+  /** Deterministic frame geometry: every field a closed-form function of
+    * doc_id so the oracle can re-derive it relationally. */
+  def frameCount(docId: Long): Int = (1 + docId % 3).toInt
+  def frameWidth(docId: Long): Int = (8 + docId % 24).toInt
+  def frameHeight(docId: Long): Int = (8 + (docId * 31) % 24).toInt
+  /** Gray value of pixel (x, y) in frame f. */
+  def pixel(docId: Long, f: Int, x: Int, y: Int): Int =
+    ((x + y + docId + f) % 256).toInt
 
   /** Executor-pinned decoder session (one per JVM — the analogue of an
-    * ONNX/ffmpeg context). Real implementation would lazily load native
-    * codecs here. */
-  final class StubCodec {
-    val FrameSize = 128
-    /** "Decode" payload into frames: deterministic slices of the bytes. */
-    def decodeFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
-      payload.grouped(FrameSize)
-    /** "Feature-extract" a frame: deterministic 64-bit digest standing in
-      * for an embedding (the real path would run a vision/audio model). */
-    def features(frame: Array[Byte]): Long = {
-      var h = 1469598103934665603L
-      var i = 0
-      while (i < frame.length) { h ^= frame(i); h *= 1099511628211L; i += 1 }
-      h
+    * ONNX/ffmpeg context). ImageIO reader instances are not thread-safe;
+    * the session goes through ThreadLocal streams internally, so a shared
+    * object is fine for the stateless read() entry point. */
+  final class PngCodec extends Serializable {
+    /** Split a length-delimited container into frame byte ranges. */
+    def frames(payload: Array[Byte]): Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+      private var off = 0
+      def hasNext: Boolean = off + 4 <= payload.length
+      def next(): Array[Byte] = {
+        val len = ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+          ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+        val out = java.util.Arrays.copyOfRange(payload, off + 4, off + 4 + len)
+        off += 4 + len
+        out
+      }
+    }
+
+    /** Real PNG decode: returns (width, height, sum of gray samples). */
+    def decode(frame: Array[Byte]): (Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+      require(img != null, "undecodable frame")
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sum)
     }
   }
 
   private object CodecHolder {
-    lazy val codec = new StubCodec // lazy ⇒ one per executor JVM
+    lazy val codec = new PngCodec // lazy ⇒ one per executor JVM
   }
 
-  /** Synthesize the binary column deterministically from text (the corpus
-    * has no real media; production reads the bytes from the lake). */
+  /** Encode one synthetic grayscale PNG frame for (docId, f). */
+  def encodeFrame(docId: Long, f: Int): Array[Byte] = {
+    val w = frameWidth(docId); val h = frameHeight(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(docId, f, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Synthesize the binary media column deterministically from doc_id (the
+    * corpus has no real media; production reads the bytes from the lake).
+    * Payload = length-delimited concatenation of `frameCount` PNG frames. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, t) =>
-        MediaRow(id, t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          "application/octet-stream")
+    docs.select($"doc_id").as[Long]
+      .map { id =>
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frameCount(id)) {
+          val png = encodeFrame(id, f)
+          out.write((png.length >>> 24) & 0xff); out.write((png.length >>> 16) & 0xff)
+          out.write((png.length >>> 8) & 0xff); out.write(png.length & 0xff)
+          out.write(png)
+          f += 1
+        }
+        MediaRow(id, out.toByteArray, "video/x-graft-png-frames")
       }
       .toDF()
   }
 
-  /** The decode/feature stage: batched per partition, session pinned per
-    * executor, emits typed metadata rows. */
+  /** The decode/feature stage: batched per partition, codec pinned per
+    * executor JVM, emits typed metadata rows. Narrow map — no shuffle; at
+    * 100 TB this runs at scan speed and the decode cost dominates, exactly
+    * like a production frame-sampling pass. */
   def extractMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select($"doc_id", $"payload").as[(Long, Array[Byte])]
@@ -60,12 +121,12 @@ object Multimodal {
         val codec = CodecHolder.codec
         it.map { case (id, payload) =>
           var frames = 0L
-          var featHash = 0L
-          codec.decodeFrames(payload).foreach { f =>
-            frames += 1
-            featHash ^= codec.features(f)
+          var w = 0L; var h = 0L; var pxSum = 0L
+          codec.frames(payload).foreach { fr =>
+            val (fw, fh, sum) = codec.decode(fr)
+            frames += 1; w = fw; h = fh; pxSum += sum
           }
-          MediaMeta(id, payload.length.toLong, frames, featHash)
+          MediaMeta(id, payload.length.toLong, frames, w, h, w * h, pxSum)
         }
       }
       .toDF()

@@ -190,6 +190,30 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pair self-joins exchange ids, not payloads") {
+    // the sketch self-join must shuffle (key, id) rows only: carrying the
+    // vectors/signatures on both sides multiplies shuffle bytes by the
+    // payload size × bands (the r2 finding); verify stages re-fetch
+    // payloads by id afterwards
+    val payloadCols = Set("embedding", "emb_a", "emb_b", "sig", "sig_a", "sig_b")
+    Seq("dedup_embedding", "dedup_minhash").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      // the self-join keyed on the bucket: whatever exchange feeds it
+      // (shuffle at scale, broadcast on tiny inputs) moves exactly the
+      // join-input rows — assert those rows are (key, id) only
+      val bucketJoins = df.queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "bucket")) => j
+      }
+      assert(bucketJoins.nonEmpty, s"$q: expected a bucket-keyed self-join")
+      bucketJoins.foreach { j =>
+        val carried = (j.left.output ++ j.right.output).map(_.name)
+        assert(!carried.exists(payloadCols.contains),
+          s"$q bucket self-join still carries a payload: $carried")
+      }
+    }
+  }
+
   test("dedup_exact plan has no window over the duplicate-cluster key") {
     // a count() OVER (PARTITION BY text_md5) puts an entire duplicate
     // cluster on one reducer — the r2 hot-key anti-pattern; the fixed shape
@@ -199,6 +223,47 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window"), s"dedup_exact still uses a window:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"expected a partial aggregate in:\n$plan")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  test("png frames decode back to the synthesized geometry and pixel sums") {
+    import spark.implicits._
+    val docs = Seq((0L, "x"), (5L, "y"), (41L, "z"), (1000L, "w"))
+      .toDF("doc_id", "text")
+    val meta = graft.tdp.Multimodal.extractMeta(spark,
+        graft.tdp.Multimodal.mediaFromDocuments(spark, docs))
+      .as[graft.tdp.Multimodal.MediaMeta].collect().sortBy(_.doc_id)
+    meta.foreach { m =>
+      val id = m.doc_id
+      assert(m.n_frames == graft.tdp.Multimodal.frameCount(id))
+      assert(m.width == graft.tdp.Multimodal.frameWidth(id))
+      assert(m.height == graft.tdp.Multimodal.frameHeight(id))
+      assert(m.n_pixels == m.width * m.height)
+      val expectedSum = (0 until graft.tdp.Multimodal.frameCount(id)).map { f =>
+        (for {
+          x <- 0 until graft.tdp.Multimodal.frameWidth(id)
+          y <- 0 until graft.tdp.Multimodal.frameHeight(id)
+        } yield graft.tdp.Multimodal.pixel(id, f, x, y).toLong).sum
+      }.sum
+      assert(m.px_sum == expectedSum, s"doc $id pixel checksum")
+      assert(m.n_bytes > 4 * m.n_frames, "payload holds real encoded frames")
+    }
+  }
+
+  test("the codec is a real PNG decoder, not a byte slicer") {
+    // decode a frame encoded by the standard library and check a pixel that
+    // only a real inflate+defilter pass recovers
+    val codec = new graft.tdp.Multimodal.PngCodec
+    val png = graft.tdp.Multimodal.encodeFrame(7L, 1)
+    val (w, h, sum) = codec.decode(png)
+    assert(w == graft.tdp.Multimodal.frameWidth(7L))
+    assert(h == graft.tdp.Multimodal.frameHeight(7L))
+    assert(sum > 0)
+    // corrupting the compressed stream must fail loudly, not return junk
+    val broken = png.clone()
+    broken(broken.length / 2) = (broken(broken.length / 2) ^ 0x5a).toByte
+    assertThrows[Exception](codec.decode(broken))
   }
 }
 
