@@ -1,0 +1,320 @@
+package graft
+
+/** DuckDB oracle SQL for the hash-sketch operators (dedup_minhash,
+  * dedup_simhash, doc_fingerprint): the engine's 64-bit hash kernels
+  * ([[graft.tdp.Dedup.hash64]] FNV-1a + xorshift mix, the per-k minhash
+  * remix, and the Rabin–Karp rolling hash of
+  * [[graft.tdp.TextStats.fingerprints]]) replicated in SQL with HUGEINT
+  * mod-2^64 arithmetic, so the oracle recomputes the sketches
+  * independently instead of trusting the engine (the same
+  * ship-the-constants technique as the ann_lsh plane literals).
+  *
+  * Arithmetic notes (all validated bit-exact against the JVM kernels):
+  *  - values live as HUGEINT in [0, 2^64); `% 2^64` after each multiply
+  *    reproduces Java's wrapping `Long` multiply;
+  *  - a full 64×64-bit product can overflow INT128, so [[splitmul]] splits
+  *    the left operand at 2^32 (lo·b and hi·b both fit);
+  *  - `xor` and `>>` are DuckDB-native on HUGEINT (non-negative ⇒ the
+  *    shift is logical, matching Java's `>>>`);
+  *  - Java compares `Long` SIGNED, so min-reductions convert to BIGINT
+  *    two's complement first ([[signed]]).
+  */
+object OracleSql {
+
+  private val M64 = "18446744073709551616::HUGEINT"
+
+  private def u64(x: Long): String = java.lang.Long.toUnsignedString(x)
+
+  /** (a * b) mod 2^64 for an unsigned-64 SQL expression and a constant. */
+  private def splitmul(a: String, b: Long): String =
+    s"((($a) % 4294967296) * ${u64(b)}::HUGEINT % $M64 + " +
+      s"((($a) // 4294967296) * ${u64(b)}::HUGEINT % 4294967296) * 4294967296) % $M64"
+
+  private def xorshift(h: String, s: Int): String = s"xor(($h), ($h) >> $s)"
+
+  /** u64 HUGEINT → signed BIGINT (two's complement). */
+  private def signed(h: String): String =
+    s"CAST(CASE WHEN ($h) >= 9223372036854775808::HUGEINT THEN ($h) - $M64 " +
+      s"ELSE ($h) END AS BIGINT)"
+
+  // the kernel constants (Dedup.scala): FNV-1a basis/prime and the mix /
+  // remix multipliers, shipped as unsigned literals
+  private val FnvPrime = 1099511628211L
+  private val FnvBasis = 1469598103934665603L
+  private val CMix = -49064778989728563L
+  private val CRemixK = -7046029254386353131L
+  private val CRemixM = -4417276706812531889L
+
+  /** FNV-1a fold over the UTF-16 code units of a string column (the corpus
+    * is ASCII, where code unit = code point = `unicode()`); the FNV prime
+    * is 41 bits so the in-loop multiply never overflows INT128 and needs no
+    * split. */
+  private def fnvLoop(col: String, seed: Long): String =
+    s"list_reduce(list_prepend(${u64(FnvBasis ^ seed)}::HUGEINT, " +
+      s"[unicode(c)::HUGEINT for c in string_split($col, '')]), " +
+      s"(h, c) -> xor(h, c) * $FnvPrime::HUGEINT % $M64)"
+
+  /** Java `Arrays.hashCode(long[])` over a 4-element slice of a signed
+    * BIGINT list column (32-bit wrapping int arithmetic). */
+  private def javaArraysHash(sig: String, band: Int): String = {
+    val u = s"(((v)::HUGEINT + $M64) % $M64)"
+    val elem = s"CAST(xor($u, $u >> 32) % 4294967296 AS BIGINT)"
+    val elemSigned = s"(CASE WHEN $elem >= 2147483648 THEN $elem - 4294967296 ELSE $elem END)"
+    val step = s"(((31 * h + $elemSigned) % 4294967296 + 4294967296 + 2147483648) " +
+      s"% 4294967296 - 2147483648)"
+    s"list_reduce(list_prepend(1::BIGINT, $sig[${4 * band + 1}:${4 * band + 4}]), " +
+      s"(h, v) -> $step)"
+  }
+
+  /** dedup_simhash: per-word hash64(w, 17), per-bit majority vote, 16-bit
+    * block pigeonhole candidates, hamming ≤ 3 verify — all recomputed
+    * relationally. */
+  val dedupSimhash: String = {
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h1 AS (SELECT doc_id, ${fnvLoop("w", 17L)} AS h FROM toks),
+       |h2 AS (SELECT doc_id, ${xorshift("h", 33)} AS h FROM h1),
+       |h3 AS (SELECT doc_id, ${splitmul("h", CMix)} AS h FROM h2),
+       |h4 AS (SELECT doc_id, ${xorshift("h", 33)} AS h FROM h3),
+       |bits AS (
+       |  SELECT doc_id, b.range AS bit,
+       |         sum(CASE WHEN (h >> CAST(b.range AS INT)) % 2 = 1 THEN 1 ELSE 0 END) AS n_set,
+       |         count(*) AS n
+       |  FROM h4, range(64) b GROUP BY doc_id, b.range),
+       |sim AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN 2 * n_set > n THEN 1::HUGEINT << CAST(bit AS INT)
+       |                  ELSE 0::HUGEINT END) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |blocks AS (
+       |  SELECT doc_id, simhash, blk.range AS blk,
+       |         (simhash >> CAST(blk.range * 16 AS INT)) % 65536 AS blk_val
+       |  FROM sim, range(4) blk),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS ha, b.simhash AS hb
+       |  FROM blocks a JOIN blocks b
+       |    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** dedup_minhash: 3-gram shingles → hash64 base → 64 seeded remixes →
+    * min per k → 16×4 banding with Java Arrays.hashCode buckets →
+    * signature-similarity ≥ 0.7 verify. The per-k xor constants
+    * (k · CRemixK mod 2^64) ship as a VALUES table. */
+  val dedupMinhash: String = {
+    val kcs = (0 until 64)
+      .map(k => s"($k, ${u64(k.toLong * CRemixK)}::HUGEINT)").mkString(", ")
+    val bandCases = (0 until 16)
+      .map(b => s"WHEN $b THEN ${javaArraysHash("sig", b)}").mkString(" ")
+    s"""WITH ks(k, kc) AS (VALUES $kcs),
+       |w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) < 3 THEN [text]
+       |    ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)] END) AS shingle
+       |  FROM w),
+       |b1 AS (SELECT doc_id, ${fnvLoop("shingle", 0L)} AS h FROM sh),
+       |b2 AS (SELECT doc_id, ${xorshift("h", 33)} AS h FROM b1),
+       |b3 AS (SELECT doc_id, ${splitmul("h", CMix)} AS h FROM b2),
+       |base AS (SELECT doc_id, ${xorshift("h", 33)} AS base FROM b3),
+       |r1 AS (SELECT doc_id, k, xor(base, kc) AS h FROM base CROSS JOIN ks),
+       |r2 AS (SELECT doc_id, k, ${xorshift("h", 32)} AS h FROM r1),
+       |r3 AS (SELECT doc_id, k, ${splitmul("h", CRemixM)} AS h FROM r2),
+       |r4 AS (SELECT doc_id, k, ${signed(xorshift("h", 29))} AS h FROM r3),
+       |sigk AS (SELECT doc_id, k, min(h) AS mh FROM r4 GROUP BY doc_id, k),
+       |sig AS (SELECT doc_id, list(mh ORDER BY k) AS sig FROM sigk GROUP BY doc_id),
+       |buckets AS (
+       |  SELECT doc_id, b.range AS band,
+       |         CASE b.range $bandCases END AS bucket
+       |  FROM sig, range(16) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |verify AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         len([i for i in range(1, 65) if sa.sig[i] = sb.sig[i]]) / 64.0 AS est_jaccard
+       |  FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+       |               JOIN sig sb ON sb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM verify
+       |WHERE est_jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** The flagship end-to-end check: the FULL kg_triples dump — subjects,
+    * predicates, objects, offsets, match strings, confidences — re-derived
+    * relationally from the raw documents table and the ontology semantics,
+    * with no exclusion list and no doc filter. 18,741 rows at sf0.01, all
+    * bit-exact.
+    *
+    * The corpus is closed-vocabulary space-separated ASCII text, which
+    * makes every pipeline stage's outcome a word-level function; each CTE
+    * below encodes one stage's documented semantics:
+    *
+    *  - `tok`: words with exact char offsets (cumulative-length window).
+    *  - `phrase`: two-word gazetteer phrases; the inner single-word matches
+    *    they cover lose overlap-merge (longest mapped wins,
+    *    merge_overlapping_ents.py:54-70 / post/Post.scala winner rule), so
+    *    `resid` emits singles only when NOT consumed by a phrase
+    *    (merge ≠ before "join", table ≠ before "scan", scan/join ≠ after
+    *    their phrase heads).
+    *  - ambiguous non-symbolic synonyms ("scan", "join") carry ONE merged
+    *    EquivalentIdSet (MERGED_AS_NON_SYMBOLIC) and emit ALL ids —
+    *    two rows per residual occurrence.
+    *  - `v`/`vr3`/`winner`: transformer-NER model-vocabulary words
+    *    (window/sort = operator; vector/stream/customer = component).
+    *    The BIO span finder (SimpleSpanFinder port,
+    *    tokenized_word_processor.py; ner/TokenClassifier.findSpans) chains
+    *    a span from the first vocab word of a consecutive-vocab-word run
+    *    through the last word OF THE SAME CLASS (other-class B labels are
+    *    ignored while a span is active; any non-vocab word is O and closes
+    *    it). The resulting multi-word span is unmapped (not in the
+    *    gazetteer, and fuzzy linking does not ground it), so the merge
+    *    winner among the covered words 1..m is the longest mapped single —
+    *    char length desc, then class rank (operator > component,
+    *    MergeOverlaps.DefaultPreferredOrder), then first position; words
+    *    after m are uncovered and emit normally. "customer" is model-only
+    *    vocabulary with no gazetteer entry — it never produces a triple.
+    *
+    * Winners are always trie entities, hence the constant
+    * TrieNer/HIGHLY_LIKELY columns (observed and asserted by the hash
+    * compare across all rows). */
+  val kgTriples: String =
+    """WITH tok AS (
+      |  SELECT doc_id, idx, w,
+      |         CAST(sum(length(w)) OVER (PARTITION BY doc_id ORDER BY idx
+      |              ROWS UNBOUNDED PRECEDING) - length(w) + idx - 1 AS INT) AS off,
+      |         lag(w)  OVER (PARTITION BY doc_id ORDER BY idx) AS prev,
+      |         lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS next
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |               unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
+      |        FROM documents)),
+      |phrase AS (
+      |  SELECT doc_id, w || ' ' || next AS match, off,
+      |         CAST(off + length(w) + 1 + length(next) AS INT) AS end_,
+      |         'mentions_operator' AS pred,
+      |         CASE w || ' ' || next
+      |           WHEN 'hash join' THEN 'OP:HASH_JOIN'
+      |           WHEN 'merge join' THEN 'OP:MERGE_JOIN'
+      |           WHEN 'table scan' THEN 'OP:TABLE_SCAN'
+      |           WHEN 'index scan' THEN 'OP:INDEX_SCAN' END AS obj
+      |  FROM tok
+      |  WHERE (w = 'hash' AND next = 'join') OR (w = 'merge' AND next = 'join')
+      |     OR (w = 'table' AND next = 'scan') OR (w = 'index' AND next = 'scan')),
+      |plain_terms(pw, ppred, pobj) AS (VALUES
+      |  ('filter', 'mentions_operator', 'OP:FILTER'),
+      |  ('agg',    'mentions_operator', 'OP:AGGREGATE'),
+      |  ('group',  'mentions_operator', 'OP:AGGREGATE'),
+      |  ('order',  'mentions_operator', 'OP:ORDER_BY'),
+      |  ('spark',  'mentions_component', 'SYS:SPARK'),
+      |  ('column', 'mentions_component', 'SYS:COLUMN'),
+      |  ('row',    'mentions_component', 'SYS:ROW'),
+      |  ('batch',  'mentions_component', 'SYS:BATCH'),
+      |  ('query',  'mentions_component', 'SYS:QUERY'),
+      |  ('key',    'mentions_component', 'SYS:KEY'),
+      |  ('value',  'mentions_component', 'SYS:VALUE')),
+      |plain AS (
+      |  SELECT t.doc_id, t.w AS match, t.off,
+      |         CAST(t.off + length(t.w) AS INT) AS end_, s.ppred AS pred, s.pobj AS obj
+      |  FROM tok t JOIN plain_terms s ON s.pw = t.w),
+      |resid AS (
+      |  SELECT doc_id, w AS match, off, CAST(off + length(w) AS INT) AS end_,
+      |         'mentions_operator' AS pred, 'OP:MERGE_JOIN' AS obj
+      |  FROM tok WHERE w = 'merge' AND (next IS NULL OR next != 'join')
+      |  UNION ALL
+      |  SELECT doc_id, w, off, CAST(off + length(w) AS INT),
+      |         'mentions_component', 'SYS:TABLE'
+      |  FROM tok WHERE w = 'table' AND (next IS NULL OR next != 'scan')
+      |  UNION ALL
+      |  SELECT doc_id, w, off, CAST(off + length(w) AS INT),
+      |         'mentions_operator', o.obj
+      |  FROM tok CROSS JOIN (VALUES ('OP:INDEX_SCAN'), ('OP:TABLE_SCAN')) o(obj)
+      |  WHERE w = 'scan' AND (prev IS NULL OR prev NOT IN ('table', 'index'))
+      |  UNION ALL
+      |  SELECT doc_id, w, off, CAST(off + length(w) AS INT),
+      |         'mentions_operator', o.obj
+      |  FROM tok CROSS JOIN (VALUES ('OP:HASH_JOIN'), ('OP:MERGE_JOIN')) o(obj)
+      |  WHERE w = 'join' AND (prev IS NULL OR prev NOT IN ('hash', 'merge'))),
+      |v AS (
+      |  SELECT doc_id, idx, w, off, length(w) AS wlen,
+      |         CASE WHEN w IN ('window', 'sort') THEN 'operator'
+      |              WHEN w IN ('vector', 'stream', 'customer') THEN 'component'
+      |         END AS vcls,
+      |         sum(CASE WHEN w IN ('window','sort','vector','stream','customer')
+      |                  THEN 0 ELSE 1 END)
+      |           OVER (PARTITION BY doc_id ORDER BY idx) AS rid
+      |  FROM tok),
+      |vr AS (SELECT * FROM v WHERE vcls IS NOT NULL),
+      |vr2 AS (
+      |  SELECT vr.*,
+      |         first_value(vcls) OVER (PARTITION BY doc_id, rid ORDER BY idx
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS x
+      |  FROM vr),
+      |vr3 AS (
+      |  SELECT vr2.*,
+      |         max(CASE WHEN vcls = x THEN idx END)
+      |           OVER (PARTITION BY doc_id, rid) AS m
+      |  FROM vr2),
+      |winner AS (
+      |  SELECT doc_id, w, off FROM (
+      |    SELECT vr3.*,
+      |           row_number() OVER (PARTITION BY doc_id, rid
+      |             ORDER BY wlen DESC,
+      |                      CASE vcls WHEN 'operator' THEN 1 ELSE 0 END DESC,
+      |                      idx) AS rn
+      |    FROM vr3 WHERE idx <= m AND w != 'customer')
+      |  WHERE rn = 1),
+      |trail_rows AS (SELECT doc_id, w, off FROM vr3 WHERE idx > m AND w != 'customer'),
+      |vocab_rows AS (
+      |  SELECT doc_id, w AS match, off, CAST(off + length(w) AS INT) AS end_,
+      |         CASE WHEN w IN ('window', 'sort') THEN 'mentions_operator'
+      |              ELSE 'mentions_component' END AS pred,
+      |         CASE w WHEN 'window' THEN 'OP:WINDOW' WHEN 'sort' THEN 'OP:SORT'
+      |                WHEN 'vector' THEN 'SYS:VECTOR' WHEN 'stream' THEN 'SYS:STREAM'
+      |         END AS obj
+      |  FROM (SELECT * FROM winner UNION ALL SELECT * FROM trail_rows)),
+      |allrows AS (
+      |  SELECT * FROM phrase UNION ALL SELECT * FROM plain
+      |  UNION ALL SELECT * FROM resid UNION ALL SELECT * FROM vocab_rows)
+      |SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR), '#',
+      |              CAST(off AS VARCHAR), '-', CAST(end_ AS VARCHAR)) AS subj,
+      |       pred, obj, 'HIGHLY_LIKELY' AS confidence, 'TrieNer' AS namespace,
+      |       match, off AS start, end_ AS "end",
+      |       concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url
+      |FROM allrows
+      |ORDER BY url, start, end_, pred, obj""".stripMargin
+
+  /** doc_fingerprint: Rabin–Karp 16-gram rolling hashes mod 2^64 (expressed
+    * positionally with precomputed base powers — identical to the rolling
+    * update by mod distributivity), signed winnowing window-minima with
+    * consecutive dedup. Every corpus doc has length ≥ 23, so the short-text
+    * fallbacks of the kernel are unreachable here (spec-covered instead);
+    * a shorter doc would yield a count mismatch, loudly. */
+  val docFingerprint: String = {
+    val B = 1000000007L
+    val pow = Iterator.iterate(1L)(_ * B).take(16).toIndexedSeq // wraps like the kernel
+    val terms = (1 to 16)
+      .map(j => s"cs[i+${j - 1}]::HUGEINT * ${u64(pow(16 - j))}::HUGEINT")
+      .mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT doc_id, [unicode(x) for x in string_split(text, '')] AS cs,
+       |         length(text) AS n
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, n - 14), i -> ${signed(s"(($terms) % $M64)")}) AS hs
+       |  FROM c),
+       |wm AS (
+       |  SELECT doc_id,
+       |         [list_min(hs[8*t+1 : 8*t+8]) for t in range(len(hs) // 8)] AS wm
+       |  FROM hs),
+       |fp AS (
+       |  SELECT doc_id,
+       |         list_filter(wm, (x, i) -> i = 1 OR x != wm[i-1]) AS fps
+       |  FROM wm)
+       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       |       list_min(fps) AS min_fingerprint
+       |FROM fp ORDER BY doc_id""".stripMargin
+  }
+}

@@ -680,6 +680,36 @@ object SparkEntry {
         |           WHEN lang IN ('de', 'fr', 'es', 'zh') THEN 1000
         |           ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+    // independent check of the Catalyst normalize/classify expressions: a
+    // fixture produced by EXECUTING THE REFERENCE IMPLEMENTATION
+    // (kazu.utils.string_normalizer.StringNormalizer.normalize /
+    // classify_symbolic, driver-side python) over the closed corpus
+    // vocabulary; the oracle re-derives the distinct-word set from the
+    // documents table and inner-joins, so an engine word missing from the
+    // fixture (or vice versa) fails the row-count compare loudly
+    "kg_normalize_vocab" ->
+      """WITH words AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |fx AS (
+        |  SELECT * FROM read_csv(
+        |    '/root/repo/src/test/resources/normalize_vocab_fixture.tsv',
+        |    delim='\t', header=true,
+        |    columns={'word': 'VARCHAR', 'syn_norm': 'VARCHAR',
+        |             'is_symbolic': 'BOOLEAN'}))
+        |SELECT w.word, fx.syn_norm, fx.is_symbolic
+        |FROM words w JOIN fx USING (word)
+        |WHERE w.word != ''
+        |ORDER BY w.word""".stripMargin,
+    // the flagship: the FULL end-to-end triple dump (offsets included),
+    // re-derived relationally with no exclusions — see OracleSql.kgTriples
+    "kg_triples" -> OracleSql.kgTriples,
+    // the hash-sketch operators: kernels recomputed in SQL with HUGEINT
+    // mod-2^64 arithmetic (OracleSql) — independent bit-exact checks of the
+    // minhash/simhash/Rabin–Karp pipelines, constants shipped as literals
+    "dedup_minhash" -> OracleSql.dedupMinhash,
+    "dedup_simhash" -> OracleSql.dedupSimhash,
+    "doc_fingerprint" -> OracleSql.docFingerprint,
     "pii_scrub" -> {
       val email = TextStats.EmailRe
       val phone = TextStats.PhoneRe
