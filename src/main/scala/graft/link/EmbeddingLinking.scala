@@ -50,7 +50,7 @@ object EmbeddingLinking {
     * still have no candidates after exact + fuzzy linking. */
   def processPartition(
       res: Resources,
-      embedder: Similarity.Embedder = new Similarity.HashingEmbedder()
+      embedder: Similarity.Embedder = graft.ner.MiniBernEmbedder
   )(docs: Iterator[KDoc]): Iterator[KDoc] = {
     val emb = jvmCache.computeIfAbsent(res.version,
       _ => buildSynonymEmbeddings(res, embedder))

@@ -221,7 +221,10 @@ final class MiniBern(
     * genuinely batched GEMMs; attention runs per frame with the word-local
     * block mask. Returns the flat hidden states + per-frame row offsets.
     */
-  private def trunk(frames: Seq[IndexedSeq[Piece]]): (Array[Float], Array[Int]) = {
+  private def trunk(
+      frames: Seq[IndexedSeq[Piece]],
+      includeWordFeature: Boolean = true
+  ): (Array[Float], Array[Int]) = {
     val offsets = frames.scanLeft(0)(_ + _.length).toArray
     val total = offsets.last
     val x = new Array[Float](total * d)
@@ -245,13 +248,22 @@ final class MiniBern(
         else posInWord = 0
         val row = (offsets(f) + i) * d
         val tok = tokenEmbedding(frame(i).token)
-        val wrd = wordEmbedding(wordText(frame(i).wordId))
+        // token-classification mode sums the DOMINANT whole-word feature
+        // (distinct words near-orthogonal — what the prototype head needs);
+        // encoder mode omits it, leaving the subword-compositional view
+        // (shared pieces ⇒ nearby vectors — the morphological-synonym
+        // geometry SapBERT training produces, which the linking
+        // confirmation thresholds rely on)
+        val wrd =
+          if (includeWordFeature) wordEmbedding(wordText(frame(i).wordId))
+          else null
         val po = math.min(posInWord, cfg.maxWordPieces - 1) * d
         val lo = math.min(wordLen(frame(i).wordId) - 1, cfg.maxWordPieces - 1) * d
         val cont = frame(i).token.startsWith("##")
         var j = 0
         while (j < d) {
-          x(row + j) = wrd(j) + tok(j) + posEmb(po + j) + lenEmb(lo + j) +
+          x(row + j) = (if (wrd == null) 0f else wrd(j)) + tok(j) +
+            posEmb(po + j) + lenEmb(lo + j) +
             (if (cont) contVec(j) else 0f)
           j += 1
         }
@@ -363,6 +375,34 @@ final class MiniBern(
         (l2norm(row), labelIdx(label))
       }
     }.toArray
+  }
+
+  /** Sentence/string encoder over the SAME trunk (the D3/D4 slot — SapBERT
+    * in the reference, kazu/utils/sapbert.py:84-254): wordpiece → trunk →
+    * mean-pool over piece hidden states → L2 normalize. Real inference
+    * FLOPs per call; with word-local attention the pooled vector is the
+    * mean of per-word representations, so distinct words contribute
+    * near-orthogonal components (bag-of-words-like geometry: two strings
+    * score by shared-word overlap, exact matches score 1.0). */
+  def encode(text: String): Array[Float] = {
+    val pieces = TokenClassifier.wordpieces(text)
+    val out = new Array[Float](d)
+    if (pieces.isEmpty) return out
+    val fs = TokenClassifier.frames(pieces)
+    // encoder mode: same trunk, same FLOPs, but input WITHOUT the dominant
+    // whole-word feature, so morphological variants ("influenza" /
+    // "influenzza") share most of their piece components and land nearby
+    val (h, offsets) = trunk(fs, includeWordFeature = false)
+    val total = offsets.last
+    var r = 0
+    while (r < total) {
+      var j = 0
+      while (j < d) { out(j) += h(r * d + j); j += 1 }
+      r += 1
+    }
+    var j = 0
+    while (j < d) { out(j) /= total; j += 1 }
+    l2norm(out)
   }
 
   def predict(frames: Seq[IndexedSeq[Piece]]): Array[Array[Array[Float]]] = {

@@ -82,9 +82,12 @@ object TokenClassifier {
     // lazy singleton per executor JVM (ref: per-Ray-worker model copy,
     // amortized per JVM here); weights are deterministic, so every executor
     // materializes the identical model
-    lazy val session: ModelSession = new MiniBern(CorpusVocab)
+    lazy val session: MiniBern = new MiniBern(CorpusVocab)
   }
   def executorSession: ModelSession = SessionHolder.session
+  /** The same executor-pinned model, typed for its encoder surface (the
+    * D3/D4 embedding slot shares the NER trunk + weight memo). */
+  def executorMiniBern: MiniBern = SessionHolder.session
 
   // --- activations (ref hf_token_classification.py:326-352) ----------------
 

@@ -180,30 +180,14 @@ object Similarity {
   }
 
   /** The SapBERT slot (ref SapbertStringSimilarityScorer + SapBertHelper):
-    * cosine over string embeddings. Production binds an ONNX encoder with an
-    * executor-pinned session; this deterministic fallback hashes char
-    * trigrams into a dense unit vector so the full pipeline (incl. embedding
-    * thresholds) is exercised reproducibly with no model asset.
+    * cosine over string embeddings, with the encoder behind a pluggable
+    * trait. The default binding is [[graft.ner.MiniBernEmbedder]] — the
+    * executor-pinned MiniBern trunk's mean-pooled encodings — so the
+    * embedding scorers carry real transformer inference; production swaps
+    * in an exported encoder session through the same trait.
     */
   trait Embedder extends Serializable {
     def embed(s: String): Array[Float]
-  }
-
-  final class HashingEmbedder(dim: Int = 64) extends Embedder {
-    def embed(s: String): Array[Float] = {
-      val v = new Array[Float](dim)
-      val lower = s.toLowerCase(java.util.Locale.ROOT)
-      val padded = "^" + lower + "$"
-      var i = 0
-      while (i + 3 <= padded.length) {
-        val h = padded.substring(i, i + 3).hashCode
-        v(math.abs(h % dim)) += (if (h >= 0) 1f else -1f)
-        i += 1
-      }
-      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
-      if (norm > 0) { var j = 0; while (j < dim) { v(j) /= norm; j += 1 } }
-      v
-    }
   }
 
   def cosine(a: Array[Float], b: Array[Float]): Double = {
@@ -219,5 +203,8 @@ object Similarity {
       else cosine(embedder.embed(ref), embedder.embed(query))
   }
 
-  val defaultEmbedding: EmbeddingScorer = new EmbeddingScorer(new HashingEmbedder())
+  // the ner→text reference is deliberate: the encoder lives with the model
+  // session (ner), the scorer slot binds it as the default here
+  lazy val defaultEmbedding: EmbeddingScorer =
+    new EmbeddingScorer(graft.ner.MiniBernEmbedder)
 }

@@ -217,4 +217,25 @@ class MiniBernSpec extends AnyFunSuite with SparkTestBase {
     assert(perFrame > 10_000_000L, s"per-frame FLOPs $perFrame")
     info(s"FLOPs per full frame: $perFrame")
   }
+
+  test("encoder: trunk-backed, subword-compositional, deterministic") {
+    import graft.text.Similarity
+    val m = TokenClassifier.executorMiniBern
+    def cos(a: String, b: String) = Similarity.cosine(m.encode(a), m.encode(b))
+    // exact strings encode identically (and the embedder memo returns the
+    // same array the session computes)
+    assert(cos("influenza", "influenza") > 0.99999)
+    assert(java.util.Arrays.equals(graft.ner.MiniBernEmbedder.embed("measles"),
+      m.encode("measles")))
+    // morphological variants share pieces and land nearby — the geometry
+    // the E6 embedding-confirmation threshold (0.60) relies on
+    assert(cos("influenza", "influenzza") >= 0.60,
+      s"morph sim ${cos("influenza", "influenzza")}")
+    // unrelated words stay well below the confirmation threshold
+    assert(cos("influenza", "mumps") < 0.45,
+      s"unrelated sim ${cos("influenza", "mumps")}")
+    // multi-word strings: shared words dominate similarity
+    assert(cos("breast cancer", "breast cancers") >
+      cos("breast cancer", "insulin"))
+  }
 }
