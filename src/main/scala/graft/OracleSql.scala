@@ -181,7 +181,23 @@ object OracleSql {
     * TrieNer/HIGHLY_LIKELY columns (observed and asserted by the hash
     * compare across all rows). */
   val kgTriples: String =
-    """WITH tok AS (
+    kgTriplesDump("SELECT doc_id, text FROM documents", "")
+
+  /** kg_classfilter oracle: the same full-dump derivation over the sliced +
+    * suffixed corpus, minus the keys the planted rules drop. The suffix
+    * plants one FP trigger token ("bogus" → drops every OP:FILTER mention
+    * doc-wide), one TP trigger ("realctx" → keeps SYS:SPARK whose TP rule
+    * fires), and SYS:QUERY carries a TP rule that never fires anywhere →
+    * dropped corpus-wide (ref rules_based_disambiguation.py:37-288). */
+  val kgClassFilter: String =
+    kgTriplesDump(
+      "SELECT doc_id, text || ' filter bogus realctx spark' AS text " +
+        "FROM documents WHERE doc_id % 10 = 0",
+      "WHERE obj NOT IN ('OP:FILTER', 'SYS:QUERY')")
+
+  private def kgTriplesDump(docsSource: String, finalWhere: String): String =
+    s"""WITH docs AS ($docsSource),
+      |tok AS (
       |  SELECT doc_id, idx, w,
       |         CAST(sum(length(w)) OVER (PARTITION BY doc_id ORDER BY idx
       |              ROWS UNBOUNDED PRECEDING) - length(w) + idx - 1 AS INT) AS off,
@@ -189,7 +205,7 @@ object OracleSql {
       |         lead(w) OVER (PARTITION BY doc_id ORDER BY idx) AS next
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
       |               unnest(range(1, len(string_split(text, ' ')) + 1)) AS idx
-      |        FROM documents)),
+      |        FROM docs)),
       |phrase AS (
       |  SELECT doc_id, w || ' ' || next AS match, off,
       |         CAST(off + length(w) + 1 + length(next) AS INT) AS end_,
@@ -283,6 +299,7 @@ object OracleSql {
       |       match, off AS start, end_ AS "end",
       |       concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url
       |FROM allrows
+      |$finalWhere
       |ORDER BY url, start, end_, pred, obj""".stripMargin
 
   /** doc_fingerprint: Rabin–Karp 16-gram rolling hashes mod 2^64 (expressed

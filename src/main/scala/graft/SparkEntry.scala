@@ -164,7 +164,12 @@ object SparkEntry {
       // triples. The suffix defines "hash join (HJ)" then reuses "HJ", so
       // each doc must yield exactly two HJ mentions mapped to OP:HASH_JOIN
       // at offsets len(text)+12 and len(text)+22.
+      // bounded doc slice (same predicate in the oracle): this query runs a
+      // SECOND full pipeline over suffix-modified text that cannot share the
+      // memoized docs, so restricting both sides keeps the oracle exact
+      // while cutting the duplicate inference pass to a fifth
       val pages = Pages.fromDocuments(s, dir)
+        .filter(regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 5 === 0)
         .withColumn("text",
           concat($"text", lit(" hash join (HJ) wins. HJ is used.")))
       val pagesWithHtml = pages.select(
@@ -194,7 +199,9 @@ object SparkEntry {
       // non-symbolic ambiguity). Docs containing "sort" are excluded by
       // the same regex on both sides — there OP:SORT would legitimately
       // remain defined-elsewhere too and XSF would stay ambiguous.
+      // bounded doc slice, same rationale (and predicate) as kg_abbrev
       val pages0 = Pages.fromDocuments(s, dir)
+        .filter(regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 5 === 0)
         .filter(!$"text".rlike("(?i)\\bsort\\b"))
       val pages = pages0.withColumn("text",
         concat($"text", lit(" filter wins. XSF wins. scan ends.")))
@@ -215,6 +222,38 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) => {
       import s.implicits._
       val docs = pipelineDocs(s, dir)
+      Triples.fromDocs(s, docs).toDF()
+        .select($"subj", $"pred", $"obj", $"confidence", $"namespace",
+          $"matchStr".as("match"), $"start", $"end", $"url")
+        .orderBy($"url", $"start", $"end", $"pred", $"obj")
+    }),
+    "kg_classfilter" -> ((s, dir) => {
+      import s.implicits._
+      import graft.link.ClassFilter
+      // E15 rules-based class filter, oracled end-to-end: a deterministic
+      // suffix plants (a) an FP trigger token "bogus" — the FP rule on
+      // (operator, "filter") fires in the suffix sentence and drops every
+      // filter mention DOC-WIDE (rule results OR-aggregate per key); (b) a
+      // TP trigger "realctx" — the TP rule on (component, "spark") fires, so
+      // spark mentions survive (including the suffix's own); and (c)
+      // (component, "query") carries a TP rule that never fires anywhere →
+      // every query mention is dropped. The oracle replays the full triple
+      // dump over the same sliced + suffixed corpus minus the dropped keys.
+      val rules = ClassFilter.Rules(mentionRules = Map(
+        "operator" -> Map(
+          "filter" -> Map("fp" -> Seq(Seq(ClassFilter.TokenRule(lower = Some("bogus")))))),
+        "component" -> Map(
+          "spark" -> Map("tp" -> Seq(Seq(ClassFilter.TokenRule(lower = Some("realctx"))))),
+          "query" -> Map("tp" -> Seq(Seq(ClassFilter.TokenRule(lower = Some("zzznever"))))))))
+      val pages = Pages.fromDocuments(s, dir)
+        .filter(regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 10 === 0)
+        .withColumn("text", concat($"text", lit(" filter bogus realctx spark")))
+      val withHtml = pages.select($"url", $"warc_ts",
+        to_binary(concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")),
+          lit("utf-8")).as("html"),
+        $"text", $"lang")
+      val (docs0, _) = Pipeline.run(s, withHtml, resources(s), classRules = rules)
+      val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Triples.fromDocs(s, docs).toDF()
         .select($"subj", $"pred", $"obj", $"confidence", $"namespace",
           $"matchStr".as("match"), $"start", $"end", $"url")
@@ -560,13 +599,15 @@ object SparkEntry {
         |       'mentions_operator' AS pred, 'OP:HASH_JOIN' AS obj,
         |       'HJ' AS "match"
         |FROM documents CROSS JOIN occ
+        |WHERE doc_id % 5 = 0
         |ORDER BY url, start""".stripMargin,
     "kg_disambig" ->
       """WITH base AS (
         |  SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
         |         length(text) AS len
         |  FROM documents
-        |  WHERE NOT regexp_matches(text, '(?i)\bsort\b')),
+        |  WHERE doc_id % 5 = 0
+        |    AND NOT regexp_matches(text, '(?i)\bsort\b')),
         |expected(off_s, off_e, obj, m) AS (VALUES
         |  (1, 7, 'OP:FILTER', 'filter'),
         |  (14, 17, 'OP:FILTER', 'XSF'),
@@ -704,6 +745,7 @@ object SparkEntry {
     // the flagship: the FULL end-to-end triple dump (offsets included),
     // re-derived relationally with no exclusions — see OracleSql.kgTriples
     "kg_triples" -> OracleSql.kgTriples,
+    "kg_classfilter" -> OracleSql.kgClassFilter,
     // the hash-sketch operators: kernels recomputed in SQL with HUGEINT
     // mod-2^64 arithmetic (OracleSql) — independent bit-exact checks of the
     // minhash/simhash/Rabin–Karp pipelines, constants shipped as literals
