@@ -32,6 +32,14 @@ object MentionConfidence {
     case 10  => "POSSIBLE"
     case _   => "IGNORE"
   }
+  /** Inverse of [[name]] — used when parsing the canonical document JSON
+    * back into typed docs (the linking_only HTTP route). */
+  def fromName(s: String): Int = s match {
+    case "HIGHLY_LIKELY" => HighlyLikely
+    case "PROBABLE"      => Probable
+    case "POSSIBLE"      => Possible
+    case _               => Ignore
+  }
 }
 
 object StringMatchConfidence {

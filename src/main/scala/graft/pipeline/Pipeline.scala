@@ -141,15 +141,19 @@ object Pipeline {
       resources: Resources,
       runner: StrategyRunner,
       classRules: ClassFilter.Rules,
-      withTransformerNer: Boolean
+      withTransformerNer: Boolean,
+      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config()
   )(docs: Iterator[KDoc]): Iterator[KDoc] = {
     val session = TokenClassifier.executorSession
     val trie = TrieNer.processDoc(resources) _
     val transformer = TokenClassifier.processDoc(session) _
-    // partition-level stages wrap the per-doc chain
+    val splitDoc = graft.ner.EntitySplitter.processDoc(splitter) _
+    // partition-level stages wrap the per-doc chain; the non-contiguous
+    // splitter runs right after NER, as the reference attaches it to the
+    // NER step (entity_post_processing.py)
     val nerDocs = docs.map { d =>
       val t = trie(d)
-      if (withTransformerNer) transformer(t) else t
+      splitDoc(if (withTransformerNer) transformer(t) else t)
     }
     linkingStages(resources, runner, classRules)(nerDocs)
   }
@@ -191,7 +195,8 @@ object Pipeline {
       runner: StrategyRunner = Ladders.default,
       cfg: Config = Config(),
       classRules: ClassFilter.Rules = ClassFilter.Rules(),
-      withTransformerNer: Boolean = true
+      withTransformerNer: Boolean = true,
+      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config()
   ): (Dataset[KDoc], Seq[LineageRow]) = {
     import spark.implicits._
     val runCtx = new Run(spark, cfg, scala.collection.mutable.ArrayBuffer.empty)
@@ -219,7 +224,7 @@ object Pipeline {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var n = 0L; var fails = 0L
         val mapped = fusedStages(resources.value, runner, classRules,
-          withTransformerNer)(it).map { d =>
+          withTransformerNer, splitter)(it).map { d =>
           n += 1; if (d.error.isDefined) fails += 1; d
         }
         new Iterator[KDoc] {
@@ -267,8 +272,12 @@ object Pipeline {
           val session = TokenClassifier.executorSession
           it.map(TokenClassifier.processDoc(session))
         })
+    val split =
+      if (splitter.isEmpty) ner
+      else runCtx.stage("entity_splitter",
+        ner.map(graft.ner.EntitySplitter.processDoc(splitter)))
     val linked = runCtx.stage("dict_linking",
-      ner.mapPartitions(DictionaryLinking.processPartition(resources.value)))
+      split.mapPartitions(DictionaryLinking.processPartition(resources.value)))
     val filtered =
       if (classRules.isEmpty) linked
       else runCtx.stage("class_filter",

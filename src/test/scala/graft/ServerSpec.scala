@@ -58,6 +58,21 @@ class ServerSpec extends AnyFunSuite {
       val bad = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/kazu/ner_only"))
         .POST(HttpRequest.BodyPublishers.ofString("{nope")).build()
       assert(client.send(bad, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+
+      // batch requires an array — a single object is a client error, not
+      // silent single-mode
+      val single = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/kazu/batch"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"text":"sort"}""")).build()
+      assert(client.send(single, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+
+      // step-group composability over HTTP: ner_only's response piped
+      // through linking_only equals the one-shot full route
+      val text = """{"text":"the filter runs in spark with a merge join"}"""
+      val nerResp = post("/api/kazu/ner_only", text)
+      val composed = mapper.readTree(post("/api/kazu/linking_only", nerResp))
+      val oneShot = mapper.readTree(post("/api/kazu/ner_and_linking", text))
+      assert(composed == oneShot,
+        s"composed=$composed\noneShot=$oneShot")
     } finally server.stop(0)
   }
 }

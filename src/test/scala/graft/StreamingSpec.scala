@@ -96,6 +96,37 @@ class GoldReaderSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.find(_.getAs[String]("match") == "EGFR").get
       .getAs[String]("mapping_id") == "ENSG1")
   }
+
+  test("writer → reader round-trip: pipeline docs become annotation tasks") {
+    import spark.implicits._
+    // real pipeline output docs (so entities carry grounded mappings)
+    val pages = graft.pipeline.Pages.fromDocuments(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.expr(
+        "cast(regexp_extract(url, '([0-9]+)$', 1) as long) < 20"))
+    val res = spark.sparkContext.broadcast(graft.index.Resources.corpus)
+    val (docs, _) = graft.pipeline.Pipeline.run(spark, pages, res)
+    val cached = docs.persist()
+    val dir = java.nio.file.Files.createTempDirectory("ls-tasks").toString
+    graft.eval.GoldWriter.writeLabelStudioJson(cached, dir)
+
+    val back = graft.eval.GoldReader.fromLabelStudioJson(spark, dir)
+      .select($"url", $"start", $"end", $"match", $"entity_class",
+        $"source", $"mapping_id")
+      .as[(String, Int, Int, String, String, String, String)]
+      .collect().toSet
+    val expected = cached.collect().flatMap { d =>
+      d.sections.flatMap(_.entities.flatMap { e =>
+        val m = e.mappings.headOption
+        e.spans.map(sp => (d.url, sp.start, sp.end,
+          d.sections.head.text.substring(sp.start, sp.end),
+          e.entityClass, m.map(_.source).orNull, m.map(_.idx).orNull))
+      })
+    }.toSet
+    assert(expected.nonEmpty)
+    assert(back == expected,
+      s"missing=${(expected -- back).take(3)} extra=${(back -- expected).take(3)}")
+    cached.unpersist()
+  }
 }
 
 /** Cross-validation: the stateful streaming sessionizer and the batch
