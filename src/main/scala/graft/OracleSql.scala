@@ -195,6 +195,28 @@ object OracleSql {
         "FROM documents WHERE doc_id % 10 = 0",
       "WHERE obj NOT IN ('OP:FILTER', 'SYS:QUERY')")
 
+  /** Aggregates over the full-dump derivation — NO exclusion lists: the
+    * run/merge/nesting semantics encoded in [[kgTriples]] make every
+    * (pred, obj) slice derivable, including the ambiguous and
+    * model-vocabulary objects that rounds 1–2 had to exclude. */
+  val kgTriplesAgg: String =
+    s"""SELECT pred, obj, CAST(count(*) AS BIGINT) AS n_mentions
+       |FROM ($kgTriples)
+       |GROUP BY pred, obj ORDER BY pred, obj""".stripMargin
+
+  val kgGraphStats: String =
+    s"""SELECT pred, obj, CAST(count(*) AS BIGINT) AS n_mentions,
+       |       CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+       |FROM ($kgTriples)
+       |GROUP BY pred, obj ORDER BY pred, obj""".stripMargin
+
+  val kgCooccurrence: String =
+    s"""WITH present AS (SELECT DISTINCT url, obj FROM ($kgTriples))
+       |SELECT a.obj AS obj_a, b.obj AS obj_b,
+       |       CAST(count(*) AS BIGINT) AS n_docs
+       |FROM present a JOIN present b ON a.url = b.url AND a.obj < b.obj
+       |GROUP BY a.obj, b.obj ORDER BY obj_a, obj_b""".stripMargin
+
   private def kgTriplesDump(docsSource: String, finalWhere: String): String =
     s"""WITH docs AS ($docsSource),
       |tok AS (

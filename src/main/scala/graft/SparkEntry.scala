@@ -59,17 +59,6 @@ object SparkEntry {
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Terms excluded from the oracle-checked triple aggregate: ambiguous
-    * synonyms ("scan", "join", "merge") resolve through order-dependent
-    * document-context disambiguation; nested phrases change counts via
-    * overlap-merge; and terms in the transformer-NER model vocabulary
-    * (TokenClassifier.CorpusVocab) gain model spans (adjacent B-labels
-    * extend into multi-word spans, ref SimpleSpanFinder copy-on-new-B)
-    * that merge locations. Those paths are covered by ScalaTest goldens
-    * plus the kg_disambig oracle (which runs with NO exclusions). */
-  private val ambiguousObjs = Set(
-    "OP:TABLE_SCAN", "OP:INDEX_SCAN", "OP:HASH_JOIN", "OP:MERGE_JOIN", "SYS:TABLE",
-    "OP:SORT", "OP:WINDOW", "SYS:VECTOR", "SYS:STREAM")
 
   // ---- driver contract ----------------------------------------------------
 
@@ -113,8 +102,9 @@ object SparkEntry {
     "kg_triples_agg" -> ((s, dir) => {
       import s.implicits._
       val docs = pipelineDocs(s, dir)
+      // NO exclusion list (rounds 1-2 excluded ambiguous/model-vocab objs):
+      // the full-dump oracle derivation covers every (pred, obj) slice
       Triples.fromDocs(s, docs).toDF()
-        .filter(!$"obj".isin(ambiguousObjs.toSeq: _*))
         .groupBy($"pred", $"obj")
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy($"pred", $"obj")
@@ -122,8 +112,10 @@ object SparkEntry {
     "kg_normalize_vocab" -> ((s, dir) => {
       import s.implicits._
       // the native Catalyst normalize expression over the corpus vocabulary
-      // (whole-stage codegen'd; no UDF) — rows-only check, kernel parity is
-      // pinned by 8000+ reference-generated fixtures in NormalizerSpec
+      // (whole-stage codegen'd; no UDF); oracle = a fixture produced by
+      // executing the REFERENCE normalizer (see oracleSql), and kernel
+      // parity is additionally pinned by 8000+ reference-generated
+      // fixtures in NormalizerSpec
       graft.functions.GraftFunctions.register(s)
       docsDf(s, dir)
         .select(explode(split($"text", " ")).as("word"))
@@ -140,8 +132,7 @@ object SparkEntry {
       // hot-entity-skew defense; must produce numbers identical to the
       // plain group-by oracle
       val docs = pipelineDocs(s, dir)
-      val triples = Triples.fromDocs(s, docs).toDF()
-        .filter(!$"obj".isin(ambiguousObjs.toSeq: _*))
+      val triples = Triples.fromDocs(s, docs).toDF() // no exclusions (round 3)
       graft.triples.GraphStats.saltedObjectCounts(s, triples)
     }),
     "kg_cooccurrence" -> ((s, dir) => {
@@ -152,8 +143,7 @@ object SparkEntry {
       // the cap (64) exceeds the whole ontology size, so on this corpus no
       // row is dropped and the oracle stays exact (GraphStats + SCALE.md §3)
       val docs = pipelineDocs(s, dir)
-      val triples = Triples.fromDocs(s, docs).toDF()
-        .filter(!$"obj".isin(ambiguousObjs.toSeq: _*))
+      val triples = Triples.fromDocs(s, docs).toDF() // no exclusions (round 3)
       graft.triples.GraphStats.cooccurrenceEdges(s, triples)
     }),
     "kg_abbrev" -> ((s, dir) => {
@@ -522,24 +512,6 @@ object SparkEntry {
       .map { case (t, c) => s"('$t','$c')" }
       .mkString(", ")
 
-  /** (pred, obj, regex) rows for the oracle-checked triple aggregate. */
-  private def tripleTermsValues: String =
-    CorpusOntology.rows
-      .filterNot(r => ambiguousObjs.contains(r.idx))
-      .map(r => (s"mentions_${r.entityClass}", r.idx, r.syn))
-      .distinct
-      .filterNot { case (_, _, syn) => ambiguousTerm(syn) }
-      .map { case (p, o, syn) => s"('$p','$o','\\b$syn\\b')" }
-      .mkString(", ")
-
-  /** Synonyms whose surface form is ambiguous or nested in a longer
-    * gazetteer phrase (their mention counts are affected by
-    * disambiguation/merge). */
-  private def ambiguousTerm(syn: String): Boolean =
-    Set("scan", "join", "merge", "table", "table scan", "index scan",
-      "hash join", "merge join", "sort", "window", "vector", "stream")
-      .contains(syn)
-
   def oracleSql: Map[String, String] = Map(
     "kg_extract_text" ->
       """SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
@@ -555,42 +527,12 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
          |FROM c GROUP BY "match", entity_class HAVING sum(n) > 0
          |ORDER BY "match", entity_class""".stripMargin,
-    "kg_triples_agg" ->
-      s"""WITH terms(pred, obj, pat) AS (VALUES $tripleTermsValues),
-         |c AS (
-         |  SELECT t.pred, t.obj, len(regexp_extract_all(d.text, t.pat)) AS n
-         |  FROM documents d CROSS JOIN terms t)
-         |SELECT pred, obj, CAST(sum(n) AS BIGINT) AS n_mentions
-         |FROM c GROUP BY pred, obj HAVING sum(n) > 0
-         |ORDER BY pred, obj""".stripMargin,
-    "kg_graph_stats" ->
-      s"""WITH terms(pred, obj, pat) AS (VALUES $tripleTermsValues),
-         |c AS (
-         |  SELECT t.pred, t.obj, d.doc_id,
-         |         len(regexp_extract_all(d.text, t.pat)) AS n
-         |  FROM documents d CROSS JOIN terms t),
-         |per_doc AS (
-         |  SELECT pred, obj, doc_id, sum(n) AS n
-         |  FROM c GROUP BY pred, obj, doc_id)
-         |SELECT pred, obj, CAST(sum(n) AS BIGINT) AS n_mentions,
-         |       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
-         |FROM per_doc GROUP BY pred, obj HAVING sum(n) > 0
-         |ORDER BY pred, obj""".stripMargin,
-    "kg_cooccurrence" ->
-      s"""WITH terms(pred, obj, pat) AS (VALUES $tripleTermsValues),
-         |c AS (
-         |  SELECT t.obj, d.doc_id,
-         |         len(regexp_extract_all(d.text, t.pat)) AS n
-         |  FROM documents d CROSS JOIN terms t),
-         |per_doc AS (
-         |  SELECT obj, doc_id, sum(n) AS n FROM c GROUP BY obj, doc_id),
-         |present AS (
-         |  SELECT DISTINCT doc_id, obj FROM per_doc WHERE n > 0)
-         |SELECT a.obj AS obj_a, b.obj AS obj_b,
-         |       CAST(count(*) AS BIGINT) AS n_docs
-         |FROM present a JOIN present b
-         |  ON a.doc_id = b.doc_id AND a.obj < b.obj
-         |GROUP BY a.obj, b.obj ORDER BY obj_a, obj_b""".stripMargin,
+    // exclusion-free aggregates derived from the full-dump oracle (the
+    // rounds-1/2 regex-VALUES oracles needed an ambiguous-obj exclusion
+    // list; the dump derivation covers every (pred, obj) slice)
+    "kg_triples_agg" -> OracleSql.kgTriplesAgg,
+    "kg_graph_stats" -> OracleSql.kgGraphStats,
+    "kg_cooccurrence" -> OracleSql.kgCooccurrence,
     "kg_abbrev" ->
       """WITH occ(off_s, off_e) AS (VALUES (12, 14), (22, 24))
         |SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
