@@ -50,6 +50,13 @@ object SparkEntry {
         }
       })
     docsCache.getOrElseUpdate((spark, sfDir), {
+      // hard bound: sessions sharing one context (newSession clones) never
+      // see onApplicationEnd, so cap the cache regardless of lifecycle —
+      // evict (and unpersist) the excess before inserting
+      if (docsCache.size >= 8)
+        docsCache.keys.take(docsCache.size - 7).foreach { k =>
+          docsCache.remove(k).foreach(_.unpersist())
+        }
       val pages = Pages.fromDocuments(spark, sfDir)
       val (docs, _) = Pipeline.run(spark, pages, resources(spark))
       docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -58,6 +65,12 @@ object SparkEntry {
 
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Filesystem path of a committed fixture for oracle SQL (DuckDB runs
+    * driver-side against real files). Override the repo root for checkouts
+    * not rooted at the driver default. */
+  private def fixturePath(name: String): String =
+    s"${sys.env.getOrElse("GRAFT_REPO_ROOT", "/root/repo")}/src/test/resources/$name"
 
 
   // ---- driver contract ----------------------------------------------------
@@ -671,13 +684,13 @@ object SparkEntry {
     // documents table and inner-joins, so an engine word missing from the
     // fixture (or vice versa) fails the row-count compare loudly
     "kg_normalize_vocab" ->
-      """WITH words AS (
+      s"""WITH words AS (
         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS word
         |  FROM documents),
         |fx AS (
         |  SELECT * FROM read_csv(
-        |    '/root/repo/src/test/resources/normalize_vocab_fixture.tsv',
-        |    delim='\t', header=true,
+        |    '${fixturePath("normalize_vocab_fixture.tsv")}',
+        |    delim='\\t', header=true,
         |    columns={'word': 'VARCHAR', 'syn_norm': 'VARCHAR',
         |             'is_symbolic': 'BOOLEAN'}))
         |SELECT w.word, fx.syn_norm, fx.is_symbolic

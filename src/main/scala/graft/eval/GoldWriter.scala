@@ -35,16 +35,20 @@ object GoldWriter {
     sb.toString
   }
 
-  /** One Label Studio task JSON object per document. */
+  /** One Label Studio task JSON object per document. Section texts are
+    * joined with one space into `data.text`, and every span is shifted by
+    * its section's offset in that joined text, so annotations index the
+    * task text correctly even for multi-section documents. */
   def taskJson(doc: KDoc): String = {
+    val offsets = doc.sections.scanLeft(0)((acc, s) => acc + s.text.length + 1)
     val text = doc.sections.map(_.text).mkString(" ")
     val results = for {
-      section <- doc.sections
+      (section, base) <- doc.sections.zip(offsets)
       e <- section.entities
       span <- e.spans // LS represents non-contiguous regions as several spans
     } yield {
       val m = e.mappings.headOption
-      s"""{"value":{"start":${span.start},"end":${span.end},""" +
+      s"""{"value":{"start":${base + span.start},"end":${base + span.end},""" +
         s""""labels":["${esc(e.entityClass)}"],""" +
         s""""text":"${esc(section.text.substring(span.start, math.min(span.end, section.text.length)))}"},""" +
         s""""meta":{"mapping_id":${m.map(mm => "\"" + esc(mm.idx) + "\"").getOrElse("null")},""" +
@@ -54,12 +58,19 @@ object GoldWriter {
       s""""annotations":[{"result":[${results.mkString(",")}]}]}"""
   }
 
-  /** Distributed write: each partition file is one valid task ARRAY. */
+  /** Distributed write: each partition file is one valid task ARRAY, but
+    * emitted as one ROW PER TASK (multiLine JSON parses the whole file, so
+    * interior newlines are fine) — no partition-sized string is ever
+    * materialized, so a multi-GB partition streams through. */
   def writeLabelStudioJson(docs: Dataset[KDoc], path: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.mapPartitions { it =>
-      Iterator.single("[" + it.map(taskJson).mkString(",") + "]")
+      if (!it.hasNext) Iterator.single("[]")
+      else Iterator.single("[") ++
+        it.zipWithIndex.map { case (d, i) =>
+          (if (i > 0) "," else "") + taskJson(d)
+        } ++ Iterator.single("]")
     }.write.mode("overwrite").text(path)
   }
 }

@@ -89,8 +89,34 @@ object Main {
         // those urls from scratch.
         val triplesPath = new org.apache.hadoop.fs.Path(s"$output/triples")
         val fs = triplesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // migrate a legacy layout (top-level pred= partitions from the old
+        // raw-append mode) under inc=legacy, so partition discovery never
+        // sees two conflicting directory depths
+        if (fs.exists(triplesPath) &&
+            fs.listStatus(triplesPath).exists(_.getPath.getName.startsWith("pred="))) {
+          val legacy = new org.apache.hadoop.fs.Path(triplesPath, "inc=legacy")
+          fs.mkdirs(legacy)
+          fs.listStatus(triplesPath)
+            .filter(_.getPath.getName.startsWith("pred="))
+            .foreach { st =>
+              require(fs.rename(st.getPath,
+                new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)),
+                s"legacy migration failed for ${st.getPath}")
+            }
+        }
+        // "table exists" = an inc= partition with actual parquet data — an
+        // empty committed increment (zero triples) must not force a
+        // schema-less read on the next run
+        def hasParquet(p: org.apache.hadoop.fs.Path): Boolean = {
+          val it = fs.listFiles(p, true)
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().getPath.getName.endsWith(".parquet")
+          found
+        }
         val hasTable = fs.exists(triplesPath) &&
-          fs.listStatus(triplesPath).exists(_.getPath.getName.startsWith("inc="))
+          fs.listStatus(triplesPath).exists(_.getPath.getName.startsWith("inc=")) &&
+          hasParquet(triplesPath)
         val newPages =
           if (!hasTable) pages
           else Pipeline.newPagesOnly(pages,

@@ -80,11 +80,18 @@ object Dedup {
   ): DataFrame = {
     import spark.implicits._
     val rowsPerBand = numHashes / bands
+    // persisted: the signature map (64 remixes × every shingle — the
+    // dominant CPU cost) feeds THREE plan branches (bucket explode + the
+    // two verify-side re-fetch joins) that shuffle on different keys, so
+    // without a persist it would be computed three times per document.
+    // 512 B/doc; Spark's ContextCleaner unpersists it when the returned
+    // plan is dropped, and LRU eviction bounds memory under pressure.
     val sigs = docs
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .map { case (id, text) => (id, minhashSignature(text, numHashes)) }
       .toDF("doc_id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explode into (band, bucket, id) keys — the ONLY shuffle payload of the
     // self-join; shipping the 64-hash signature on both sides would
     // multiply shuffle bytes by 512 B × bands (the r2 finding). The verify

@@ -127,6 +127,27 @@ class GoldReaderSpec extends AnyFunSuite with SparkTestBase {
       s"missing=${(expected -- back).take(3)} extra=${(back -- expected).take(3)}")
     cached.unpersist()
   }
+
+  test("writer shifts multi-section spans to task-text offsets") {
+    import graft.model._
+    val doc = KDoc("u", new java.sql.Timestamp(0), "abs body", "en", Seq(
+      Section("abstract", "foo bar",
+        Seq(Mention("foo", "x", Seq(CharSpan(0, 3)), "t", 50, "FOO"))),
+      Section("body", "spark joins",
+        Seq(Mention("spark", "component", Seq(CharSpan(0, 5)), "t", 50, "SPARK")))))
+    val json = graft.eval.GoldWriter.taskJson(doc)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val text = node.path("data").path("text").asText
+    assert(text == "foo bar spark joins")
+    val results = node.path("annotations").path(0).path("result")
+    (0 until results.size()).foreach { i =>
+      val v = results.path(i).path("value")
+      // the annotated slice of the TASK text must equal the recorded text
+      assert(text.substring(v.path("start").asInt, v.path("end").asInt) ==
+        v.path("text").asText)
+    }
+    assert(results.path(1).path("value").path("start").asInt == 8)
+  }
 }
 
 /** Cross-validation: the stateful streaming sessionizer and the batch
