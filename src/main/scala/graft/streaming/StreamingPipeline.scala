@@ -89,6 +89,69 @@ object StreamingPipeline {
       }
   }
 
+  // --- streaming NEAR-dup (minhash LSH over a stream) -----------------------
+
+  final case class NearDup(url: String, matchedUrl: String, estJaccard: Double)
+
+  /** Stateful near-duplicate detection over a continuous page stream: the
+    * incremental form of the batch sketch→verify dedup. Each page's minhash
+    * signature is exploded to its (band, bucket) keys; per-bucket state
+    * holds the signatures previously seen in that bucket, and an arriving
+    * page is verified (signature similarity ≥ threshold) against them —
+    * so near-dups are found ACROSS micro-batches, which exact-hash dedup
+    * cannot do.
+    *
+    * Scale shape: the state IS the LSH index — RocksDB-backed in
+    * production, keyed by the well-distributed (band, bucket) pair, one
+    * signature (~512 B) per stored doc per band. `maxBucket` caps each
+    * bucket's state (matching the batch index's constant-occupancy sizing,
+    * [[graft.tdp.Ann.LshConfig.forCorpus]]): a degenerate hot bucket
+    * (boilerplate template) evicts oldest-first rather than growing without
+    * bound. A pair sharing several buckets is emitted once per matching
+    * band (at-least-once semantics) — consumers dedup on the pair key.
+    */
+  def nearDupStream(
+      spark: SparkSession,
+      pages: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64
+  ): Dataset[NearDup] = {
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    pages.select($"url", $"text").as[(String, String)]
+      .flatMap { case (url, text) =>
+        val sig = graft.tdp.Dedup.minhashSignature(text, numHashes)
+        (0 until bands).iterator.map { b =>
+          val bucket = java.util.Arrays.hashCode(
+            sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
+          (b.toLong << 32 | (bucket & 0xffffffffL), url, sig)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(String, Array[Long])], NearDup](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[List[(String, Array[Long])]]) =>
+          var stored = state.getOption.getOrElse(List.empty)
+          // deterministic in-batch order (as dedupStream)
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, url, sig) =>
+            val hits = stored.collect {
+              case (seenUrl, seenSig)
+                  if seenUrl != url &&
+                    graft.tdp.Dedup.signatureSimilarity(
+                      seenSig.toSeq, sig.toSeq) >= threshold =>
+                NearDup(url, seenUrl,
+                  graft.tdp.Dedup.signatureSimilarity(seenSig.toSeq, sig.toSeq))
+            }
+            stored = ((url, sig) :: stored).take(maxBucket)
+            hits
+          }
+          state.update(stored)
+          out.iterator
+      }
+  }
+
   // --- event sessionization with custom state ------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -229,4 +229,40 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("u2").isFirstSeen && rows("u5").isFirstSeen)
     assert(rows.values.count(_.isFirstSeen) == 3)
   }
+
+  test("near-dup stream: minhash LSH state finds pairs across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearA = base.replace("token7", "tokenX")   // ~0.9 jaccard vs base
+    val nearB = base.replace("token9", "tokenY")
+    val other = (1 to 40).map(i => s"word$i").mkString(" ")
+    val input = MemoryStream[(String, String)]
+    val pages = input.toDF().toDF("url", "text")
+    val q = graft.streaming.StreamingPipeline.nearDupStream(spark, pages)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    // batch 1: base + an unrelated doc — no pairs yet
+    input.addData(("a", base), ("z", other))
+    q.processAllAvailable()
+    val afterB1 = spark.sql("SELECT DISTINCT url, matchedUrl FROM neardup_stream")
+      .as[(String, String)].collect().toSet
+    assert(afterB1.isEmpty, afterB1)
+    // batch 2: two near-dups of `base` arrive later — the stateful index
+    // must match them against batch-1 state (cross-batch) and each other
+    input.addData(("b", nearA), ("c", nearB))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT DISTINCT url, matchedUrl FROM neardup_stream")
+      .as[(String, String)].collect().toSet
+    assert(pairs.contains(("b", "a")), pairs) // cross-batch
+    assert(pairs.contains(("c", "a")), pairs)
+    assert(pairs.contains(("c", "b")), pairs) // in-batch
+    assert(!pairs.exists(p => p._1 == "z" || p._2 == "z"), pairs)
+    // estimated similarity is high for the planted pairs
+    val sims = spark.sql("SELECT estJaccard FROM neardup_stream")
+      .as[Double].collect()
+    assert(sims.forall(_ >= 0.7))
+  }
 }
