@@ -87,56 +87,8 @@ object Main {
         // new `inc=<id>` partition — the rename IS the manifest: a failed
         // run leaves only invisible staging data and the rerun reprocesses
         // those urls from scratch.
-        val triplesPath = new org.apache.hadoop.fs.Path(s"$output/triples")
-        val fs = triplesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // migrate a legacy layout (top-level pred= partitions from the old
-        // raw-append mode) under inc=legacy, so partition discovery never
-        // sees two conflicting directory depths
-        if (fs.exists(triplesPath) &&
-            fs.listStatus(triplesPath).exists(_.getPath.getName.startsWith("pred="))) {
-          val legacy = new org.apache.hadoop.fs.Path(triplesPath, "inc=legacy")
-          fs.mkdirs(legacy)
-          fs.listStatus(triplesPath)
-            .filter(_.getPath.getName.startsWith("pred="))
-            .foreach { st =>
-              require(fs.rename(st.getPath,
-                new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)),
-                s"legacy migration failed for ${st.getPath}")
-            }
-        }
-        // "table exists" = an inc= partition with actual parquet data — an
-        // empty committed increment (zero triples) must not force a
-        // schema-less read on the next run
-        def hasParquet(p: org.apache.hadoop.fs.Path): Boolean = {
-          val it = fs.listFiles(p, true)
-          var found = false
-          while (!found && it.hasNext)
-            found = it.next().getPath.getName.endsWith(".parquet")
-          found
-        }
-        val hasTable = fs.exists(triplesPath) &&
-          fs.listStatus(triplesPath).exists(_.getPath.getName.startsWith("inc=")) &&
-          hasParquet(triplesPath)
-        val newPages =
-          if (!hasTable) pages
-          else Pipeline.newPagesOnly(pages,
-            spark.read.option("basePath", s"$output/triples")
-              .parquet(s"$output/triples"))
-        val (docs, lineage) = Pipeline.run(spark, newPages, res, cfg = cfg)
-        val staging = new org.apache.hadoop.fs.Path(s"$output/_staging_triples_$runId")
-        Triples.fromDocs(spark, docs).toDF().write.mode("overwrite")
-          .partitionBy("pred").parquet(staging.toString)
-        fs.mkdirs(triplesPath)
-        // unique partition name even if the same run-id is retried after a
-        // successful commit (the retry's anti-join usually empties it anyway)
-        var target = new org.apache.hadoop.fs.Path(triplesPath, s"inc=$runId")
-        var attempt = 1
-        while (fs.exists(target)) {
-          attempt += 1
-          target = new org.apache.hadoop.fs.Path(triplesPath, s"inc=$runId-$attempt")
-        }
-        require(fs.rename(staging, target),
-          s"incremental commit failed: rename $staging -> $target")
+        val (docs, lineage, _) =
+          Pipeline.runIncremental(spark, pages, res, cfg, output)
         Pipeline.failures(spark, docs, runId).toDF()
           .write.mode("append").parquet(s"$output/failures")
         if (lineage.nonEmpty)

@@ -309,4 +309,72 @@ object Pipeline {
       existingTriples: org.apache.spark.sql.DataFrame
   ): org.apache.spark.sql.DataFrame =
     pages.join(existingTriples.select("url").distinct(), Seq("url"), "left_anti")
+
+  /** The incremental step group (see Main): anti-join new pages against the
+    * committed triples table, run the pipeline, stage the increment and
+    * commit it with ONE atomic directory rename as a new `inc=<id>`
+    * partition — the rename is the manifest, so a crash mid-write leaves
+    * only invisible staging data and the rerun reprocesses those urls.
+    * Returns (docs, lineage, committedPath). Extracted from Main so the
+    * commit/migration/bootstrap logic is unit-testable.
+    */
+  def runIncremental(
+      spark: SparkSession,
+      pages: org.apache.spark.sql.DataFrame,
+      resources: Broadcast[Resources],
+      cfg: Config,
+      output: String
+  ): (Dataset[KDoc], Seq[LineageRow], String) = {
+    val triplesPath = new org.apache.hadoop.fs.Path(s"$output/triples")
+    val fs = triplesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // migrate a legacy layout (top-level pred= partitions from the old
+    // raw-append mode) under inc=legacy, so partition discovery never sees
+    // two conflicting directory depths
+    if (fs.exists(triplesPath) &&
+        fs.listStatus(triplesPath).exists(_.getPath.getName.startsWith("pred="))) {
+      val legacy = new org.apache.hadoop.fs.Path(triplesPath, "inc=legacy")
+      fs.mkdirs(legacy)
+      fs.listStatus(triplesPath)
+        .filter(_.getPath.getName.startsWith("pred="))
+        .foreach { st =>
+          require(fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)),
+            s"legacy migration failed for ${st.getPath}")
+        }
+    }
+    // "table exists" = an inc= partition with actual parquet data — an
+    // empty committed increment (zero triples) must not force a schema-less
+    // read on the next run
+    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    val hasTable = fs.exists(triplesPath) &&
+      fs.listStatus(triplesPath).exists(_.getPath.getName.startsWith("inc=")) &&
+      hasParquet(triplesPath)
+    val newPages =
+      if (!hasTable) pages
+      else newPagesOnly(pages,
+        spark.read.option("basePath", s"$output/triples")
+          .parquet(s"$output/triples"))
+    val (docs, lineage) = run(spark, newPages, resources, cfg = cfg)
+    val staging = new org.apache.hadoop.fs.Path(s"$output/_staging_triples_${cfg.runId}")
+    graft.triples.Triples.fromDocs(spark, docs).toDF().write.mode("overwrite")
+      .partitionBy("pred").parquet(staging.toString)
+    fs.mkdirs(triplesPath)
+    // unique partition name even if the same run-id is retried after a
+    // successful commit (the retry's anti-join usually empties it anyway)
+    var target = new org.apache.hadoop.fs.Path(triplesPath, s"inc=${cfg.runId}")
+    var attempt = 1
+    while (fs.exists(target)) {
+      attempt += 1
+      target = new org.apache.hadoop.fs.Path(triplesPath, s"inc=${cfg.runId}-$attempt")
+    }
+    require(fs.rename(staging, target),
+      s"incremental commit failed: rename $staging -> $target")
+    (docs, lineage, target.toString)
+  }
 }

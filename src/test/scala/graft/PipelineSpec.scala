@@ -193,6 +193,61 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(third == noTriplePages)
   }
 
+  test("incremental commit: legacy migration, empty increments, atomic inc= partitions") {
+    import spark.implicits._
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val out = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def slice(lo: Long, hi: Long) = Pages.fromDocuments(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.expr(
+        s"cast(regexp_extract(url, '([0-9]+)$$', 1) as long) >= $lo and " +
+        s"cast(regexp_extract(url, '([0-9]+)$$', 1) as long) < $hi"))
+
+    // seed a LEGACY layout: top-level pred= partitions (the old raw append)
+    val (legacyDocs, _) = Pipeline.run(spark, slice(0, 5), res)
+    Triples.fromDocs(spark, legacyDocs).toDF().write.mode("overwrite")
+      .partitionBy("pred").parquet(s"$out/triples")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/triples"))
+      .exists(_.getPath.getName.startsWith("pred=")))
+    val legacyCount = spark.read.parquet(s"$out/triples").count()
+
+    // an incremental run over overlapping pages must migrate the legacy
+    // table under inc=legacy, see its urls, and process only the new ones
+    val (_, _, committed) = Pipeline.runIncremental(spark, slice(0, 10), res,
+      Pipeline.Config(runId = "r1"), out)
+    val st = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/triples"))
+      .map(_.getPath.getName).toSet
+    assert(!st.exists(_.startsWith("pred=")), st)
+    assert(st.contains("inc=legacy") && st.contains("inc=r1"), st)
+    val table = spark.read.option("basePath", s"$out/triples").parquet(s"$out/triples")
+    assert(table.filter($"inc" === "legacy").count() == legacyCount)
+    assert(committed.endsWith("inc=r1"))
+    // no url processed twice
+    val perUrl = table.select("url", "inc").distinct()
+      .groupBy("url").count().filter($"count" > 1).count()
+    assert(perUrl == 0)
+
+    // an EMPTY increment (all urls already present) commits an empty
+    // partition; the next run must still read the table (no schema crash)
+    Pipeline.runIncremental(spark, slice(0, 10), res,
+      Pipeline.Config(runId = "r2"), out)
+    val (_, _, c3) = Pipeline.runIncremental(spark, slice(10, 12), res,
+      Pipeline.Config(runId = "r3"), out)
+    assert(c3.endsWith("inc=r3"))
+    // retried run-id gets a unique partition instead of a failed rename
+    val (_, _, c4) = Pipeline.runIncremental(spark, slice(10, 12), res,
+      Pipeline.Config(runId = "r3"), out)
+    assert(c4.endsWith("inc=r3-2"), c4)
+    // final table = exactly the union of all processed urls' triples
+    val (fullDocs, _) = Pipeline.run(spark, slice(0, 12), res)
+    val expected = Triples.fromDocs(spark, fullDocs).collect().toSet
+    val got = spark.read.option("basePath", s"$out/triples")
+      .parquet(s"$out/triples").drop("inc")
+      .as[graft.model.Triple].collect().toSet
+    assert(got == expected)
+  }
+
   test("acceptance: NER + triple P/R ≥ 0.95 vs independent gold") {
     import spark.implicits._
     // gold derived INDEPENDENTLY of the pipeline: regex over raw text for
