@@ -161,7 +161,11 @@ object Pipeline {
   /** The `linking_only` step group (ref conf/Pipeline/default.yaml:14-20,
     * pipeline/__init__.py:233-276): every stage AFTER NER, over documents
     * that already carry entities — composable with a prior `ner_only`
-    * output (docs JSON). `fusedStages` = NER + this. */
+    * output (docs JSON). `fusedStages` = NER + this. Deliberate widening vs
+    * the reference's configured group (which lists only dictionary linking
+    * + mapping): including the post-processing tail here makes
+    * `ner_only ∘ linking_only ≡ full pipeline` hold exactly — spec-pinned
+    * both through the docs-JSON hand-off and over HTTP. */
   def linkingStages(
       resources: Resources,
       runner: StrategyRunner = Ladders.default,
