@@ -49,6 +49,63 @@ class SynonymGenerationSpec extends AnyFunSuite {
   }
 }
 
+class ExplosionMatcherSpec extends AnyFunSuite {
+  import graft.ner.{ExplosionMatcher, TrieNer}
+  import graft.index.Resources
+  import graft.ontology.OntologyRow
+
+  test("strict vs lowercase matchers honour per-synonym case sensitivity") {
+    // autocuration marks symbolic synonyms case-sensitive: "EGFR" must
+    // match only in original case; "tumour" matches any casing
+    val rows = Seq(
+      OntologyRow("G", "gene", "G:1", "EGFR", "EGFR", "t"),
+      OntologyRow("D", "disease", "D:1", "tumour", "tumour", "t"))
+    val res = Resources.build(rows,
+      p => if (p == "G") "gene" else "disease", version = "expl/1")
+    val hit = ExplosionMatcher.matchText(res, "EGFR causes a Tumour")
+    assert(hit.map(e => (e.matchStr, e.entityClass)).toSet ==
+      Set(("EGFR", "gene"), ("Tumour", "disease")))
+    // linking candidates attached at match time (joint NER + linking)
+    assert(hit.forall(_.candidates.nonEmpty))
+    assert(hit.forall(_.candidates.forall(_.metrics.exactMatch.contains(true))))
+    // lowercase "egfr" must NOT match the case-sensitive symbol
+    val miss = ExplosionMatcher.matchText(res, "egfr causes a tumour")
+    assert(miss.map(_.matchStr) == Seq("tumour"))
+  }
+
+  test("multi-token phrases match as token sequences") {
+    val res = Resources.corpus
+    val hits = ExplosionMatcher.matchText(res, "a hash join and a table scan")
+    val byMatch = hits.map(e => e.matchStr -> e).toMap
+    assert(byMatch.contains("hash join") && byMatch.contains("table scan"))
+    assert(byMatch("hash join").candidates
+      .exists(_.candidate.synonymNorm == "HASH JOIN"))
+  }
+
+  test("cross-validation: explosion matcher ≡ char-trie NER on the corpus") {
+    // both steps implement the same gazetteer semantics (the reference's
+    // default superseded the explosion step with the char automaton); they
+    // must agree entity-for-entity: spans, classes, confidences, candidates
+    val res = Resources.corpus
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text").limit(200)
+        .collect().map(_.getString(0))
+      texts.foreach { t =>
+        def key(e: graft.model.Mention) =
+          (e.start, e.end, e.entityClass, e.mentionConfidence,
+            e.candidates.map(c => (c.candidate.parserName, c.candidate.synonymNorm)).toSet)
+        val trie = TrieNer.matchText(res, t).map(key).toSet
+        val expl = ExplosionMatcher.matchText(res, t).map(key).toSet
+        assert(trie == expl,
+          s"divergence on '${t.take(80)}...': trie-only=${(trie -- expl).take(3)} expl-only=${(expl -- trie).take(3)}")
+      }
+    } finally () // shared session; do not stop
+  }
+}
+
 class EntitySplitterSpec extends AnyFunSuite {
   private def m(text: String, s: Int, e: Int, cls: String): Mention =
     Mention(text.substring(s, e), cls, Seq(CharSpan(s, e)), "t", 50, "N")
