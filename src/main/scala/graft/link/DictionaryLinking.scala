@@ -23,7 +23,9 @@ import graft.text.Similarity
 object DictionaryLinking {
 
   val TopN = 20 // ref conf/DictionaryEntityLinkingStep/default.yaml:4
-  val SkipNamespaces: Set[String] = Set(graft.ner.TrieNer.Namespace)
+  // ref default.yaml:5-7 lists BOTH joint ner+linking steps
+  val SkipNamespaces: Set[String] =
+    Set(graft.ner.TrieNer.Namespace, graft.ner.ExplosionMatcher.Namespace)
 
   /** Executor-pinned per-parser fuzzy indexes (built once per JVM per
     * resource version, like the reference's disk-cached tf-idf matrices). */

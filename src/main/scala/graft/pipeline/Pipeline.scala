@@ -142,17 +142,23 @@ object Pipeline {
       runner: StrategyRunner,
       classRules: ClassFilter.Rules,
       withTransformerNer: Boolean,
-      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config()
+      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config(),
+      useExplosionMatcher: Boolean = false
   )(docs: Iterator[KDoc]): Iterator[KDoc] = {
     val session = TokenClassifier.executorSession
-    val trie = TrieNer.processDoc(resources) _
+    // gazetteer step selection, as the reference configures its pipeline
+    // steps: the char automaton (default) or the explosion-style token
+    // matcher — semantics-equivalent (cross-validated entity-for-entity)
+    val gazetteer: KDoc => KDoc =
+      if (useExplosionMatcher) graft.ner.ExplosionMatcher.processDoc(resources)
+      else TrieNer.processDoc(resources)
     val transformer = TokenClassifier.processDoc(session) _
     val splitDoc = graft.ner.EntitySplitter.processDoc(splitter) _
     // partition-level stages wrap the per-doc chain; the non-contiguous
     // splitter runs right after NER, as the reference attaches it to the
     // NER step (entity_post_processing.py)
     val nerDocs = docs.map { d =>
-      val t = trie(d)
+      val t = gazetteer(d)
       splitDoc(if (withTransformerNer) transformer(t) else t)
     }
     linkingStages(resources, runner, classRules)(nerDocs)
@@ -200,7 +206,8 @@ object Pipeline {
       cfg: Config = Config(),
       classRules: ClassFilter.Rules = ClassFilter.Rules(),
       withTransformerNer: Boolean = true,
-      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config()
+      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config(),
+      useExplosionMatcher: Boolean = false
   ): (Dataset[KDoc], Seq[LineageRow]) = {
     import spark.implicits._
     val runCtx = new Run(spark, cfg, scala.collection.mutable.ArrayBuffer.empty)
@@ -228,7 +235,7 @@ object Pipeline {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var n = 0L; var fails = 0L
         val mapped = fusedStages(resources.value, runner, classRules,
-          withTransformerNer, splitter)(it).map { d =>
+          withTransformerNer, splitter, useExplosionMatcher)(it).map { d =>
           n += 1; if (d.error.isDefined) fails += 1; d
         }
         new Iterator[KDoc] {
@@ -267,8 +274,12 @@ object Pipeline {
     }
 
     val docs = runCtx.stage("extract", Pages.toDocs(spark, pagesBalanced))
-    val trie = runCtx.stage("trie_ner",
-      docs.mapPartitions(_.map(TrieNer.processDoc(resources.value))))
+    val trie =
+      if (useExplosionMatcher)
+        runCtx.stage("explosion_ner",
+          docs.mapPartitions(_.map(graft.ner.ExplosionMatcher.processDoc(resources.value))))
+      else runCtx.stage("trie_ner",
+        docs.mapPartitions(_.map(TrieNer.processDoc(resources.value))))
     val ner =
       if (!withTransformerNer) trie
       else runCtx.stage("transformer_ner",

@@ -82,6 +82,23 @@ class ExplosionMatcherSpec extends AnyFunSuite {
       .exists(_.candidate.synonymNorm == "HASH JOIN"))
   }
 
+  test("pipeline with explosion matcher yields identical triples to the char-trie pipeline") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import org.apache.spark.sql.functions.expr
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val pages = graft.pipeline.Pages.fromDocuments(spark, "/root/testdata/sf0.001")
+      .filter(expr("cast(regexp_extract(url, '([0-9]+)$', 1) as long) < 40"))
+    val (a, _) = graft.pipeline.Pipeline.run(spark, pages, res)
+    val (b, _) = graft.pipeline.Pipeline.run(spark, pages, res,
+      useExplosionMatcher = true)
+    def key(t: graft.model.Triple) = (t.url, t.start, t.end, t.pred, t.obj, t.confidence)
+    val ta = graft.triples.Triples.fromDocs(spark, a).collect().map(key).toSet
+    val tb = graft.triples.Triples.fromDocs(spark, b).collect().map(key).toSet
+    assert(ta.nonEmpty && ta == tb,
+      s"a-only=${(ta -- tb).take(3)} b-only=${(tb -- ta).take(3)}")
+  }
+
   test("cross-validation: explosion matcher ≡ char-trie NER on the corpus") {
     // both steps implement the same gazetteer semantics (the reference's
     // default superseded the explosion step with the char automaton); they
