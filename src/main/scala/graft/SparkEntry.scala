@@ -33,6 +33,15 @@ object SparkEntry {
   private val docsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       org.apache.spark.sql.Dataset[graft.model.KDoc]]
+  /** Assembled (subj, pred, obj) triples, memoized per (session, dir) like
+    * [[docsCache]]. The pipeline docs are persisted but the assembly flatMap
+    * over them is not — so before round 4, each of kg_triples /
+    * kg_triples_agg / kg_graph_stats / kg_cooccurrence re-ran the assembly.
+    * At 100 TB the production shape is write-once/read-many (the pipeline
+    * publishes a triples snapshot and the aggregates read it); in the
+    * driver-run queries this persist is that snapshot's stand-in. */
+  private val triplesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   /** Sessions that already carry the eviction listener (below). */
   private val evictionHooked =
     java.util.Collections.newSetFromMap(
@@ -46,6 +55,7 @@ object SparkEntry {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           docsCache.filterInPlace { case ((s, _), _) => s ne spark }
+          triplesCache.filterInPlace { case ((s, _), _) => s ne spark }
           evictionHooked.remove(spark)
         }
       })
@@ -63,6 +73,20 @@ object SparkEntry {
     })
   }
 
+  /** One triple-assembly pass per (session, dir): every triple-derived query
+    * (dump, agg, graph stats, co-occurrence) reads this persisted table
+    * instead of re-running the assembly flatMap — the read-many shape the
+    * published snapshot has in production. */
+  private def pipelineTriples(spark: SparkSession, sfDir: String): DataFrame =
+    triplesCache.getOrElseUpdate((spark, sfDir), {
+      if (triplesCache.size >= 8)
+        triplesCache.keys.take(triplesCache.size - 7).foreach { k =>
+          triplesCache.remove(k).foreach(_.unpersist())
+        }
+      Triples.fromDocs(spark, pipelineDocs(spark, sfDir)).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -77,10 +101,8 @@ object SparkEntry {
 
   /** Flagship: full KG construction on sf0.001 — pages → trie NER → mapping
     * ladder → abbreviation → cleanup → overlap merge → (subj, pred, obj). */
-  def entry(spark: SparkSession): DataFrame = {
-    val docs = pipelineDocs(spark, "/root/testdata/sf0.001")
-    Triples.fromDocs(spark, docs).toDF()
-  }
+  def entry(spark: SparkSession): DataFrame =
+    pipelineTriples(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- KG pipeline ------------------------------------------------------
@@ -114,10 +136,9 @@ object SparkEntry {
     }),
     "kg_triples_agg" -> ((s, dir) => {
       import s.implicits._
-      val docs = pipelineDocs(s, dir)
       // NO exclusion list (rounds 1-2 excluded ambiguous/model-vocab objs):
       // the full-dump oracle derivation covers every (pred, obj) slice
-      Triples.fromDocs(s, docs).toDF()
+      pipelineTriples(s, dir)
         .groupBy($"pred", $"obj")
         .agg(count(lit(1)).as("n_mentions"))
         .orderBy($"pred", $"obj")
@@ -144,8 +165,7 @@ object SparkEntry {
       // salted two-phase aggregation over the triples table — the explicit
       // hot-entity-skew defense; must produce numbers identical to the
       // plain group-by oracle
-      val docs = pipelineDocs(s, dir)
-      val triples = Triples.fromDocs(s, docs).toDF() // no exclusions (round 3)
+      val triples = pipelineTriples(s, dir) // no exclusions (round 3)
       graft.triples.GraphStats.saltedObjectCounts(s, triples)
     }),
     "kg_cooccurrence" -> ((s, dir) => {
@@ -155,8 +175,7 @@ object SparkEntry {
       // url-keyed self-join so a pathological page cannot emit k^2/2 pairs;
       // the cap (64) exceeds the whole ontology size, so on this corpus no
       // row is dropped and the oracle stays exact (GraphStats + SCALE.md §3)
-      val docs = pipelineDocs(s, dir)
-      val triples = Triples.fromDocs(s, docs).toDF() // no exclusions (round 3)
+      val triples = pipelineTriples(s, dir) // no exclusions (round 3)
       graft.triples.GraphStats.cooccurrenceEdges(s, triples)
     }),
     "kg_abbrev" -> ((s, dir) => {
@@ -224,8 +243,7 @@ object SparkEntry {
     }),
     "kg_triples" -> ((s, dir) => {
       import s.implicits._
-      val docs = pipelineDocs(s, dir)
-      Triples.fromDocs(s, docs).toDF()
+      pipelineTriples(s, dir)
         .select($"subj", $"pred", $"obj", $"confidence", $"namespace",
           $"matchStr".as("match"), $"start", $"end", $"url")
         .orderBy($"url", $"start", $"end", $"pred", $"obj")

@@ -33,8 +33,11 @@ object ExplosionMatcher {
     var hits: List[GazPayload] = Nil
   }
 
-  /** Two token tries: strict (original-case tokens) and lowercase. */
-  final class Matchers(res: Resources) extends Serializable {
+  /** Two token tries: strict (original-case tokens) and lowercase.
+    * Deliberately NOT Serializable: the trie is rebuilt per executor JVM via
+    * [[matchersFor]] (from the broadcast Resources), never shipped in a
+    * closure — Node is a plain mutable HashMap trie. */
+  final class Matchers(res: Resources) {
     private[ExplosionMatcher] val strict = new Node
     private[ExplosionMatcher] val lower = new Node
 
