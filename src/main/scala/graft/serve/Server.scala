@@ -209,8 +209,15 @@ object Server {
             docToJsonNode(f(parse(root, "doc-0")))))
         }
       } catch {
-        case e: Exception =>
+        // malformed request JSON (parse / shape) is the client's fault;
+        // anything else is a pipeline-stage failure and must surface as 500
+        // so callers can tell the two apart (the linking_only route accepts
+        // rich document JSON where both genuinely occur)
+        case e: com.fasterxml.jackson.core.JacksonException =>
           respond(ex, 400, mapper.writeValueAsString(
+            Map[String, Object]("error" -> s"${e.getClass.getSimpleName}: ${e.getMessage}").asJava))
+        case e: Exception =>
+          respond(ex, 500, mapper.writeValueAsString(
             Map[String, Object]("error" -> s"${e.getClass.getSimpleName}: ${e.getMessage}").asJava))
       }
 

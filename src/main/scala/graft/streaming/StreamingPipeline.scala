@@ -110,6 +110,24 @@ object StreamingPipeline {
     * bound. A pair sharing several buckets is emitted once per matching
     * band (at-least-once semantics) — consumers dedup on the pair key.
     */
+  /** One stored bucket entry: url, minhash signature, event-time millis
+    * (0 when the stream runs without TTL). */
+  private type BucketEntry = (String, Array[Long], Long)
+
+  /** Verify an arriving page against a bucket's stored signatures —
+    * similarity computed ONCE per stored entry (it is the O(numHashes)
+    * dominant verify cost). */
+  private def bucketHits(
+      stored: List[BucketEntry], url: String, sig: Array[Long],
+      threshold: Double): List[NearDup] =
+    stored.flatMap { case (seenUrl, seenSig, _) =>
+      if (seenUrl == url) None
+      else {
+        val sim = graft.tdp.Dedup.signatureSimilarity(seenSig.toSeq, sig.toSeq)
+        if (sim >= threshold) Some(NearDup(url, seenUrl, sim)) else None
+      }
+    }
+
   def nearDupStream(
       spark: SparkSession,
       pages: DataFrame,
@@ -130,25 +148,96 @@ object StreamingPipeline {
         }
       }
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[(String, Array[Long])], NearDup](
+      .flatMapGroupsWithState[List[BucketEntry], NearDup](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[List[(String, Array[Long])]]) =>
+        case (_, rows, state: GroupState[List[BucketEntry]]) =>
           var stored = state.getOption.getOrElse(List.empty)
           // deterministic in-batch order (as dedupStream)
           val out = rows.toSeq.sortBy(_._2).flatMap { case (_, url, sig) =>
-            val hits = stored.collect {
-              case (seenUrl, seenSig)
-                  if seenUrl != url &&
-                    graft.tdp.Dedup.signatureSimilarity(
-                      seenSig.toSeq, sig.toSeq) >= threshold =>
-                NearDup(url, seenUrl,
-                  graft.tdp.Dedup.signatureSimilarity(seenSig.toSeq, sig.toSeq))
-            }
-            stored = ((url, sig) :: stored).take(maxBucket)
+            val hits = bucketHits(stored, url, sig, threshold)
+            stored = ((url, sig, 0L) :: stored).take(maxBucket)
             hits
           }
           state.update(stored)
           out.iterator
+      }
+  }
+
+  /** [[nearDupStream]] with event-time TTL state eviction — the lifecycle a
+    * week-long continuous ingest needs: without eviction, every
+    * (band, bucket) key ever touched accrues state forever. Pages must
+    * carry `warc_ts` (the crawl event time). Semantics:
+    *
+    *  - an arriving page is verified only against stored signatures whose
+    *    event time is within `ttlMs` of ITS event time (older entries are
+    *    evicted on access);
+    *  - a bucket that receives no data for `ttlMs` past its newest stored
+    *    entry is removed wholesale via `EventTimeTimeout` when the
+    *    watermark passes (so idle-key state does not linger either);
+    *  - an expired-then-reinserted near-dup text re-enters state on
+    *    re-arrival, so a THIRD copy inside the new copy's TTL window is
+    *    still caught — only the (gap > TTL) original↔copy pair is
+    *    deliberately forgotten. The watermark delay equals the TTL: a
+    *    stored entry only becomes evictable once the watermark guarantees
+    *    no page with an event time inside its TTL window can still arrive.
+    */
+  def nearDupStreamTtl(
+      spark: SparkSession,
+      pages: DataFrame,
+      ttlMs: Long,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
+      maxBucket: Int = 64
+  ): Dataset[NearDup] = {
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    // the watermark is declared on the EXPLODED relation: event-time
+    // watermark metadata rides on a column attribute and does not survive
+    // a typed flatMap's object round-trip, so declaring it upstream of the
+    // explode would leave the stateful operator without a watermark (an
+    // analysis error under EventTimeTimeout)
+    pages
+      .select($"url", $"text", $"warc_ts")
+      .as[(String, String, java.sql.Timestamp)]
+      .flatMap { case (url, text, ts) =>
+        val sig = graft.tdp.Dedup.minhashSignature(text, numHashes)
+        (0 until bands).iterator.map { b =>
+          val bucket = java.util.Arrays.hashCode(
+            sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
+          (b.toLong << 32 | (bucket & 0xffffffffL), url, sig, ts)
+        }
+      }
+      .toDF("key", "url", "sig", "ets")
+      .withWatermark("ets", s"$ttlMs milliseconds")
+      .as[(Long, String, Array[Long], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[BucketEntry], NearDup](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[List[BucketEntry]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed (newest entry + TTL): drop the whole bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            var stored = state.getOption.getOrElse(List.empty)
+            // deterministic in-batch order: event time, then url
+            val out = rows.toSeq.sortBy(r => (r._4.getTime, r._2))
+              .flatMap { case (_, url, sig, tsRaw) =>
+                val ts = tsRaw.getTime
+                stored = stored.filter(_._3 >= ts - ttlMs) // TTL eviction
+                val hits = bucketHits(stored, url, sig, threshold)
+                stored = ((url, sig, ts) :: stored).take(maxBucket)
+                hits
+              }
+            state.update(stored)
+            // schedule wholesale removal once no in-TTL arrival is possible;
+            // setTimeoutTimestamp must exceed the current watermark
+            val newest = stored.iterator.map(_._3).max
+            state.setTimeoutTimestamp(
+              math.max(newest + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
       }
   }
 

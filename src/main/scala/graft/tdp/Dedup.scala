@@ -20,6 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Intermediate Datasets persisted inside lazily-returned plans (the
+    * minhash signature map). The returned plan needs the persist to stay
+    * live until the caller materializes it, so the function cannot
+    * unpersist eagerly — instead every persist registers here and
+    * long-lived callers (bench / verify drivers, long sessions) call
+    * [[releaseCaches]] after materializing. Tests and one-shot sessions can
+    * skip it: session shutdown drops the CacheManager entries. */
+  private val liveCaches =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[DataFrame]())
+
+  private def registerCache(df: DataFrame): Unit = liveCaches.add(df)
+
+  /** Unpersist every intermediate cache registered by prior calls. Safe to
+    * call at any time AFTER the plans returned by those calls have been
+    * materialized (a later re-use of such a plan recomputes, it does not
+    * fail). */
+  def releaseCaches(): Unit = {
+    val snapshot = liveCaches.synchronized {
+      val s = new java.util.ArrayList[DataFrame](liveCaches)
+      liveCaches.clear()
+      s
+    }
+    snapshot.forEach { df =>
+      try df.unpersist()
+      catch { case _: Exception => () } // session may already be stopped
+    }
+  }
+
   // --- MinHash -------------------------------------------------------------
 
   /** Word 3-gram shingles. */
@@ -84,14 +113,18 @@ object Dedup {
     // dominant CPU cost) feeds THREE plan branches (bucket explode + the
     // two verify-side re-fetch joins) that shuffle on different keys, so
     // without a persist it would be computed three times per document.
-    // 512 B/doc; Spark's ContextCleaner unpersists it when the returned
-    // plan is dropped, and LRU eviction bounds memory under pressure.
+    // 512 B/doc. Lifecycle: Dataset.persist registers in CacheManager,
+    // which holds the entry until an explicit unpersist() or session end
+    // (ContextCleaner only reclaims RDD-level caches) — so long-lived
+    // callers must call [[releaseCaches]] once the returned plan has been
+    // materialized; the bench/verify drivers do.
     val sigs = docs
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .map { case (id, text) => (id, minhashSignature(text, numHashes)) }
       .toDF("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(sigs)
     // explode into (band, bucket, id) keys — the ONLY shuffle payload of the
     // self-join; shipping the 64-hash signature on both sides would
     // multiply shuffle bytes by 512 B × bands (the r2 finding). The verify

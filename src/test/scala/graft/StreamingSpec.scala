@@ -265,4 +265,44 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
       .as[Double].collect()
     assert(sims.forall(_ >= 0.7))
   }
+
+  test("near-dup TTL: expired state forgotten, reinserted copy still caught in-window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearA = base.replace("token7", "tokenX")
+    val nearB = base.replace("token9", "tokenY")
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val pages = input.toDF().toDF("url", "text", "warc_ts")
+    val ttlMs = 60_000L
+    val q = graft.streaming.StreamingPipeline
+      .nearDupStreamTtl(spark, pages, ttlMs)
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append").start()
+    // t=10s: original (off the 0 boundary: a row at exactly the initial
+    // watermark is dropped as late). t=40s (inside TTL): near-dup — caught.
+    input.addData(("a", base, ts(10_000L)))
+    q.processAllAvailable()
+    input.addData(("d", nearA, ts(40_000L)))
+    q.processAllAvailable()
+    // t=210s: gap > TTL past both a (10s) and d (40s) — state for them is
+    // evicted on access, so this near-dup of the SAME text is NOT flagged…
+    input.addData(("b", nearA, ts(210_000L)))
+    q.processAllAvailable()
+    // …but it re-entered state: a third copy at t=240s (inside b's TTL
+    // window) is still caught against the reinserted copy.
+    input.addData(("c", nearB, ts(240_000L)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT DISTINCT url, matchedUrl FROM neardup_ttl")
+      .as[(String, String)].collect().toSet
+    assert(pairs.contains(("d", "a")), pairs)        // in-TTL cross-batch
+    assert(pairs.contains(("c", "b")), pairs)        // caught vs reinserted copy
+    assert(!pairs.exists(p => p._1 == "b" && p._2 != "b"),
+      s"expired entries must not match: $pairs")     // b found nothing
+    assert(!pairs.exists(p => p._2 == "a" && p._1 != "d"),
+      s"a must be forgotten after TTL: $pairs")
+  }
 }
