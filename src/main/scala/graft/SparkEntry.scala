@@ -90,6 +90,126 @@ object SparkEntry {
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  // ---- strategy-isolation harness (E10/E11/E13/E16 driver-oracle rows) ----
+
+  /** A runner whose ONLY route to a mapping is `strategy` succeeding: one
+    * ExactMatch rung carrying the single disambiguation strategy, marked
+    * essential, registered at every mention-confidence level for both the
+    * symbolic and non-symbolic folds — so a green oracle row proves that
+    * exact strategy (and nothing else) resolved the planted mention. */
+  private def isolatedRunner(
+      strategy: () => graft.link.DisambiguationStrategy): graft.link.StrategyRunner = {
+    import graft.link._
+    def exec = ConfidenceLevelExecution(
+      Map.empty,
+      Seq(new ExactMatchMapping(graft.model.StringMatchConfidence.HighlyLikely,
+        Seq(strategy()), disambiguationEssential = true)),
+      stopOnSuccess = true)
+    val m = Map(
+      graft.model.MentionConfidence.HighlyLikely -> exec,
+      graft.model.MentionConfidence.Probable -> exec,
+      graft.model.MentionConfidence.Possible -> exec)
+    StrategyRunner(m, m)
+  }
+
+  /** Sliced + suffixed full-pipeline run → suffix-region triples: the shared
+    * shape of kg_abbrev / kg_disambig, factored for the per-strategy rows.
+    * No transformer pass — the strategies under test live strictly
+    * downstream of NER, the planted mentions are gazetteer matches, and
+    * skipping C2 removes the dominant duplicate-inference cost of running a
+    * second full pipeline per query. */
+  private def suffixedTriples(
+      s: SparkSession, dir: String, residue: Int, suffix: String,
+      res: Resources, runner: graft.link.StrategyRunner,
+      classDisambig: graft.link.EntityClassDisambiguation.Config =
+        graft.link.EntityClassDisambiguation.Config(Map.empty)
+  ): DataFrame = {
+    import s.implicits._
+    val pages0 = Pages.fromDocuments(s, dir)
+      .filter(regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 5 === residue)
+    val pages = pages0.withColumn("text", concat($"text", lit(suffix)))
+    val withHtml = pages.select($"url", $"warc_ts",
+      to_binary(concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")),
+        lit("utf-8")).as("html"),
+      $"text", $"lang")
+    val (docs0, _) = Pipeline.run(s, withHtml, s.sparkContext.broadcast(res),
+      runner = runner, withTransformerNer = false, classDisambig = classDisambig)
+    val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lens = pages0.select($"url", length($"text").as("orig_len"))
+    Triples.fromDocs(s, docs).toDF()
+      .join(lens, "url")
+      .filter($"start" >= $"orig_len")
+      .select($"url", $"start", $"end", $"pred", $"obj",
+        $"matchStr".as("match"))
+      .orderBy($"url", $"start", $"obj")
+  }
+
+  /** E10 planted Gilda contexts: invented words absent from the corpus, so
+    * the whole-document Gilda vector contains EXACTLY the suffix's one
+    * context word — dot(doc, OP:FILTER-context) ≈ 0.707 vs 0.0 for OP:SORT,
+    * clearing the 0.01 runner-up delta deterministically. */
+  private lazy val plantedGildaScorer: graft.link.GildaScorer =
+    graft.link.GildaScorer.forContexts(Map(
+      (CorpusOntology.OpsParser, "OP:FILTER") -> "zzqpred zzqsieve",
+      (CorpusOntology.OpsParser, "OP:SORT") -> "zzqorder zzqrank"))
+
+  /** E11 resources: the corpus ontology with an `annotation_score` planted on
+    * OP:SORT — the popularity prior AnnotationLevelDisambiguation reads. */
+  private lazy val annotScoreResources: Resources = {
+    import graft.ontology._
+    val (cands, meta) = ResourceBuild.buildCandidates(CorpusOntology.rows)
+    val meta2 = meta.map(m =>
+      if (m.idx == "OP:SORT") m.copy(extras = Map("annotation_score" -> "5")) else m)
+    val strRes = ResourceBuild.defaultResources(cands,
+      CorpusOntology.entityClassOf, CorpusOntology.CommonWords)
+    Resources.assemble(
+      CorpusOntology.rows.map(_.parserName).distinct
+        .map(p => p -> CorpusOntology.entityClassOf(p)).toMap,
+      cands, meta2, strRes, "synthetic-ontology/1+annot")
+  }
+
+  /** E13 resources: "FILTERX" is a planted symbolic ambiguous synonym of
+    * {OP:SORT}, {OP:FILTER} whose MiniBern embedding is decisively nearer
+    * the default label "filter" (cos ≈ 0.72) than "sort" (≈ −0.10) —
+    * margin pinned by SimilaritySpec. Absent from all corpus text. */
+  private lazy val embedLabelResources: Resources = {
+    import graft.ontology._
+    val extra = Seq(
+      OntologyRow(CorpusOntology.OpsParser, "operator", "OP:SORT", "sort", "FILTERX", "exactSyn"),
+      OntologyRow(CorpusOntology.OpsParser, "operator", "OP:FILTER", "filter", "FILTERX", "exactSyn"))
+    Resources.build(CorpusOntology.rows ++ extra, CorpusOntology.entityClassOf,
+      CorpusOntology.CommonWords, "synthetic-ontology/1+filterx")
+  }
+
+  /** E16 resources: "pane" and "vane" exist in BOTH parsers (operator and
+    * component classes) with identical spans — the span-identical
+    * multi-class shape EntityClassDisambiguation resolves. */
+  private lazy val twoClassResources: Resources = {
+    import graft.ontology._
+    val extra = Seq(
+      OntologyRow(CorpusOntology.OpsParser, "operator", "OP:PANE", "pane", "pane", "exactSyn"),
+      OntologyRow(CorpusOntology.SysParser, "component", "SYS:PANE", "pane", "pane", "exactSyn"),
+      OntologyRow(CorpusOntology.OpsParser, "operator", "OP:VANE", "vane", "vane", "exactSyn"),
+      OntologyRow(CorpusOntology.SysParser, "component", "SYS:VANE", "vane", "vane", "exactSyn"))
+    Resources.build(CorpusOntology.rows ++ extra, CorpusOntology.entityClassOf,
+      CorpusOntology.CommonWords, "synthetic-ontology/1+twoclass")
+  }
+
+  /** E16 config: "pane" has an operator context corpus containing the
+    * suffix's context word (score 1.0 ≥ 0.5) while the component context
+    * never matches (0.0 < 0.5) → operator wins, the component mention is
+    * dropped; NEITHER of "vane"'s class contexts matches → both dropped. */
+  private lazy val twoClassConfig: graft.link.EntityClassDisambiguation.Config = {
+    import graft.link.EntityClassDisambiguation._
+    Config(Map(
+      "pane" -> Seq(
+        DisambiguationEntry("operator", Seq("zzwop"), 0.5),
+        DisambiguationEntry("component", Seq("zzwcomp"), 0.5)),
+      "vane" -> Seq(
+        DisambiguationEntry("operator", Seq("zzwnever"), 0.5),
+        DisambiguationEntry("component", Seq("zzwnope"), 0.5))))
+  }
+
   /** Filesystem path of a committed fixture for oracle SQL (DuckDB runs
     * driver-side against real files). Override the repo root for checkouts
     * not rooted at the driver default. */
@@ -248,6 +368,36 @@ object SparkEntry {
           $"matchStr".as("match"), $"start", $"end", $"url")
         .orderBy($"url", $"start", $"end", $"pred", $"obj")
     }),
+    // ---- per-strategy driver oracles (E10/E11/E13/E16) --------------------
+    "kg_gilda_disambig" -> ((s, dir) =>
+      // E10: the ambiguous symbol XSF + a context word only OP:FILTER's
+      // planted Gilda context contains; the isolated ladder gives the
+      // GildaTfIdf strategy (exact 0.01 runner-up delta semantics) the only
+      // route to a mapping
+      suffixedTriples(s, dir, 1, " XSF zzqpred.", Resources.corpus,
+        isolatedRunner(() => new graft.link.GildaTfIdfDisambiguation(
+          graft.model.DisambiguationConfidence.Probable,
+          explicitScorer = Some(plantedGildaScorer))))),
+    "kg_annotation_prior" -> ((s, dir) =>
+      // E11: XSF again, but resolution comes from the annotation_score
+      // popularity prior planted on OP:SORT (5 vs absent=0)
+      suffixedTriples(s, dir, 2, " XSF wins.", annotScoreResources,
+        isolatedRunner(() => new graft.link.AnnotationLevelDisambiguation(
+          graft.model.DisambiguationConfidence.Possible)))),
+    "kg_embed_default_label" -> ((s, dir) =>
+      // E13: planted symbolic synonym FILTERX resolves to the id whose
+      // default-label MiniBern embedding is nearest the mention
+      suffixedTriples(s, dir, 3, " FILTERX wins.", embedLabelResources,
+        isolatedRunner(() => new graft.link.PreferNearestEmbeddingToDefaultLabel(
+          graft.model.DisambiguationConfidence.Possible)))),
+    "kg_entity_class_disambig" -> ((s, dir) =>
+      // E16: span-identical two-class mentions; sentence-context tf-idf
+      // keeps pane→operator (context word present), drops pane→component,
+      // and drops BOTH vane classes (no context clears its threshold)
+      suffixedTriples(s, dir, 4, " pane zzwop waits. vane rests.",
+        twoClassResources, graft.link.Ladders.default,
+        classDisambig = twoClassConfig)),
+
     "kg_classfilter" -> ((s, dir) => {
       import s.implicits._
       import graft.link.ClassFilter
@@ -591,6 +741,42 @@ object SparkEntry {
         |       'mentions_operator' AS pred, obj, m AS "match"
         |FROM base CROSS JOIN expected
         |ORDER BY url, start, obj""".stripMargin,
+    // the four per-strategy rows share one relational shape: every sliced
+    // doc must emit EXACTLY the planted suffix mention, resolved to the id
+    // only the isolated strategy can pick, at offsets derived from the
+    // original text length (suffix layouts in the query comments)
+    "kg_gilda_disambig" ->
+      """WITH base AS (
+        |  SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
+        |         length(text) AS len
+        |  FROM documents WHERE doc_id % 5 = 1)
+        |SELECT url, CAST(len + 1 AS INT) AS start, CAST(len + 4 AS INT) AS "end",
+        |       'mentions_operator' AS pred, 'OP:FILTER' AS obj, 'XSF' AS "match"
+        |FROM base ORDER BY url, start, obj""".stripMargin,
+    "kg_annotation_prior" ->
+      """WITH base AS (
+        |  SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
+        |         length(text) AS len
+        |  FROM documents WHERE doc_id % 5 = 2)
+        |SELECT url, CAST(len + 1 AS INT) AS start, CAST(len + 4 AS INT) AS "end",
+        |       'mentions_operator' AS pred, 'OP:SORT' AS obj, 'XSF' AS "match"
+        |FROM base ORDER BY url, start, obj""".stripMargin,
+    "kg_embed_default_label" ->
+      """WITH base AS (
+        |  SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
+        |         length(text) AS len
+        |  FROM documents WHERE doc_id % 5 = 3)
+        |SELECT url, CAST(len + 1 AS INT) AS start, CAST(len + 8 AS INT) AS "end",
+        |       'mentions_operator' AS pred, 'OP:FILTER' AS obj, 'FILTERX' AS "match"
+        |FROM base ORDER BY url, start, obj""".stripMargin,
+    "kg_entity_class_disambig" ->
+      """WITH base AS (
+        |  SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
+        |         length(text) AS len
+        |  FROM documents WHERE doc_id % 5 = 4)
+        |SELECT url, CAST(len + 1 AS INT) AS start, CAST(len + 5 AS INT) AS "end",
+        |       'mentions_operator' AS pred, 'OP:PANE' AS obj, 'pane' AS "match"
+        |FROM base ORDER BY url, start, obj""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -5,7 +5,7 @@ import org.apache.spark.broadcast.Broadcast
 import graft.model._
 import graft.index.Resources
 import graft.ner.{TokenClassifier, TrieNer}
-import graft.link.{ClassFilter, DictionaryLinking, Ladders, MappingStep, StrategyRunner}
+import graft.link.{ClassFilter, DictionaryLinking, EntityClassDisambiguation, Ladders, MappingStep, StrategyRunner}
 import graft.post.{Cleanup, MergeOverlaps}
 
 /** Stage composition + checkpoint/resume + per-partition lineage
@@ -143,7 +143,9 @@ object Pipeline {
       classRules: ClassFilter.Rules,
       withTransformerNer: Boolean,
       splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config(),
-      useExplosionMatcher: Boolean = false
+      useExplosionMatcher: Boolean = false,
+      classDisambig: EntityClassDisambiguation.Config =
+        EntityClassDisambiguation.Config(Map.empty)
   )(docs: Iterator[KDoc]): Iterator[KDoc] = {
     val session = TokenClassifier.executorSession
     // gazetteer step selection, as the reference configures its pipeline
@@ -154,12 +156,18 @@ object Pipeline {
       else TrieNer.processDoc(resources)
     val transformer = TokenClassifier.processDoc(session) _
     val splitDoc = graft.ner.EntitySplitter.processDoc(splitter) _
+    // optional entity-class disambiguation (E16, non-default in the
+    // reference too): resolves span-identical multi-class groups by
+    // sentence context BEFORE linking, as the reference step does
+    val ecd: KDoc => KDoc =
+      if (classDisambig.isEmpty) identity
+      else EntityClassDisambiguation.processDoc(classDisambig)
     // partition-level stages wrap the per-doc chain; the non-contiguous
     // splitter runs right after NER, as the reference attaches it to the
     // NER step (entity_post_processing.py)
     val nerDocs = docs.map { d =>
       val t = gazetteer(d)
-      splitDoc(if (withTransformerNer) transformer(t) else t)
+      ecd(splitDoc(if (withTransformerNer) transformer(t) else t))
     }
     linkingStages(resources, runner, classRules)(nerDocs)
   }
@@ -207,7 +215,9 @@ object Pipeline {
       classRules: ClassFilter.Rules = ClassFilter.Rules(),
       withTransformerNer: Boolean = true,
       splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config(),
-      useExplosionMatcher: Boolean = false
+      useExplosionMatcher: Boolean = false,
+      classDisambig: EntityClassDisambiguation.Config =
+        EntityClassDisambiguation.Config(Map.empty)
   ): (Dataset[KDoc], Seq[LineageRow]) = {
     import spark.implicits._
     val runCtx = new Run(spark, cfg, scala.collection.mutable.ArrayBuffer.empty)
@@ -235,7 +245,7 @@ object Pipeline {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var n = 0L; var fails = 0L
         val mapped = fusedStages(resources.value, runner, classRules,
-          withTransformerNer, splitter, useExplosionMatcher)(it).map { d =>
+          withTransformerNer, splitter, useExplosionMatcher, classDisambig)(it).map { d =>
           n += 1; if (d.error.isDefined) fails += 1; d
         }
         new Iterator[KDoc] {
@@ -291,8 +301,12 @@ object Pipeline {
       if (splitter.isEmpty) ner
       else runCtx.stage("entity_splitter",
         ner.map(graft.ner.EntitySplitter.processDoc(splitter)))
+    val classDis =
+      if (classDisambig.isEmpty) split
+      else runCtx.stage("entity_class_disambig",
+        split.map(EntityClassDisambiguation.processDoc(classDisambig)))
     val linked = runCtx.stage("dict_linking",
-      split.mapPartitions(DictionaryLinking.processPartition(resources.value)))
+      classDis.mapPartitions(DictionaryLinking.processPartition(resources.value)))
     val filtered =
       if (classRules.isEmpty) linked
       else runCtx.stage("class_filter",

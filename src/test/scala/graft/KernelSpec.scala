@@ -110,6 +110,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(s.score("breast cancer", "breast cancers") >
       s.score("breast cancer", "insulin"))
   }
+
+  test("E13 oracle assumption: FILTERX decisively nearer 'filter' than 'sort'") {
+    // the kg_embed_default_label driver oracle plants FILTERX as an
+    // ambiguous synonym of {OP:FILTER}, {OP:SORT} and asserts
+    // PreferNearestEmbeddingToDefaultLabel resolves it to OP:FILTER; this
+    // pins the embedding-geometry margin that derivation rests on
+    val s = Similarity.defaultEmbedding
+    val toFilter = s.score("FILTERX", "filter")
+    val toSort = s.score("FILTERX", "sort")
+    assert(toFilter >= 0.5, s"score(FILTERX, filter) = $toFilter")
+    assert(toFilter - toSort >= 0.3,
+      s"margin collapsed: filter=$toFilter sort=$toSort")
+  }
 }
 
 /** Cross-validation of the char-bigram tf-idf index against an independent
