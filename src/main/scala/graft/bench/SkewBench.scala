@@ -1,0 +1,232 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew stress bench (round-4 directive #1): build a deliberately hostile
+  * corpus — a boilerplate template duplicated 10^5×, a hot entity in 60% of
+  * documents, a directory page with 5,000 distinct entities — run the
+  * skew-sensitive queries on it, and record measured per-task spreads
+  * (records + time) for both the shipped plans and their naive shapes.
+  *
+  *   sbt "runMain graft.bench.SkewBench [workDir]"
+  *
+  * Emits one JSON line per measured query plus a trailing summary line, and
+  * writes the shipped plans' outputs as parquet so `tools/skew_oracle.py`
+  * can replay the same aggregations in DuckDB over the same synthesized
+  * inputs (the "oracles still green on the skewed corpus" check).
+  * Committed results: SKEW.md.
+  *
+  * Scale knobs (env): SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_SKEW_SCALE (default 1.0, multiplies corpus sizes).
+  */
+object SkewBench {
+
+  final case class Result(
+      name: String,
+      wallSec: Double,
+      rows: Long,
+      worstReadRatio: Double,
+      worstReadBytesRatio: Double,
+      maxShuffleRead: Long,
+      maxShuffleWrite: Long,
+      maxShuffleReadBytes: Long,
+      maxTaskMs: Long,
+      medianTaskMs: Long,
+      verdict: String)
+
+  /** `body` must MATERIALIZE its plan itself (parquet write + read-back
+    * count for the shipped plans; a noop-format write for the naive
+    * contrasts — a bare count() would let Catalyst prune the very
+    * window/collect under measurement) and return its row count (-1 when
+    * not meaningful). `verdictFn` turns the measured spreads into the
+    * query's verdict — shipped plans assert a bounded ratio, each naive
+    * contrast asserts ITS specific skew signature (cluster-on-one-task row
+    * count, payload-bytes concentration, single-task pair fanout). */
+  private def measure(spark: SparkSession, name: String)(
+      body: => Long)(verdictFn: Result => String): Result = {
+    val ts = new TaskSpread
+    spark.sparkContext.addSparkListener(ts)
+    val t0 = System.nanoTime()
+    val rows = body
+    val wall = (System.nanoTime() - t0) / 1e9
+    // task-end events arrive asynchronously; give the bus a moment
+    Thread.sleep(300)
+    spark.sparkContext.removeSparkListener(ts)
+    val spreads = ts.stageSpreads(minTasks = 2)
+    val ratio = if (spreads.isEmpty) 1.0 else spreads.map(_.readRatio()).max
+    val bratio = if (spreads.isEmpty) 1.0 else spreads.map(_.readBytesRatio()).max
+    val busiest = spreads.sortBy(-_.maxTimeMs).headOption
+    val r0 = Result(name, wall, rows, ratio, bratio,
+      spreads.map(_.maxShuffleReadRecords).maxOption.getOrElse(0L),
+      spreads.map(_.maxShuffleWriteRecords).maxOption.getOrElse(0L),
+      spreads.map(_.maxShuffleReadBytes).maxOption.getOrElse(0L),
+      busiest.map(_.maxTimeMs).getOrElse(0L),
+      busiest.map(_.medianTimeMs).getOrElse(0L),
+      "")
+    val r = r0.copy(verdict = verdictFn(r0))
+    println(f"""{"query":"${r.name}","wall_sec":${r.wallSec}%.2f,"rows":${r.rows},"worst_read_ratio":${r.worstReadRatio}%.2f,"worst_read_bytes_ratio":${r.worstReadBytesRatio}%.2f,"max_shuffle_read":${r.maxShuffleRead},"max_shuffle_write":${r.maxShuffleWrite},"max_shuffle_read_bytes":${r.maxShuffleReadBytes},"max_task_ms":${r.maxTaskMs},"median_task_ms":${r.medianTaskMs},"verdict":"${r.verdict}"}""")
+    r
+  }
+
+  /** Shipped-plan verdict: bounded per-task row AND byte spread. */
+  private def bounded(r: Result): String =
+    if (r.worstReadRatio <= 6.0 && r.worstReadBytesRatio <= 8.0) "BOUNDED(pass)"
+    else "UNBOUNDED(FAIL)"
+
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse("/tmp/graft_skew")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SKEW_SCALE", "1.0").toDouble
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val hotCopies = (100000 * scale).toInt
+    val uniqueDocs = (100000 * scale).toInt
+    val triplesDocs = (1000000 * scale).toInt
+    val dirObjs = (5000 * scale).toInt
+
+    // ---- hostile corpora ----------------------------------------------------
+    val template = ("boilerplate template body " * 8).trim
+    spark.range(hotCopies + uniqueDocs).select(
+        $"id".as("doc_id"),
+        when($"id" < hotCopies, lit(template))
+          .otherwise(concat_ws(" ",
+            // 8 id-derived tokens: distinct docs share almost no words, so
+            // the near-dup tier sees a genuinely diverse survivor set
+            concat(lit("wa"), ($"id" * 7919 % 1000003).cast("string")),
+            concat(lit("wb"), ($"id" * 104729 % 999983).cast("string")),
+            concat(lit("wc"), ($"id" * 15485863 % 982451653).cast("string")),
+            concat(lit("wd"), ($"id" * 32452843 % 899809363).cast("string")),
+            concat(lit("we"), ($"id" * 49979687 % 715225739).cast("string")),
+            concat(lit("wf"), ($"id" * 67867967 % 512927357).cast("string")),
+            concat(lit("wg"), ($"id" * 86028121 % 334214459).cast("string")),
+            concat(lit("wh"), ($"id" * 93083 % 256203161).cast("string"))))
+          .as("text"))
+      .write.mode("overwrite").parquet(s"$workDir/docs_skew")
+    val docs = spark.read.parquet(s"$workDir/docs_skew")
+
+    // triples: hot obj in 60% of docs, 3 tail objs each, one directory page
+    val normalTriples = spark.range(triplesDocs).select(
+        concat(lit("https://graft.test/doc/"), $"id").as("url"),
+        explode(array(
+          when($"id" % 5 < 3, lit("OBJ:HOT")).otherwise(concat(lit("OBJ:t"), ($"id" % 10000).cast("string"))),
+          concat(lit("OBJ:a"), (($"id" * 7) % 10000).cast("string")))).as("obj"))
+    val directory = spark.range(dirObjs).select(
+        lit("https://graft.test/doc/directory").as("url"),
+        concat(lit("DIR:"), $"id").as("obj"))
+    normalTriples.union(directory)
+      .select(concat($"url", lit("#0-1")).as("subj"), lit("mentions_x").as("pred"),
+        $"obj", $"url")
+      .write.mode("overwrite").parquet(s"$workDir/triples_skew")
+    val triples = spark.read.parquet(s"$workDir/triples_skew")
+
+    println(s"""{"corpus":{"hot_copies":$hotCopies,"unique_docs":$uniqueDocs,"triples_docs":$triplesDocs,"directory_objs":$dirObjs}}""")
+    val results = scala.collection.mutable.ArrayBuffer.empty[Result]
+
+    // ---- dedup tier ---------------------------------------------------------
+    val hashed = docs.select($"doc_id",
+      md5(to_binary($"text", lit("utf-8"))).as("text_md5"))
+    results += measure(spark, "dedup_exact_joinback") {
+      val counts = hashed.groupBy($"text_md5").agg(count(lit(1)).as("n_same_text"))
+      hashed.join(counts, "text_md5")
+        .select($"doc_id", $"text_md5", $"n_same_text")
+        .write.mode("overwrite").parquet(s"$workDir/out_dedup_exact")
+      spark.read.parquet(s"$workDir/out_dedup_exact").count()
+    }(bounded)
+    results += measure(spark, "dedup_exact_window_naive") {
+      import org.apache.spark.sql.expressions.Window
+      hashed.withColumn("n_same_text",
+          count(lit(1)).over(Window.partitionBy($"text_md5")))
+        .write.mode("overwrite").format("noop").save()
+      -1L
+    }(r =>
+      // the skew signature: the whole mega-cluster lands on ONE window
+      // task. AQE byte-balancing can even out the REST of the load at this
+      // corpus size (so a ratio test under-reports), but no optimizer can
+      // split a window partition — at 10^7 copies that task alone is hours.
+      if (r.maxShuffleRead >= hotCopies) "SKEWED(cluster on one task, as expected)"
+      else "naive-shape-did-not-skew(UNEXPECTED)")
+    // the tier composition: exact dedup collapses the 10^5-copy cluster to
+    // ONE survivor before near-dup sketching ever sees it
+    results += measure(spark, "dedup_tier_exact_then_minhash") {
+      val survivors = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"text")
+      graft.tdp.Dedup.minhashCandidatePairs(spark, survivors,
+        numHashes = 64, bands = 16, shingleN = 1).count()
+    }(bounded)
+    // in-operator backstop: the RAW corpus (mega-cluster intact) with the
+    // bucket-occupancy cap — the degenerate buckets are dropped wholesale
+    // instead of emitting ~hotCopies^2 x bands candidate pairs
+    results += measure(spark, "dedup_minhash_bucket_cap_raw") {
+      graft.tdp.Dedup.minhashCandidatePairs(spark, docs,
+        numHashes = 64, bands = 16, shingleN = 1, maxBucket = 64).count()
+    }(bounded)
+    graft.tdp.Dedup.releaseCaches()
+
+    // ---- triples aggregations ----------------------------------------------
+    results += measure(spark, "graph_stats_salted") {
+      graft.triples.GraphStats.saltedObjectCounts(spark, triples)
+        .write.mode("overwrite").parquet(s"$workDir/out_graph_stats")
+      spark.read.parquet(s"$workDir/out_graph_stats").count()
+    }(bounded)
+    results += measure(spark, "posting_list_naive_collect") {
+      // per-entity posting-list materialization, naive: every url of the
+      // hot entity crosses the wire to ONE reducer — as list PAYLOAD, so
+      // the skew is in BYTES (row counts look tame: partial collect_list
+      // ships one huge row per map task)
+      triples.groupBy($"obj").agg(collect_list($"url").as("urls"))
+        .select($"obj", size($"urls").as("n"))
+        .write.mode("overwrite").format("noop").save()
+      -1L
+    }(r =>
+      // threshold 4: the raw row-payload ratio is ~14x (hot df x tasks /
+      // tail rows) but shuffle bytes are POST-lz4, and the hot list's
+      // monotone urls compress ~3x better than the mixed tail — ~5x
+      // compressed is the one-task payload concentration signature here,
+      // vs 1.3-1.7x for every bounded plan
+      if (r.worstReadBytesRatio > 4.0) "SKEWED(payload bytes on one task, as expected)"
+      else "naive-shape-did-not-skew(UNEXPECTED)")
+    results += measure(spark, "posting_list_salted_sizes") {
+      // the defense: DON'T materialize per-entity lists — keep adjacency
+      // as the (obj, url) pair table (bucketed by subj in the triples
+      // sink) and compute per-entity sizes via the salted two-phase agg;
+      // nothing obj-keyed ever carries the hot entity's full payload
+      triples.withColumn("_salt", pmod(hash($"url"), lit(64)))
+        .groupBy($"obj", $"_salt").agg(collect_list($"url").as("urls"))
+        .groupBy($"obj").agg(sum(size($"urls")).as("n"))
+        .write.mode("overwrite").format("noop").save()
+      -1L
+    }(bounded)
+    results += measure(spark, "cooccurrence_capped") {
+      graft.triples.GraphStats.cooccurrenceEdges(spark, triples, maxObjsPerDoc = 64)
+        .write.mode("overwrite").parquet(s"$workDir/out_cooccurrence")
+      spark.read.parquet(s"$workDir/out_cooccurrence").count()
+    }(bounded)
+    results += measure(spark, "cooccurrence_uncapped_naive") {
+      val perDoc = triples.groupBy($"url", $"obj").agg(count(lit(1)).as("_n"))
+        .select($"url", $"obj")
+      val a = perDoc.toDF("url", "obj_a"); val b = perDoc.toDF("url", "obj_b")
+      a.join(b, Seq("url")).filter($"obj_a" < $"obj_b")
+        .groupBy($"obj_a", $"obj_b").agg(count(lit(1)).as("n_docs")).count()
+    }(r =>
+      // the skew signature: one join task alone emits the directory page's
+      // ~dirObjs^2/2 pairs
+      if (r.maxShuffleWrite >= dirObjs.toLong * (dirObjs - 1) / 2)
+        "SKEWED(single-task pair fanout, as expected)"
+      else "naive-shape-did-not-skew(UNEXPECTED)")
+
+    val boundedOk = results.count(_.verdict.startsWith("BOUNDED"))
+    val boundedAll = results.count(r => r.verdict.contains("BOUNDED") || r.verdict.contains("UNBOUNDED"))
+    val naiveOk = results.count(_.verdict.startsWith("SKEWED"))
+    println(s"""{"metric":"skew_bench","bounded_pass":$boundedOk,"bounded_total":$boundedAll,"naive_skew_demonstrated":$naiveOk,"work_dir":"$workDir","scale":$scale}""")
+    spark.stop()
+  }
+}

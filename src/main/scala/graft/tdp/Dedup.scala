@@ -166,16 +166,27 @@ object Dedup {
     * a true pair at Jaccard ≥ 0.8 is missed w.p. (1−0.8²)^32 ≈ 6e-15, so
     * an exact verify stage downstream reproduces the all-pairs ground
     * truth while the plan stays an equi-join on (band, bucket). */
+  /** `maxBucket`: optional bucket-occupancy cap (default: unlimited, which
+    * keeps the oracle-checked default plan byte-identical). A degenerate
+    * mega-bucket — every copy of a boilerplate template lands in the same
+    * (band, bucket) in EVERY band — would otherwise emit O(n²) candidate
+    * pairs; with the cap, buckets above the occupancy limit are dropped
+    * wholesale (the standard LSH practice: a mega-bucket carries no
+    * near-dup information the exact-dedup tier hasn't already captured,
+    * and its members still pair through their other, non-degenerate
+    * bands). The skew tier-composition answer remains exact-dedup FIRST
+    * (SkewBench); the cap is the in-operator backstop. */
   def minhashCandidatePairs(
       spark: SparkSession,
       docs: DataFrame, // (doc_id, text)
       numHashes: Int = 64,
       bands: Int = 32,
-      shingleN: Int = 1
+      shingleN: Int = 1,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     import spark.implicits._
     val rowsPerBand = numHashes / bands
-    val buckets = docs
+    val buckets0 = docs
       .select($"doc_id", $"text")
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -187,6 +198,18 @@ object Dedup {
         }
       }
       .toDF("band", "bucket", "doc_id")
+    val buckets =
+      if (maxBucket == Int.MaxValue) buckets0
+      else {
+        // occupancy via groupBy (map-side partial — never a Window over the
+        // possibly-hot bucket key); the filter join keys on (band, bucket)
+        // and AQE's skew split handles the mega-bucket's rows being dropped
+        val occ = buckets0.groupBy($"band", $"bucket")
+          .agg(count(lit(1)).as("_occ"))
+          .filter($"_occ" <= maxBucket)
+          .select($"band", $"bucket")
+        buckets0.join(occ, Seq("band", "bucket"))
+      }
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,
