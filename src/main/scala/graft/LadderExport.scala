@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.index.Resources
+import graft.link.{Ladders, MappingResources, MappingStep}
+import graft.model._
+import graft.pipeline.Pages
+
+/** Ladder-parity export (round-4 directive #4): dump everything the
+  * REFERENCE's pure-python StrategyRunner needs to replay this engine's
+  * mapping stage over the whole corpus — the ontology (candidates +
+  * metadata in the reference's shapes), the fitted per-parser context
+  * vectorizers (vocab + idf, so the reference TfIdfDisambiguationStrategy
+  * can run with a bit-identical model), and every document's pre-mapping
+  * entities (with candidate metrics) next to OUR chosen mappings.
+  *
+  *   sbt "runMain graft.LadderExport [sfDir] [outJson]"
+  *
+  * `tools/ladder_parity.py` then imports the reference's strategy_runner /
+  * mapping / disambiguation modules (kazu @ /root/reference — logic
+  * verbatim; absent heavy wheels are no-op shimmed), replays the ladder,
+  * and diffs chosen mappings entity-by-entity corpus-wide.
+  */
+object LadderExport {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val outPath = args.lift(1).getOrElse("/tmp/ladder_export.json")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val res = Resources.corpus
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+
+    // ---- ontology (reference shapes) ---------------------------------------
+    val onto = root.putObject("ontology")
+    val eco = onto.putObject("entity_class_of")
+    res.entityClassOf.toSeq.sortBy(_._1).foreach { case (p, c) => eco.put(p, c) }
+    val cands = onto.putArray("candidates")
+    res.synonyms.toSeq.sortBy(_._1).foreach { case ((parser, synNorm), c) =>
+      val cn = cands.addObject()
+      cn.put("parser", parser)
+      cn.put("syn_norm", synNorm)
+      val raws = cn.putArray("raw_synonyms")
+      c.rawSynonyms.foreach(raws.add)
+      cn.put("is_symbolic", c.isSymbolic)
+      cn.put("aggregated_by", c.aggregatedBy)
+      val mts = cn.putArray("mapping_types")
+      c.mappingTypes.foreach(mts.add)
+      val sets = cn.putArray("id_sets")
+      c.associatedIdSets.foreach { s =>
+        val sn = sets.addArray()
+        s.ids.foreach { id =>
+          val idn = sn.addArray(); idn.add(id.idx); idn.add(id.source)
+        }
+      }
+    }
+    val meta = onto.putArray("metadata")
+    res.metadata.toSeq.sortBy(_._1).foreach { case ((parser, idx), mr) =>
+      val mn = meta.addObject()
+      mn.put("parser", parser); mn.put("idx", idx)
+      mn.put("default_label", mr.defaultLabel)
+      val ex = mn.putObject("extras")
+      mr.extras.toSeq.sortBy(_._1).foreach { case (k, v) => ex.put(k, v) }
+    }
+
+    // ---- fitted context vectorizers (the TfIdf disambiguation model) -------
+    val mres = new MappingResources(res)
+    val vecs = root.putObject("vectorizers")
+    mres.contextVectorizers.toSeq.sortBy(_._1).foreach { case (parser, v) =>
+      val vn = vecs.putObject(parser)
+      val vocab = vn.putObject("vocab")
+      v.vocab.toSeq.sortBy(_._2).foreach { case (f, i) => vocab.put(f, i) }
+      val idf = vn.putArray("idf")
+      v.idf.foreach(idf.add)
+    }
+
+    // ---- documents: pre-mapping entities + our chosen mappings -------------
+    // the default chain up to (but excluding) MappingStep, then MappingStep
+    // separately, so pre/post entities align positionally
+    val pages = Pages.fromDocuments(spark, sfDir)
+    val bc = spark.sparkContext.broadcast(res)
+    val pre = Pages.toDocs(spark, pages).mapPartitions { it =>
+      val session = graft.ner.TokenClassifier.executorSession
+      val split = graft.ner.EntitySplitter.processDoc(graft.ner.EntitySplitter.Config()) _
+      val nerDocs = it.map { d =>
+        split(graft.ner.TokenClassifier.processDoc(session)(
+          graft.ner.TrieNer.processDoc(bc.value)(d)))
+      }
+      graft.link.DictionaryLinking.processPartition(bc.value)(nerDocs)
+    }
+    val preDocs = pre.collect().sortBy(_.url)
+    val postDocs = preDocs.iterator.map { d =>
+      MappingStep.processPartition(res, Ladders.default)(Iterator(d)).next()
+    }.toArray
+
+    val docsArr = root.putArray("docs")
+    preDocs.zip(postDocs).foreach { case (dPre, dPost) =>
+      val dn = docsArr.addObject()
+      dn.put("url", dPre.url)
+      val secs = dn.putArray("sections")
+      dPre.sections.zip(dPost.sections).foreach { case (sPre, sPost) =>
+        val sn = secs.addObject()
+        sn.put("name", sPre.name)
+        sn.put("text", sPre.text)
+        val ents = sn.putArray("entities")
+        require(sPre.entities.size == sPost.entities.size,
+          s"entity count drift in ${dPre.url}")
+        sPre.entities.zip(sPost.entities).foreach { case (e, ePost) =>
+          val en = ents.addObject()
+          en.put("match", e.matchStr)
+          en.put("match_norm", e.matchNorm)
+          en.put("entity_class", e.entityClass)
+          en.put("namespace", e.namespace)
+          en.put("confidence", e.mentionConfidence)
+          val spans = en.putArray("spans")
+          e.spans.foreach { sp =>
+            val a = spans.addArray(); a.add(sp.start); a.add(sp.end)
+          }
+          val cn = en.putArray("candidates")
+          e.candidates.foreach { c =>
+            val o = cn.addObject()
+            o.put("parser", c.candidate.parserName)
+            o.put("syn_norm", c.candidate.synonymNorm)
+            c.metrics.exactMatch.foreach(o.put("exact_match", _))
+            c.metrics.searchScore.foreach(o.put("search_score", _))
+          }
+          val mn = en.putArray("our_mappings")
+          ePost.mappings.foreach { mp =>
+            val o = mn.addObject()
+            o.put("parser", mp.parserName)
+            o.put("source", mp.source)
+            o.put("idx", mp.idx)
+            o.put("default_label", mp.defaultLabel)
+            o.put("strategy", mp.stringMatchStrategy)
+            o.put("string_match_confidence", mp.stringMatchConfidence)
+            mp.disambiguationStrategy.foreach(o.put("disambiguation_strategy", _))
+            mp.disambiguationConfidence.foreach(o.put("disambiguation_confidence", _))
+          }
+        }
+      }
+    }
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    println(s"ladder export: ${preDocs.length} docs -> $outPath")
+    spark.stop()
+  }
+}

@@ -1,0 +1,445 @@
+#!/usr/bin/env python3
+"""End-to-end ladder parity vs the EXECUTED reference (round-4 directive #4).
+
+Replays this engine's mapping stage through the reference's own pure-python
+StrategyRunner + mapping/disambiguation strategy classes (kazu @
+/root/reference — the logic runs verbatim), over the candidate groups
+exported by `graft.LadderExport`, and diffs the chosen mappings
+entity-by-entity corpus-wide.
+
+What is genuinely the reference's code here: StrategyRunner,
+ConfidenceLevelStrategyExecution, ExactMatch/SymbolMatch/SynNormIsSubString/
+StrongMatch mapping strategies, DefinedElsewhereInDocument / TfIdf /
+PreferDefaultLabelMatch disambiguation strategies, MappingFactory, the
+Entity/Document data model and its StringNormalizer-backed match_norm.
+
+What is injected (model assets, not logic): the fitted per-parser tf-idf
+context model (vocab + idf exported from the Scala build, so both engines
+score with bit-identical weights) wrapped in a TfIdfScorer-interface object
+whose __call__ replicates the reference scorer's scoring loop; and no-op
+shims for wheels absent in this sandbox (bson, cattrs, sklearn, scipy,
+torch, transformers, spacy, rapidfuzz, diskcache, cachetools, requests,
+tqdm) — none of which participate in the replayed code paths.
+
+Usage:  python3 tools/ladder_parity.py /tmp/ladder_export.json
+"""
+import json
+import os
+import sys
+import types
+
+# frozenset iteration order depends on string hashing — pin it for
+# deterministic replays
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+# --------------------------------------------------------------------------
+# dependency shims (absent wheels; never on the replayed code path)
+# --------------------------------------------------------------------------
+class _Stub:
+    """Permissive stand-in type: subclassable, subscriptable, callable."""
+    def __init__(self, *a, **k): pass
+    def __class_getitem__(cls, item): return cls
+
+
+def shim(name, **attrs):
+    mod = types.ModuleType(name)
+    mod.__path__ = []  # mark as package so sub-module shims resolve
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+class _ObjectId:
+    def __init__(self, *a, **k):
+        import uuid
+        self._v = uuid.uuid4().hex
+
+
+_bson = shim("bson", ObjectId=_ObjectId)
+_bson.json_util = shim("bson.json_util",
+                       default=lambda v: str(v), object_hook=lambda v: v)
+
+
+class _Conv:
+    def register_unstructure_hook(self, *a, **k): pass
+    def register_structure_hook(self, *a, **k): pass
+
+
+_cattrs = shim("cattrs")
+_cattrs.preconf = shim("cattrs.preconf")
+_cattrs.preconf.json = shim("cattrs.preconf.json",
+                            make_converter=lambda **k: _Conv(), JsonConverter=object)
+sys.modules["cattrs.preconf.json"] = _cattrs.preconf.json
+_cattrs.strategies = shim("cattrs.strategies",
+                          include_subclasses=lambda *a, **k: None)
+_cattrs.gen = shim("cattrs.gen",
+                   make_dict_unstructure_fn=lambda *a, **k: (lambda *x: None),
+                   make_dict_structure_fn=lambda *a, **k: (lambda *x: None),
+                   override=lambda **k: None)
+
+
+class _LFUCache(dict):
+    def __init__(self, maxsize=128, *a, **k):
+        super().__init__()
+
+
+shim("cachetools", LFUCache=_LFUCache)
+
+
+class _DiskCache:
+    def __init__(self, *a, **k): pass
+
+    def memoize(self, *a, **k):
+        return lambda fn: fn
+
+
+shim("diskcache", Cache=_DiskCache)
+shim("requests", Session=_Stub, Response=_Stub, get=lambda *a, **k: None,
+     post=lambda *a, **k: None)
+shim("requests.adapters", HTTPAdapter=_Stub, Retry=_Stub)
+_scipy = shim("scipy")
+_scipy.sparse = shim("scipy.sparse", csr_matrix=_Stub, vstack=lambda *a, **k: None)
+_skl = shim("sklearn")
+_skl.feature_extraction = shim("sklearn.feature_extraction")
+shim("sklearn.feature_extraction.text", TfidfVectorizer=_Stub)
+_skl.utils = shim("sklearn.utils")
+shim("sklearn.utils.extmath", safe_sparse_dot=lambda a, b: a @ b)
+shim("rapidfuzz", fuzz=types.SimpleNamespace(ratio=lambda *a, **k: 0.0))
+_torch = shim("torch", Tensor=_Stub, cosine_similarity=lambda *a, **k: 0.0,
+              softmax=lambda *a, **k: None, no_grad=_Stub, device=_Stub,
+              cat=lambda *a, **k: None, stack=lambda *a, **k: None)
+_torch.nn = shim("torch.nn", Module=_Stub)
+_torch.utils = shim("torch.utils")
+_torch.utils.data = shim("torch.utils.data", DataLoader=_Stub, Dataset=_Stub,
+                         IterableDataset=_Stub)
+shim("transformers", BatchEncoding=_Stub, PreTrainedTokenizerBase=_Stub,
+     AutoConfig=_Stub, AutoTokenizer=_Stub, AutoModel=_Stub,
+     AutoModelForTokenClassification=_Stub, DataCollatorWithPadding=_Stub,
+     PreTrainedModel=_Stub)
+shim("transformers.modeling_outputs", TokenClassifierOutput=_Stub,
+     BaseModelOutput=_Stub)
+shim("transformers.utils", check_min_version=lambda *a, **k: None)
+shim("transformers.file_utils", PaddingStrategy=_Stub)
+shim("transformers.tokenization_utils_base", TruncationStrategy=_Stub)
+_spacy = shim("spacy")
+_spacy_registry_placeholder = types.SimpleNamespace(
+    languages=lambda name: (lambda cls: cls),
+    misc=lambda name: (lambda fn: fn),
+    tokenizers=lambda name: (lambda fn: fn))
+_spacy.registry = types.SimpleNamespace(
+    languages=lambda name: (lambda cls: cls),
+    misc=lambda name: (lambda fn: fn),
+    tokenizers=lambda name: (lambda fn: fn))
+_spacy.blank = lambda *a, **k: _Stub()
+_spacy.load = lambda *a, **k: _Stub()
+_spacy.matcher = shim("spacy.matcher", Matcher=_Stub, PhraseMatcher=_Stub)
+_spacy.util = shim("spacy.util", SimpleFrozenList=list,
+                   registry=_spacy_registry_placeholder)
+class _Language(_Stub):
+    @staticmethod
+    def factory(*a, **k):
+        return lambda fn: fn
+    @staticmethod
+    def component(*a, **k):
+        return lambda fn: fn
+_spacy.language = shim("spacy.language", Language=_Language)
+class _SpacyDoc(_Stub):
+    @staticmethod
+    def set_extension(*a, **k): pass
+class _SpacySpan(_Stub):
+    @staticmethod
+    def set_extension(*a, **k): pass
+class _SpacyToken(_Stub):
+    @staticmethod
+    def set_extension(*a, **k): pass
+_spacy.tokens = shim("spacy.tokens", Doc=_SpacyDoc, Span=_SpacySpan,
+                     Token=_SpacyToken, SpanGroup=_Stub)
+_spacy.lang = shim("spacy.lang")
+_spacy.lang.char_classes = shim("spacy.lang.char_classes",
+    LIST_ELLIPSES=[], LIST_ICONS=[], CONCAT_QUOTES="", ALPHA_LOWER="a-z",
+    ALPHA_UPPER="A-Z", ALPHA="a-zA-Z", HYPHENS="-")
+class _EnglishDefaults(_Stub):
+    suffixes = []
+    infixes = []
+    prefixes = []
+_spacy.lang.en = shim("spacy.lang.en", English=_Stub,
+                      EnglishDefaults=_EnglishDefaults)
+import string as _string
+shim("spacy.lang.en.tokenizer_exceptions",
+     TOKENIZER_EXCEPTIONS={c + ".": [] for c in _string.ascii_lowercase})
+shim("tqdm", tqdm=lambda x, **k: x)
+shim("tokenizers", Encoding=_Stub)
+shim("ahocorasick", Automaton=_Stub)
+shim("srsly", read_json=lambda *a, **k: {}, write_json=lambda *a, **k: None,
+     read_jsonl=lambda *a, **k: [], write_jsonl=lambda *a, **k: None)
+_rdf = shim("rdflib", Graph=_Stub, URIRef=_Stub, Literal=_Stub, BNode=_Stub,
+            Namespace=_Stub)
+_rdf.query = shim("rdflib.query", ResultRow=_Stub)
+
+sys.path.insert(0, "/root/reference")
+
+import numpy as np  # noqa: E402
+
+from kazu.data import (  # noqa: E402
+    CharSpan, DisambiguationConfidence, Document, Entity,
+    EquivalentIdAggregationStrategy, EquivalentIdSet, LinkingCandidate,
+    LinkingMetrics, MentionConfidence, Section, StringMatchConfidence)
+from kazu.database.in_memory_db import MetadataDatabase, SynonymDatabase  # noqa: E402
+from kazu.ontology_preprocessing.constants import DEFAULT_LABEL  # noqa: E402
+from kazu.steps.linking.post_processing.strategy_runner import (  # noqa: E402
+    ConfidenceLevelStrategyExecution, StrategyRunner)
+from kazu.steps.linking.post_processing.mapping_strategies.strategies import (  # noqa: E402
+    ExactMatchMappingStrategy, StrongMatchMappingStrategy,
+    SymbolMatchMappingStrategy, SynNormIsSubStringMappingStrategy)
+from kazu.steps.linking.post_processing.disambiguation.strategies import (  # noqa: E402
+    DefinedElsewhereInDocumentDisambiguationStrategy,
+    PreferDefaultLabelMatchDisambiguationStrategy, TfIdfDisambiguationStrategy)
+
+
+# --------------------------------------------------------------------------
+# injected tf-idf model (exported Scala fit: identical vocab + idf weights)
+# --------------------------------------------------------------------------
+def context_features(s):
+    """Bit-for-bit mirror of graft Featurizer.contextFeatures: word 1-2
+    grams + prefixed char 2-3 grams over the lower-cased string."""
+    lower = s.lower()
+    words = lower.split(" ")
+    feats = list(words)
+    feats += [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
+    feats += ["c2:" + lower[i:i + 2] for i in range(len(lower) - 1)]
+    feats += ["c3:" + lower[i:i + 3] for i in range(len(lower) - 2)]
+    return feats
+
+
+class ExportedVectorizer:
+    def __init__(self, vocab, idf):
+        self.vocab = vocab
+        self.idf = np.asarray(idf)
+
+    def _vec(self, s):
+        v = np.zeros(len(self.idf))
+        for f in context_features(s):
+            i = self.vocab.get(f)
+            if i is not None:
+                v[i] += 1.0
+        v *= self.idf
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def transform(self, strings):
+        return np.vstack([self._vec(s) for s in strings])
+
+
+class ExportedTfIdfScorer:
+    """TfIdfScorer-interface wrapper; __call__ mirrors the reference
+    scorer's loop (context_scoring.py:71-89) including the single-string
+    100.0 bypass."""
+
+    def __init__(self, parser_to_vectorizer):
+        self.parser_to_vectorizer = parser_to_vectorizer
+
+    def __call__(self, strings, matrix, parser):
+        if len(strings) == 1:
+            yield strings[0], 100.0
+        else:
+            mat = self.parser_to_vectorizer[parser].transform(strings)
+            score_matrix = np.squeeze(-np.asarray(mat @ matrix.T))
+            neighbours = score_matrix.argsort()
+            for neighbour in neighbours:
+                yield strings[neighbour], -score_matrix[neighbour]
+
+
+# --------------------------------------------------------------------------
+# load export, populate the reference's in-memory databases
+# --------------------------------------------------------------------------
+export = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/ladder_export.json"))
+
+candidates = {}
+for c in export["ontology"]["candidates"]:
+    id_sets = frozenset(
+        EquivalentIdSet(frozenset((idx, src) for idx, src in s))
+        for s in c["id_sets"])
+    cand = LinkingCandidate(
+        raw_synonyms=frozenset(c["raw_synonyms"]),
+        synonym_norm=c["syn_norm"],
+        parser_name=c["parser"],
+        is_symbolic=c["is_symbolic"],
+        associated_id_sets=id_sets,
+        aggregated_by=EquivalentIdAggregationStrategy[c["aggregated_by"]],
+        mapping_types=frozenset(c["mapping_types"]))
+    candidates[(c["parser"], c["syn_norm"])] = cand
+
+meta_by_parser = {}
+for mrow in export["ontology"]["metadata"]:
+    meta_by_parser.setdefault(mrow["parser"], {})[mrow["idx"]] = dict(
+        {DEFAULT_LABEL: mrow["default_label"]}, **mrow.get("extras", {}))
+
+mdb = MetadataDatabase()
+sdb = SynonymDatabase()
+for parser, ecls in export["ontology"]["entity_class_of"].items():
+    mdb.add_parser(parser, ecls, meta_by_parser.get(parser, {}))
+    sdb.add_parser(parser, [c for (p, _), c in candidates.items() if p == parser])
+
+scorer = ExportedTfIdfScorer({
+    parser: ExportedVectorizer(v["vocab"], v["idf"])
+    for parser, v in export["vectorizers"].items()})
+
+
+# --------------------------------------------------------------------------
+# the ladder, mirrored from graft.link.Ladders.default for the default
+# entity classes (this corpus's classes — operator, component — use the
+# default strategy lists at every level), built from REFERENCE classes
+# --------------------------------------------------------------------------
+HL, P, POSS = (StringMatchConfidence.HIGHLY_LIKELY,
+               StringMatchConfidence.PROBABLE, StringMatchConfidence.POSSIBLE)
+DHL, DP, DPOSS = (DisambiguationConfidence.HIGHLY_LIKELY,
+                  DisambiguationConfidence.PROBABLE,
+                  DisambiguationConfidence.POSSIBLE)
+RELEVANT = [EquivalentIdAggregationStrategy.UNAMBIGUOUS,
+            EquivalentIdAggregationStrategy.RESOLVED_BY_SIMILARITY,
+            EquivalentIdAggregationStrategy.MERGED_AS_NON_SYMBOLIC]
+
+
+def disamb_default():
+    return [DefinedElsewhereInDocumentDisambiguationStrategy(DHL),
+            TfIdfDisambiguationStrategy(DP, scorer=scorer,
+                                        relevant_aggregation_strategies=RELEVANT)]
+
+
+def disamb_prefer_default_label():
+    return [PreferDefaultLabelMatchDisambiguationStrategy(DHL)]
+
+
+symbolic_hl = ConfidenceLevelStrategyExecution(
+    ent_class_strategies={},
+    default_strategies=[
+        ExactMatchMappingStrategy(HL, disamb_default()),
+        SymbolMatchMappingStrategy(P, disamb_default()),
+        SynNormIsSubStringMappingStrategy(P, disamb_default()),
+        StrongMatchMappingStrategy(POSS, disamb_default(), symbolic_only=True)],
+    stop_on_success=True)
+symbolic_probable = ConfidenceLevelStrategyExecution(
+    ent_class_strategies={},
+    default_strategies=[ExactMatchMappingStrategy(HL, disamb_default())],
+    stop_on_success=True)
+possible = ConfidenceLevelStrategyExecution(
+    ent_class_strategies={},
+    default_strategies=[
+        ExactMatchMappingStrategy(
+            HL, [DefinedElsewhereInDocumentDisambiguationStrategy(DHL)],
+            disambiguation_essential=True)],
+    stop_on_success=True)
+non_symbolic_hl = ConfidenceLevelStrategyExecution(
+    ent_class_strategies={},
+    default_strategies=[
+        ExactMatchMappingStrategy(HL, disamb_prefer_default_label(),
+                                  disambiguation_essential=True),
+        ExactMatchMappingStrategy(HL, disamb_default()),
+        StrongMatchMappingStrategy(POSS, disamb_default())],
+    stop_on_success=True)
+non_symbolic_probable = ConfidenceLevelStrategyExecution(
+    ent_class_strategies={},
+    default_strategies=[
+        ExactMatchMappingStrategy(HL, disamb_prefer_default_label(),
+                                  disambiguation_essential=True),
+        ExactMatchMappingStrategy(HL, disamb_default())],
+    stop_on_success=True)
+
+runner = StrategyRunner(
+    symbolic_strategies={"HIGHLY_LIKELY": symbolic_hl,
+                         "PROBABLE": symbolic_probable,
+                         "POSSIBLE": possible},
+    non_symbolic_strategies={"HIGHLY_LIKELY": non_symbolic_hl,
+                             "PROBABLE": non_symbolic_probable,
+                             "POSSIBLE": possible})
+
+
+# --------------------------------------------------------------------------
+# replay + diff
+# --------------------------------------------------------------------------
+def mapping_key(parser, source, idx, strategy, smc, dstrat, dconf):
+    return (parser, source, idx, strategy, smc, dstrat or "", dconf or "")
+
+
+n_docs = n_entities = n_entities_with_candidates = 0
+n_norm_mismatch = 0
+agree = diverge = 0
+n_ref_mappings_total = n_entities_ref_mapped = 0
+divergence_buckets = {}
+
+for dj in export["docs"]:
+    n_docs += 1
+    sections = []
+    exported_entities = []  # aligned with python entities
+    for sj in dj["sections"]:
+        sec = Section(text=sj["text"], name=sj["name"])
+        for ej in sj["entities"]:
+            ent = Entity(
+                match=ej["match"],
+                entity_class=ej["entity_class"],
+                spans=frozenset(CharSpan(s, e) for s, e in ej["spans"]),
+                namespace=ej["namespace"],
+                mention_confidence=MentionConfidence(ej["confidence"]))
+            if ent.match_norm != ej["match_norm"]:
+                n_norm_mismatch += 1
+            for cj in ej["candidates"]:
+                cand = candidates[(cj["parser"], cj["syn_norm"])]
+                ent.add_or_update_linking_candidate(cand, LinkingMetrics(
+                    exact_match=cj.get("exact_match"),
+                    search_score=cj.get("search_score")))
+            sec.entities.append(ent)
+            exported_entities.append((ent, ej))
+        sections.append(sec)
+    doc = Document(idx=dj["url"], sections=sections)
+    runner(doc)
+    for ent, ej in exported_entities:
+        n_entities += 1
+        if ej["candidates"]:
+            n_entities_with_candidates += 1
+        ref_mappings = set(
+            mapping_key(m.parser_name, m.source, m.idx, m.string_match_strategy,
+                        m.string_match_confidence.name,
+                        m.disambiguation_strategy,
+                        m.disambiguation_confidence.name
+                        if m.disambiguation_confidence else None)
+            for m in ent.mappings)
+        ours = set(
+            mapping_key(m["parser"], m["source"], m["idx"], m["strategy"],
+                        m["string_match_confidence"],
+                        m.get("disambiguation_strategy"),
+                        m.get("disambiguation_confidence"))
+            for m in ej["our_mappings"])
+        n_ref_mappings_total += len(ref_mappings)
+        if ref_mappings:
+            n_entities_ref_mapped += 1
+        if ref_mappings == ours:
+            agree += 1
+        else:
+            diverge += 1
+            bucket = (ej["match"], ej["entity_class"],
+                      tuple(sorted(ours - ref_mappings)),
+                      tuple(sorted(ref_mappings - ours)))
+            divergence_buckets.setdefault(bucket, []).append(
+                (dj["url"], ej["spans"]))
+
+print(f"docs: {n_docs}")
+print(f"entities: {n_entities} ({n_entities_with_candidates} with candidates)")
+print(f"match_norm mismatches (ours vs reference StringNormalizer): {n_norm_mismatch}")
+print(f"entities the reference runner mapped: {n_entities_ref_mapped} "
+      f"({n_ref_mappings_total} mappings)")
+print(f"entities with IDENTICAL mapping sets: {agree}")
+print(f"entities with diverging mapping sets: {diverge}")
+if divergence_buckets:
+    print("\ndivergence buckets (match, class, ours-only, reference-only, n, example):")
+    for (match, cls, ours_only, ref_only), occ in sorted(
+            divergence_buckets.items(), key=lambda kv: -len(kv[1])):
+        print(f"  match={match!r} class={cls} n={len(occ)} example={occ[0]}")
+        for m in ours_only:
+            print(f"    ours-only: {m}")
+        for m in ref_only:
+            print(f"    ref-only:  {m}")
+sys.exit(0 if diverge == 0 and n_norm_mismatch == 0 else 1)
