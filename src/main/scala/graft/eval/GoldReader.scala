@@ -33,6 +33,80 @@ object GoldReader {
       .filter(col("start").isNotNull && col("entity_class").isNotNull)
   }
 
+  /** Parse a REFERENCE-shaped Label Studio export verbatim — the task JSON
+    * the reference's `export_from_ls` consumes (kazu/annotation/
+    * label_studio.py:195-337): `data.id` = "<docid>_<section>_<i>", one
+    * annotation set, `result` regions of three kinds — NER regions
+    * (`type: labels`), taxonomy regions carrying mappings as
+    * `(source, "default_label|idx")` pairs, and `relation` links that glue
+    * non-contiguous spans into one entity. Reconstruction mirrors
+    * `LSToKazuConversion.create_ents` exactly: one entity per
+    * (contiguous region × label); non-contig pairs merge with
+    * match = "<to-text> <from-text>", label INTERSECTION, mapping UNION;
+    * the unmapped sentinel `("None", "unmapped|unmapped")` is kept as a
+    * mapping row like the reference does. One output row per gold entity:
+    * (doc_id, entity_class, match, starts, ends, sources, mapping_idxs).
+    * The committed fixture `ls_reference_export.json` is generated and
+    * round-trip-validated by the reference's own converter
+    * (tools/make_ls_fixture.py). */
+  def fromReferenceExport(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val results = raw.select(
+        col("data.id").as("data_id"),
+        // the reference uses only the FIRST annotation set (:206-207)
+        element_at(col("annotations"), 1).as("ann"))
+      .select(
+        split(col("data_id"), "_").getItem(0).as("doc_id"),
+        explode(col("ann.result")).as("r"))
+    val ner = results.filter(col("r.type") === "labels").select(
+      col("doc_id"), col("r.id").as("rid"),
+      col("r.value.start").cast("int").as("start"),
+      col("r.value.end").cast("int").as("end"),
+      col("r.value.text").as("match"),
+      // ref iterates every label of the region (create_ents :275-277)
+      explode(col("r.value.labels")).as("entity_class"))
+    val mappings = results.filter(col("r.type") === "taxonomy")
+      .select(col("doc_id"), col("r.id").as("rid"),
+        explode(col("r.value.taxonomy")).as("t"))
+      .select(col("doc_id"), col("rid"),
+        element_at(col("t"), 1).as("source"),
+        element_at(split(element_at(col("t"), 2), "\\|"), -1).as("mapping_idx"))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(sort_array(collect_list(col("source"))).as("sources"),
+        sort_array(collect_list(col("mapping_idx"))).as("mapping_idxs"))
+    val rel = results.filter(col("r.type") === "relation").select(
+      col("doc_id"), col("r.from_id").as("from_id"), col("r.to_id").as("to_id"))
+    val regions = ner.join(mappings, Seq("doc_id", "rid"), "left")
+    val linkedIds = rel.select(col("doc_id"), col("from_id").as("rid"))
+      .union(rel.select(col("doc_id"), col("to_id").as("rid"))).distinct()
+    val contiguous = regions.join(linkedIds, Seq("doc_id", "rid"), "left_anti")
+      .select(col("doc_id"), col("entity_class"), col("match"),
+        array(col("start")).as("starts"), array(col("end")).as("ends"),
+        coalesce(col("sources"), array()).as("sources"),
+        coalesce(col("mapping_idxs"), array()).as("mapping_idxs"))
+    val fromSide = regions.toDF(regions.columns.map("f_" + _): _*)
+    val toSide = regions.toDF(regions.columns.map("t_" + _): _*)
+    val nonContig = rel
+      .join(fromSide, col("doc_id") === col("f_doc_id") && col("from_id") === col("f_rid"))
+      .join(toSide, col("doc_id") === col("t_doc_id") && col("to_id") === col("t_rid") &&
+        // label intersection (:287)
+        col("f_entity_class") === col("t_entity_class"))
+      .select(col("doc_id"), col("f_entity_class").as("entity_class"),
+        // match = "<to-text> <from-text>" (:288)
+        concat(col("t_match"), lit(" "), col("f_match")).as("match"),
+        array(col("f_start"), col("t_start")).as("starts"),
+        array(col("f_end"), col("t_end")).as("ends"),
+        // mapping UNION across the linked regions (:291-293)
+        sort_array(array_distinct(concat(
+          coalesce(col("f_sources"), array()),
+          coalesce(col("t_sources"), array())))).as("sources"),
+        sort_array(array_distinct(concat(
+          coalesce(col("f_mapping_idxs"), array()),
+          coalesce(col("t_mapping_idxs"), array())))).as("mapping_idxs"))
+    contiguous.unionByName(nonContig)
+      .orderBy(col("doc_id"), col("entity_class"), col("match"))
+  }
+
   /** CSV golden shape committed by the reference
     * (kazu/tests/test_assets/full_pipeline/{0,1,2}.csv). */
   def fromReferenceCsv(spark: SparkSession, path: String): DataFrame =

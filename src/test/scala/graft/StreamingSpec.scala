@@ -128,6 +128,33 @@ class GoldReaderSpec extends AnyFunSuite with SparkTestBase {
     cached.unpersist()
   }
 
+  test("REFERENCE-shaped export parses verbatim (fixture from the reference's own converter)") {
+    // ls_reference_export.json is generated by tools/make_ls_fixture.py:
+    // the reference's KazuToLabelStudioConverter over the exact scenario of
+    // kazu/tests/test_label_studio.py, round-trip-validated against the
+    // reference's LSToKazuConversion. Our reader must reconstruct the same
+    // gold entities from the same bytes — non-contiguous relation links,
+    // taxonomy mapping regions and unmapped sentinel included.
+    val path = getClass.getResource("/ls_reference_export.json").getPath
+    val rows = graft.eval.GoldReader.fromReferenceExport(spark, path)
+      .collect()
+      .map(r => (r.getAs[String]("entity_class"), r.getAs[String]("match"),
+        r.getAs[Seq[Int]]("starts").sorted,
+        r.getAs[Seq[String]]("sources"), r.getAs[Seq[String]]("mapping_idxs")))
+      .toSet
+    assert(rows.size == 3, rows)
+    // same assertions as the reference's test_kazu_doc_to_label_studio
+    assert(rows.contains(("gene", "cat mat", Seq(4, 19),
+      Seq("test1", "test2"), Seq("1", "2"))), rows)
+    assert(rows.contains(("disease", "mat", Seq(19),
+      Seq("test3"), Seq("3"))), rows)
+    // the reference keeps the unmapped sentinel as a ("None", "unmapped")
+    // mapping (LSToKazuConversion.create_mappings) — mirrored
+    assert(rows.contains(("drug", "cat", Seq(4),
+      Seq("None"), Seq("unmapped"))), rows)
+    assert(rows.forall(_ != null))
+  }
+
   test("writer shifts multi-section spans to task-text offsets") {
     import graft.model._
     val doc = KDoc("u", new java.sql.Timestamp(0), "abs body", "en", Seq(
