@@ -46,6 +46,21 @@ object SparkEntry {
   private val evictionHooked =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  /** Bounded session-keyed memoize shared by the doc and triples caches:
+    * hard cap at 8 entries — sessions sharing one context (newSession
+    * clones) never see onApplicationEnd, so the excess is evicted (and
+    * unpersisted) before inserting regardless of lifecycle. */
+  private def boundedMemo[V <: org.apache.spark.sql.Dataset[_]](
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+      key: (SparkSession, String))(build: => V): V =
+    cache.getOrElseUpdate(key, {
+      if (cache.size >= 8)
+        cache.keys.take(cache.size - 7).foreach { k =>
+          cache.remove(k).foreach(_.unpersist())
+        }
+      build
+    })
+
   private def pipelineDocs(spark: SparkSession, sfDir: String) = {
     // evict this session's entries when its application ends, so a
     // long-lived process that creates many sessions doesn't strongly retain
@@ -59,18 +74,11 @@ object SparkEntry {
           evictionHooked.remove(spark)
         }
       })
-    docsCache.getOrElseUpdate((spark, sfDir), {
-      // hard bound: sessions sharing one context (newSession clones) never
-      // see onApplicationEnd, so cap the cache regardless of lifecycle —
-      // evict (and unpersist) the excess before inserting
-      if (docsCache.size >= 8)
-        docsCache.keys.take(docsCache.size - 7).foreach { k =>
-          docsCache.remove(k).foreach(_.unpersist())
-        }
+    boundedMemo(docsCache, (spark, sfDir)) {
       val pages = Pages.fromDocuments(spark, sfDir)
       val (docs, _) = Pipeline.run(spark, pages, resources(spark))
       docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
   }
 
   /** One triple-assembly pass per (session, dir): every triple-derived query
@@ -78,14 +86,10 @@ object SparkEntry {
     * instead of re-running the assembly flatMap — the read-many shape the
     * published snapshot has in production. */
   private def pipelineTriples(spark: SparkSession, sfDir: String): DataFrame =
-    triplesCache.getOrElseUpdate((spark, sfDir), {
-      if (triplesCache.size >= 8)
-        triplesCache.keys.take(triplesCache.size - 7).foreach { k =>
-          triplesCache.remove(k).foreach(_.unpersist())
-        }
+    boundedMemo(triplesCache, (spark, sfDir)) {
       Triples.fromDocs(spark, pipelineDocs(spark, sfDir)).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -134,7 +138,11 @@ object SparkEntry {
       $"text", $"lang")
     val (docs0, _) = Pipeline.run(s, withHtml, s.sparkContext.broadcast(res),
       runner = runner, withTransformerNer = false, classDisambig = classDisambig)
-    val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-call persist (each strategy row runs its own sliced pipeline);
+    // released by the bench/verify drivers via CacheRegistry once the
+    // returned plan has materialized
+    val docs = graft.util.CacheRegistry.register(
+      docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val lens = pages0.select($"url", length($"text").as("orig_len"))
     Triples.fromDocs(s, docs).toDF()
       .join(lens, "url")
@@ -321,7 +329,8 @@ object SparkEntry {
           lit("utf-8")).as("html"),
         $"text", $"lang")
       val (docs0, _) = Pipeline.run(s, pagesWithHtml, resources(s))
-      val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = graft.util.CacheRegistry.register(
+        docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       Triples.fromDocs(s, docs).toDF()
         .filter($"namespace" === "AbbreviationFinder")
         .select($"url", $"start", $"end", $"pred", $"obj",
@@ -352,7 +361,8 @@ object SparkEntry {
           lit("utf-8")).as("html"),
         $"text", $"lang")
       val (docs0, _) = Pipeline.run(s, withHtml, resources(s))
-      val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = graft.util.CacheRegistry.register(
+        docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val lens = pages0.select($"url", length($"text").as("orig_len"))
       Triples.fromDocs(s, docs).toDF()
         .join(lens, "url")
@@ -424,7 +434,8 @@ object SparkEntry {
           lit("utf-8")).as("html"),
         $"text", $"lang")
       val (docs0, _) = Pipeline.run(s, withHtml, resources(s), classRules = rules)
-      val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = graft.util.CacheRegistry.register(
+        docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       Triples.fromDocs(s, docs).toDF()
         .select($"subj", $"pred", $"obj", $"confidence", $"namespace",
           $"matchStr".as("match"), $"start", $"end", $"url")
@@ -611,6 +622,21 @@ object SparkEntry {
       val withPii = docsDf(s, dir).withColumn("text",
         concat($"text", lit(" contact bob@example.com or 555-123-4567 at 10.0.0.1 now.")))
       TextStats.scrubPii(s, withPii)
+    }),
+    "decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      // benchmark decontamination (13-gram overlap, the GPT-3/PaLM window):
+      // the synthesized eval corpus is a 21-word slice of every 50th
+      // document, so those documents — and any document sharing a 13-gram
+      // with them (exact/near duplicates) — must flag; the oracle recomputes
+      // the distinct-overlap counts relationally
+      val docs = docsDf(s, dir)
+      val bench = docs
+        .filter($"doc_id" % 50 === 0)
+        .select(slice(split($"text", " "), 5, 21).as("w"))
+        .filter(size($"w") === 21)
+        .select(concat_ws(" ", $"w").as("bench_text"))
+      graft.tdp.Decontaminate.flagContaminated(s, docs, bench)
     }),
     "text_quality" -> ((s, dir) => TextStats.quality(s, docsDf(s, dir))),
     "lang_id" -> ((s, dir) => TextStats.langId(s, docsDf(s, dir))),
@@ -930,6 +956,29 @@ object SparkEntry {
          |      '$ip', '[IP]', 'g')) AS scrubbed_md5
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    "decontaminate" ->
+      """WITH bench AS (
+        |  SELECT string_split(text, ' ')[5:25] AS w
+        |  FROM documents
+        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 25),
+        |bgrams AS (
+        |  SELECT DISTINCT unnest([array_to_string(w[i : i+12], ' ')
+        |                          for i in generate_series(1, 9)]) AS ngram
+        |  FROM bench),
+        |docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dgrams AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest([array_to_string(w[i : i+12], ' ')
+        |                 for i in generate_series(1, greatest(len(w) - 12, 0))]) AS ngram
+        |  FROM docw),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM dgrams JOIN bgrams USING (ngram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+        |       coalesce(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

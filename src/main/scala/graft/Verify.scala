@@ -23,8 +23,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // caller-owned lifecycle for intermediate persists (see Dedup.scala)
-      graft.tdp.Dedup.releaseCaches()
+      // caller-owned lifecycle for intermediate persists (CacheRegistry)
+      graft.util.CacheRegistry.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -43,10 +43,14 @@ object Gliner {
     def predict(sentence: String, labels: Seq[String], threshold: Double): Seq[Pred]
   }
 
+  /** (The reference's `batch_size` knob — how many packed sentence chunks
+    * go into one `batch_predict_entities` call — is a GPU-throughput
+    * grouping with no semantic effect; this harness's [[Backbone]] is
+    * invoked once per packed chunk, so the knob is deliberately absent
+    * rather than silently ignored.) */
   final case class Config(
       promptToClass: Map[String, String],
       threshold: Double = 0.3,
-      batchSize: Int = 2,
       maxContextSize: Int = 118, // ref: model max_len 128 − 10 special tokens
       iterations: Int = 5,
       scorer: () => ConflictScorer = () => new MajorityVoteScorer
@@ -263,8 +267,9 @@ object Gliner {
   // --- MiniBern stand-in backbone ------------------------------------------
 
   /** The pluggable-model slot filled with the in-repo transformer: token
-    * classification over the sentence, each span scored by the mean of its
-    * words' winning-label softmax confidence. Label prompts act as a class
+    * classification over the sentence, each span scored by its WEAKEST
+    * word's winning-label softmax confidence (min across the span — a
+    * span is only as certain as its least certain word). Label prompts act as a class
     * filter (a real GLiNER conditions on them; an encoder-classifier
     * cannot, so prompt ORDER is a no-op here — the shuffle iterations
     * exercise the harness, and the conflict scorer sees `iterations`

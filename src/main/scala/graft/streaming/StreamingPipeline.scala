@@ -110,17 +110,30 @@ object StreamingPipeline {
     * bound. A pair sharing several buckets is emitted once per matching
     * band (at-least-once semantics) — consumers dedup on the pair key.
     */
-  /** One stored bucket entry: url, minhash signature, event-time millis
-    * (0 when the stream runs without TTL). */
+  /** One stored bucket entry with event time (TTL variant only). */
   private type BucketEntry = (String, Array[Long], Long)
+
+  /** Per-page (band-bucket key, url, signature) emission — the banding key
+    * space shared by BOTH near-dup streams (one definition, so a change to
+    * band hashing or key packing cannot desynchronize them). */
+  private def bucketKeys(url: String, text: String, numHashes: Int,
+      bands: Int): Iterator[(Long, String, Array[Long])] = {
+    val rowsPerBand = numHashes / bands
+    val sig = graft.tdp.Dedup.minhashSignature(text, numHashes)
+    (0 until bands).iterator.map { b =>
+      val bucket = java.util.Arrays.hashCode(
+        sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
+      (b.toLong << 32 | (bucket & 0xffffffffL), url, sig)
+    }
+  }
 
   /** Verify an arriving page against a bucket's stored signatures —
     * similarity computed ONCE per stored entry (it is the O(numHashes)
     * dominant verify cost). */
   private def bucketHits(
-      stored: List[BucketEntry], url: String, sig: Array[Long],
+      stored: List[(String, Array[Long])], url: String, sig: Array[Long],
       threshold: Double): List[NearDup] =
-    stored.flatMap { case (seenUrl, seenSig, _) =>
+    stored.flatMap { case (seenUrl, seenSig) =>
       if (seenUrl == url) None
       else {
         val sim = graft.tdp.Dedup.signatureSimilarity(seenSig.toSeq, sig.toSeq)
@@ -137,25 +150,20 @@ object StreamingPipeline {
       maxBucket: Int = 64
   ): Dataset[NearDup] = {
     import spark.implicits._
-    val rowsPerBand = numHashes / bands
+    // state type unchanged since round 3 (List[(url, sig)]): the state
+    // encoder schema is part of a streaming checkpoint's contract, and a
+    // schema change would fail restarts of existing queries
     pages.select($"url", $"text").as[(String, String)]
-      .flatMap { case (url, text) =>
-        val sig = graft.tdp.Dedup.minhashSignature(text, numHashes)
-        (0 until bands).iterator.map { b =>
-          val bucket = java.util.Arrays.hashCode(
-            sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
-          (b.toLong << 32 | (bucket & 0xffffffffL), url, sig)
-        }
-      }
+      .flatMap { case (url, text) => bucketKeys(url, text, numHashes, bands) }
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[BucketEntry], NearDup](
+      .flatMapGroupsWithState[List[(String, Array[Long])], NearDup](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[List[BucketEntry]]) =>
+        case (_, rows, state: GroupState[List[(String, Array[Long])]]) =>
           var stored = state.getOption.getOrElse(List.empty)
           // deterministic in-batch order (as dedupStream)
           val out = rows.toSeq.sortBy(_._2).flatMap { case (_, url, sig) =>
             val hits = bucketHits(stored, url, sig, threshold)
-            stored = ((url, sig, 0L) :: stored).take(maxBucket)
+            stored = ((url, sig) :: stored).take(maxBucket)
             hits
           }
           state.update(stored)
@@ -191,7 +199,6 @@ object StreamingPipeline {
       maxBucket: Int = 64
   ): Dataset[NearDup] = {
     import spark.implicits._
-    val rowsPerBand = numHashes / bands
     // the watermark is declared on the EXPLODED relation: event-time
     // watermark metadata rides on a column attribute and does not survive
     // a typed flatMap's object round-trip, so declaring it upstream of the
@@ -201,12 +208,8 @@ object StreamingPipeline {
       .select($"url", $"text", $"warc_ts")
       .as[(String, String, java.sql.Timestamp)]
       .flatMap { case (url, text, ts) =>
-        val sig = graft.tdp.Dedup.minhashSignature(text, numHashes)
-        (0 until bands).iterator.map { b =>
-          val bucket = java.util.Arrays.hashCode(
-            sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand))
-          (b.toLong << 32 | (bucket & 0xffffffffL), url, sig, ts)
-        }
+        bucketKeys(url, text, numHashes, bands)
+          .map { case (key, u, sig) => (key, u, sig, ts) }
       }
       .toDF("key", "url", "sig", "ets")
       .withWatermark("ets", s"$ttlMs milliseconds")
@@ -226,7 +229,8 @@ object StreamingPipeline {
               .flatMap { case (_, url, sig, tsRaw) =>
                 val ts = tsRaw.getTime
                 stored = stored.filter(_._3 >= ts - ttlMs) // TTL eviction
-                val hits = bucketHits(stored, url, sig, threshold)
+                val hits =
+                  bucketHits(stored.map(e => (e._1, e._2)), url, sig, threshold)
                 stored = ((url, sig, ts) :: stored).take(maxBucket)
                 hits
               }

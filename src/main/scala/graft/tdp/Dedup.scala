@@ -20,34 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Intermediate Datasets persisted inside lazily-returned plans (the
-    * minhash signature map). The returned plan needs the persist to stay
-    * live until the caller materializes it, so the function cannot
-    * unpersist eagerly — instead every persist registers here and
-    * long-lived callers (bench / verify drivers, long sessions) call
-    * [[releaseCaches]] after materializing. Tests and one-shot sessions can
-    * skip it: session shutdown drops the CacheManager entries. */
-  private val liveCaches =
-    java.util.Collections.synchronizedList(
-      new java.util.ArrayList[DataFrame]())
-
-  private def registerCache(df: DataFrame): Unit = liveCaches.add(df)
-
-  /** Unpersist every intermediate cache registered by prior calls. Safe to
-    * call at any time AFTER the plans returned by those calls have been
-    * materialized (a later re-use of such a plan recomputes, it does not
-    * fail). */
-  def releaseCaches(): Unit = {
-    val snapshot = liveCaches.synchronized {
-      val s = new java.util.ArrayList[DataFrame](liveCaches)
-      liveCaches.clear()
-      s
-    }
-    snapshot.forEach { df =>
-      try df.unpersist()
-      catch { case _: Exception => () } // session may already be stopped
-    }
-  }
+  /** Intermediate persists inside lazily-returned plans register with the
+    * shared [[graft.util.CacheRegistry]]; this alias keeps the dedup-local
+    * call sites and the bench/verify drivers on one name. */
+  def releaseCaches(): Unit = graft.util.CacheRegistry.releaseAll()
 
   // --- MinHash -------------------------------------------------------------
 
@@ -124,7 +100,7 @@ object Dedup {
       .map { case (id, text) => (id, minhashSignature(text, numHashes)) }
       .toDF("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerCache(sigs)
+    graft.util.CacheRegistry.register(sigs)
     // explode into (band, bucket, id) keys — the ONLY shuffle payload of the
     // self-join; shipping the 64-hash signature on both sides would
     // multiply shuffle bytes by 512 B × bands (the r2 finding). The verify
@@ -165,8 +141,9 @@ object Dedup {
     * bands × 2 rows the S-curve threshold sits near (1/32)^(1/2) ≈ 0.18 —
     * a true pair at Jaccard ≥ 0.8 is missed w.p. (1−0.8²)^32 ≈ 6e-15, so
     * an exact verify stage downstream reproduces the all-pairs ground
-    * truth while the plan stays an equi-join on (band, bucket). */
-  /** `maxBucket`: optional bucket-occupancy cap (default: unlimited, which
+    * truth while the plan stays an equi-join on (band, bucket).
+    *
+    * `maxBucket`: optional bucket-occupancy cap (default: unlimited, which
     * keeps the oracle-checked default plan byte-identical). A degenerate
     * mega-bucket — every copy of a boilerplate template lands in the same
     * (band, bucket) in EVERY band — would otherwise emit O(n²) candidate
@@ -201,14 +178,21 @@ object Dedup {
     val buckets =
       if (maxBucket == Int.MaxValue) buckets0
       else {
+        // the capped shape adds plan branches (occupancy agg + filter join,
+        // then the a/b self-join) that would each recompute the per-doc
+        // signatures — persist them once (caller-released, as in
+        // minhashPairs); the uncapped default plan is left untouched
+        // (its self-join reuses one exchange, and PLANS.md pins its shape)
+        val cached = graft.util.CacheRegistry.register(
+          buckets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // occupancy via groupBy (map-side partial — never a Window over the
         // possibly-hot bucket key); the filter join keys on (band, bucket)
         // and AQE's skew split handles the mega-bucket's rows being dropped
-        val occ = buckets0.groupBy($"band", $"bucket")
+        val occ = cached.groupBy($"band", $"bucket")
           .agg(count(lit(1)).as("_occ"))
           .filter($"_occ" <= maxBucket)
           .select($"band", $"bucket")
-        buckets0.join(occ, Seq("band", "bucket"))
+        cached.join(occ, Seq("band", "bucket"))
       }
     val a = buckets.as("a")
     val b = buckets.as("b")
