@@ -365,3 +365,33 @@ class IvfAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"IVF recall $recall")
   }
 }
+
+/** Benchmark decontamination: 13-gram overlap flagging (tdp/Decontaminate). */
+class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
+  test("flags docs sharing a 13-gram with the benchmark; counts distinct overlaps") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"w$i")
+    val contaminated = w.mkString(" ")            // superset of the benchmark slice
+    val bench = w.slice(4, 25).mkString(" ")      // words 5..25 → nine 13-grams
+    val clean = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, contaminated), (1L, clean)).toDF("doc_id", "text")
+    val benchDf = Seq(bench).toDF("bench_text")
+    val out = graft.tdp.Decontaminate.flagContaminated(spark, docs, benchDf)
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 9 && out(0).getBoolean(2), out(0))
+    assert(out(1).getLong(1) == 0 && !out(1).getBoolean(2), out(1))
+  }
+
+  test("12-word overlap does NOT flag (window is exactly 13)") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"w$i")
+    // doc shares only words 1..12 with the benchmark text
+    val doc = (w.take(12) ++ (1 to 18).map(i => s"q$i")).mkString(" ")
+    val bench = w.take(13).mkString(" ") // one 13-gram
+    val out = graft.tdp.Decontaminate.flagContaminated(spark,
+      Seq((0L, doc)).toDF("doc_id", "text"),
+      Seq(bench).toDF("bench_text")).collect()
+    assert(out(0).getLong(1) == 0 && !out(0).getBoolean(2))
+  }
+}
