@@ -639,6 +639,12 @@ object SparkEntry {
       graft.tdp.Decontaminate.flagContaminated(s, docs, bench)
     }),
     "text_quality" -> ((s, dir) => TextStats.quality(s, docsDf(s, dir))),
+    "gopher_repetition" -> ((s, dir) =>
+      // Gopher repetition rule (top word / top bigram document fraction,
+      // published removal thresholds); int/int double division is
+      // IEEE-identical across engines, tie-break (count desc, token asc)
+      // replayed relationally
+      TextStats.repetition(s, docsDf(s, dir))),
     "lang_id" -> ((s, dir) => TextStats.langId(s, docsDf(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextStats.fingerprintDocs(s, docsDf(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
@@ -989,6 +995,37 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "gopher_repetition" ->
+      """WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS tok FROM docw),
+        |wc AS (SELECT doc_id, tok, count(*) AS c FROM words GROUP BY doc_id, tok),
+        |topw AS (
+        |  SELECT doc_id, tok, c FROM (
+        |    SELECT doc_id, tok, c,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+        |    FROM wc) WHERE rn = 1),
+        |bigrams AS (
+        |  SELECT doc_id,
+        |         unnest([w[i] || ' ' || w[i+1]
+        |                 for i in generate_series(1, greatest(len(w) - 1, 0))]) AS tok
+        |  FROM docw),
+        |bc AS (SELECT doc_id, tok, count(*) AS c FROM bigrams GROUP BY doc_id, tok),
+        |topb AS (
+        |  SELECT doc_id, tok, c FROM (
+        |    SELECT doc_id, tok, c,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
+        |    FROM bc) WHERE rn = 1),
+        |base AS (SELECT doc_id, len(w) AS n_words, greatest(len(w) - 1, 0) AS n_bigrams
+        |         FROM docw)
+        |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+        |       tw.tok AS top_word,
+        |       CAST(tw.c AS DOUBLE) / b.n_words AS top_word_frac,
+        |       tb.tok AS top_bigram,
+        |       CAST(tb.c AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+        |       (CAST(tb.c AS DOUBLE) / b.n_bigrams > 0.18
+        |        OR CAST(tw.c AS DOUBLE) / b.n_words > 0.20) AS repetitive
+        |FROM base b JOIN topw tw USING (doc_id) JOIN topb tb USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "lang_id" -> {
       // replicate TextStats.predictLang relationally: per-language
       // stopword-profile vote (int/int division is bit-identical), zh =
