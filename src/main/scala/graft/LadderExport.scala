@@ -28,6 +28,11 @@ object LadderExport {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val outPath = args.lift(1).getOrElse("/tmp/ladder_export.json")
+    // "default" = the full default-pipeline corpus (round-4 directive #4);
+    // "gilda" | "annotation" | "embed" = the planted per-strategy corpora of
+    // the E10/E11/E13 driver oracles, replayed through the REFERENCE's own
+    // GildaTfIdf / AnnotationLevel / PreferNearestEmbedding classes
+    val mode = args.lift(2).getOrElse("default")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -36,9 +41,12 @@ object LadderExport {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val res = Resources.corpus
+    val (res, runner) =
+      if (mode == "default") (Resources.corpus, Ladders.default)
+      else { val h = SparkEntry.plantedHarness(mode); (h._3, h._4) }
     val m = new ObjectMapper()
     val root = m.createObjectNode()
+    root.putObject("ladder").put("mode", mode)
 
     // ---- ontology (reference shapes) ---------------------------------------
     val onto = root.putObject("ontology")
@@ -84,23 +92,79 @@ object LadderExport {
     }
 
     // ---- documents: pre-mapping entities + our chosen mappings -------------
-    // the default chain up to (but excluding) MappingStep, then MappingStep
-    // separately, so pre/post entities align positionally
-    val pages = Pages.fromDocuments(spark, sfDir)
+    // the chain up to (but excluding) MappingStep, then MappingStep
+    // separately, so pre/post entities align positionally. Planted modes
+    // replay the driver queries' shape: sliced + suffixed pages, no
+    // transformer pass (the strategies live downstream of NER).
+    import org.apache.spark.sql.functions._
+    val pages =
+      if (mode == "default") Pages.fromDocuments(spark, sfDir)
+      else {
+        val (residue, suffix, _, _) = SparkEntry.plantedHarness(mode)
+        Pages.fromDocuments(spark, sfDir)
+          .filter(regexp_extract(col("url"), "([0-9]+)$", 1).cast("long") % 5 === residue)
+          .withColumn("text", concat(col("text"), lit(suffix)))
+          .select(col("url"), col("warc_ts"),
+            to_binary(concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")),
+              lit("utf-8")).as("html"),
+            col("text"), col("lang"))
+      }
+    val withTransformer = mode == "default"
     val bc = spark.sparkContext.broadcast(res)
     val pre = Pages.toDocs(spark, pages).mapPartitions { it =>
       val session = graft.ner.TokenClassifier.executorSession
       val split = graft.ner.EntitySplitter.processDoc(graft.ner.EntitySplitter.Config()) _
       val nerDocs = it.map { d =>
-        split(graft.ner.TokenClassifier.processDoc(session)(
-          graft.ner.TrieNer.processDoc(bc.value)(d)))
+        val t = graft.ner.TrieNer.processDoc(bc.value)(d)
+        split(if (withTransformer) graft.ner.TokenClassifier.processDoc(session)(t) else t)
       }
       graft.link.DictionaryLinking.processPartition(bc.value)(nerDocs)
     }
     val preDocs = pre.collect().sortBy(_.url)
     val postDocs = preDocs.iterator.map { d =>
-      MappingStep.processPartition(res, Ladders.default)(Iterator(d)).next()
+      MappingStep.processPartition(res, runner)(Iterator(d)).next()
     }.toArray
+
+    // ---- injected model assets for the planted modes -----------------------
+    if (mode == "gilda") {
+      // the reference GildaTfIdfScorer's model + contexts slots: the fitted
+      // sklearn-words vectorizer (vocab + idf) and the per-id context
+      // strings the id vectors are built from
+      val ctxs = SparkEntry.plantedGildaContexts
+      val fit = graft.index.TfIdfVectorizer.fit(
+        ctxs.toSeq.sortBy(_._1).map(_._2), graft.index.Featurizer.sklearnWords)
+      val gn = root.putObject("gilda")
+      val vn = gn.putObject("vectorizer")
+      val vocab = vn.putObject("vocab")
+      fit.vocab.toSeq.sortBy(_._2).foreach { case (f, i) => vocab.put(f, i) }
+      val idf = vn.putArray("idf")
+      fit.idf.foreach(idf.add)
+      val cn = gn.putArray("contexts")
+      ctxs.toSeq.sortBy(_._1).foreach { case ((parser, idx), text) =>
+        val o = cn.addObject()
+        o.put("parser", parser); o.put("idx", idx); o.put("context", text)
+      }
+    }
+    if (mode == "embed") {
+      // the reference PreferNearestEmbeddingToDefaultLabel's
+      // complex_string_scorer slot: MiniBern cosine for every
+      // (mention match, candidate default label) pair the replay can hit
+      val sc = graft.text.Similarity.defaultEmbedding
+      val pairs = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      preDocs.foreach(_.sections.foreach(_.entities.foreach { e =>
+        e.candidates.foreach { c =>
+          c.candidate.associatedIdSets.foreach(_.ids.foreach { id =>
+            pairs += ((e.matchStr, res.defaultLabel(c.candidate.parserName, id.idx)))
+          })
+        }
+      }))
+      val en = root.putArray("embed_scores")
+      pairs.toSeq.sorted.foreach { case (matchStr, label) =>
+        val o = en.addObject()
+        o.put("match", matchStr); o.put("label", label)
+        o.put("score", sc.score(matchStr, label))
+      }
+    }
 
     val docsArr = root.putArray("docs")
     preDocs.zip(postDocs).foreach { case (dPre, dPost) =>

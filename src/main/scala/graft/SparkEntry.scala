@@ -156,10 +156,11 @@ object SparkEntry {
     * the whole-document Gilda vector contains EXACTLY the suffix's one
     * context word — dot(doc, OP:FILTER-context) ≈ 0.707 vs 0.0 for OP:SORT,
     * clearing the 0.01 runner-up delta deterministically. */
+  private[graft] val plantedGildaContexts: Map[(String, String), String] = Map(
+    (CorpusOntology.OpsParser, "OP:FILTER") -> "zzqpred zzqsieve",
+    (CorpusOntology.OpsParser, "OP:SORT") -> "zzqorder zzqrank")
   private lazy val plantedGildaScorer: graft.link.GildaScorer =
-    graft.link.GildaScorer.forContexts(Map(
-      (CorpusOntology.OpsParser, "OP:FILTER") -> "zzqpred zzqsieve",
-      (CorpusOntology.OpsParser, "OP:SORT") -> "zzqorder zzqrank"))
+    graft.link.GildaScorer.forContexts(plantedGildaContexts)
 
   /** E11 resources: the corpus ontology with an `annotation_score` planted on
     * OP:SORT — the popularity prior AnnotationLevelDisambiguation reads. */
@@ -201,6 +202,25 @@ object SparkEntry {
       OntologyRow(CorpusOntology.SysParser, "component", "SYS:VANE", "vane", "vane", "exactSyn"))
     Resources.build(CorpusOntology.rows ++ extra, CorpusOntology.entityClassOf,
       CorpusOntology.CommonWords, "synthetic-ontology/1+twoclass")
+  }
+
+  /** The three planted per-strategy harnesses, exposed for the
+    * ladder-parity exporter ([[LadderExport]] replays them through the
+    * REFERENCE's own strategy classes): (slice residue, suffix, resources,
+    * isolated runner). */
+  private[graft] def plantedHarness(mode: String)
+      : (Int, String, Resources, graft.link.StrategyRunner) = mode match {
+    case "gilda" => (1, " XSF zzqpred.", Resources.corpus,
+      isolatedRunner(() => new graft.link.GildaTfIdfDisambiguation(
+        graft.model.DisambiguationConfidence.Probable,
+        explicitScorer = Some(plantedGildaScorer))))
+    case "annotation" => (2, " XSF wins.", annotScoreResources,
+      isolatedRunner(() => new graft.link.AnnotationLevelDisambiguation(
+        graft.model.DisambiguationConfidence.Possible)))
+    case "embed" => (3, " FILTERX wins.", embedLabelResources,
+      isolatedRunner(() => new graft.link.PreferNearestEmbeddingToDefaultLabel(
+        graft.model.DisambiguationConfidence.Possible)))
+    case m => sys.error(s"unknown planted mode $m")
   }
 
   /** E16 config: "pane" has an operator context corpus containing the

@@ -53,8 +53,12 @@ from kazu.steps.linking.post_processing.mapping_strategies.strategies import (  
     ExactMatchMappingStrategy, StrongMatchMappingStrategy,
     SymbolMatchMappingStrategy, SynNormIsSubStringMappingStrategy)
 from kazu.steps.linking.post_processing.disambiguation.strategies import (  # noqa: E402
+    AnnotationLevelDisambiguationStrategy,
     DefinedElsewhereInDocumentDisambiguationStrategy,
-    PreferDefaultLabelMatchDisambiguationStrategy, TfIdfDisambiguationStrategy)
+    GildaTfIdfDisambiguationStrategy,
+    PreferDefaultLabelMatchDisambiguationStrategy,
+    PreferNearestEmbeddingToDefaultLabelDisambiguationStrategy,
+    TfIdfDisambiguationStrategy)
 
 
 # --------------------------------------------------------------------------
@@ -89,6 +93,74 @@ class ExportedVectorizer:
 
     def transform(self, strings):
         return np.vstack([self._vec(s) for s in strings])
+
+
+import re as _re
+
+
+class ExportedSklearnWordsVectorizer:
+    """sklearn TfidfVectorizer() default features (\b\w\w+\b, lowercase) over
+    an exported (vocab, idf) fit — the Gilda model slot."""
+
+    def __init__(self, vocab, idf):
+        self.vocab = vocab
+        self.idf = np.asarray(idf)
+
+    def _vec(self, s):
+        v = np.zeros(len(self.idf))
+        for f in _re.findall(r"\b\w\w+\b", s.lower()):
+            i = self.vocab.get(f)
+            if i is not None:
+                v[i] += 1.0
+        v *= self.idf
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def transform(self, strings):
+        return np.vstack([self._vec(s) for s in strings])
+
+
+class ExportedGildaScorer:
+    """GildaTfIdfScorer-interface wrapper over the exported model + context
+    strings; __call__ mirrors the reference scorer's loop
+    (context_scoring.py:201-232) including the null-vector rule for ids
+    without a context."""
+
+    def __init__(self, vectorizer, contexts):
+        self.vectorizer = vectorizer
+        self.id_vectors = {(c["parser"], c["idx"]):
+                           vectorizer.transform([c["context"]])[0]
+                           for c in contexts}
+        self.null_vector = vectorizer.transform([""])[0]
+
+    def __call__(self, context_vec, id_sets, parser_name):
+        idx_to_vec = {}
+        for equiv_id_set in id_sets:
+            for idx in equiv_id_set.ids:
+                idx_to_vec[idx] = self.id_vectors.get((parser_name, idx),
+                                                      self.null_vector)
+        if idx_to_vec:
+            idx_lst = list(idx_to_vec.keys())
+            mat = np.vstack(list(idx_to_vec.values()))
+            # atleast_1d: a single-id probe squeezes to a 0-d array (the
+            # reference never hits this — it documents len(id_sets) > 1 —
+            # but the isolated-essential ladder probes unambiguous groups)
+            scores = np.atleast_1d(-(np.asarray(context_vec) @ mat.T).squeeze())
+            neighbours = scores.argsort()
+            for neighbour in np.atleast_1d(neighbours):
+                yield idx_lst[int(neighbour)], float(-scores[int(neighbour)])
+
+
+class LookupStringScorer:
+    """StringSimilarityScorer slot for PreferNearestEmbeddingToDefaultLabel:
+    the exported MiniBern cosine for every (match, default label) pair the
+    replay can hit — a model-asset injection; a missing pair fails loudly."""
+
+    def __init__(self, rows):
+        self.table = {(r["match"], r["label"]): r["score"] for r in rows}
+
+    def __call__(self, reference_term, query_term):
+        return self.table[(reference_term, query_term)]
 
 
 class ExportedTfIdfScorer:
@@ -206,13 +278,48 @@ non_symbolic_probable = ConfidenceLevelStrategyExecution(
         ExactMatchMappingStrategy(HL, disamb_default())],
     stop_on_success=True)
 
-runner = StrategyRunner(
-    symbolic_strategies={"HIGHLY_LIKELY": symbolic_hl,
-                         "PROBABLE": symbolic_probable,
-                         "POSSIBLE": possible},
-    non_symbolic_strategies={"HIGHLY_LIKELY": non_symbolic_hl,
-                             "PROBABLE": non_symbolic_probable,
-                             "POSSIBLE": possible})
+mode = export.get("ladder", {}).get("mode", "default")
+if mode == "default":
+    runner = StrategyRunner(
+        symbolic_strategies={"HIGHLY_LIKELY": symbolic_hl,
+                             "PROBABLE": symbolic_probable,
+                             "POSSIBLE": possible},
+        non_symbolic_strategies={"HIGHLY_LIKELY": non_symbolic_hl,
+                                 "PROBABLE": non_symbolic_probable,
+                                 "POSSIBLE": possible})
+else:
+    # the isolated ladder of the E10/E11/E13 driver oracles: one ExactMatch
+    # rung carrying ONLY the strategy under test (essential), at every
+    # confidence level of both folds — strategy instances from the
+    # REFERENCE's own classes, model slots injected from the export
+    def make_strategy():
+        if mode == "gilda":
+            g = export["gilda"]
+            scorer = ExportedGildaScorer(
+                ExportedSklearnWordsVectorizer(g["vectorizer"]["vocab"],
+                                               g["vectorizer"]["idf"]),
+                g["contexts"])
+            return GildaTfIdfDisambiguationStrategy(DP, scorer=scorer)
+        if mode == "annotation":
+            return AnnotationLevelDisambiguationStrategy(DPOSS)
+        if mode == "embed":
+            return PreferNearestEmbeddingToDefaultLabelDisambiguationStrategy(
+                complex_string_scorer=LookupStringScorer(export["embed_scores"]),
+                confidence=DPOSS)
+        raise ValueError(mode)
+
+    def isolated_exec():
+        return ConfidenceLevelStrategyExecution(
+            ent_class_strategies={},
+            default_strategies=[ExactMatchMappingStrategy(
+                HL, [make_strategy()], disambiguation_essential=True)],
+            stop_on_success=True)
+
+    runner = StrategyRunner(
+        symbolic_strategies={lvl: isolated_exec()
+                             for lvl in ("HIGHLY_LIKELY", "PROBABLE", "POSSIBLE")},
+        non_symbolic_strategies={lvl: isolated_exec()
+                                 for lvl in ("HIGHLY_LIKELY", "PROBABLE", "POSSIBLE")})
 
 
 # --------------------------------------------------------------------------
@@ -283,6 +390,7 @@ for dj in export["docs"]:
             divergence_buckets.setdefault(bucket, []).append(
                 (dj["url"], ej["spans"]))
 
+print(f"mode: {mode}")
 print(f"docs: {n_docs}")
 print(f"entities: {n_entities} ({n_entities_with_candidates} with candidates)")
 print(f"match_norm mismatches (ours vs reference StringNormalizer): {n_norm_mismatch}")
