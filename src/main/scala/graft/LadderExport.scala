@@ -41,6 +41,11 @@ object LadderExport {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    if (mode == "classdisambig") {
+      exportClassDisambig(spark, sfDir, outPath)
+      spark.stop()
+      return
+    }
     val (res, runner) =
       if (mode == "default") (Resources.corpus, Ladders.default)
       else { val h = SparkEntry.plantedHarness(mode); (h._3, h._4) }
@@ -217,5 +222,82 @@ object LadderExport {
       m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     println(s"ladder export: ${preDocs.length} docs -> $outPath")
     spark.stop()
+  }
+
+  /** E16 replay export: the kg_entity_class_disambig corpus at the ECD step
+    * boundary — entities POST-NER/PRE-ECD (with the sentence spans the
+    * context window uses), the step config, and which entities OUR step
+    * kept — so `tools/ladder_parity.py` can run the REFERENCE's own
+    * `EntityClassDisambiguationStep` over the same documents and diff the
+    * surviving entity sets. */
+  private def exportClassDisambig(spark: SparkSession,
+      sfDir: String, outPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val res = SparkEntry.twoClassResources
+    val cfg = SparkEntry.twoClassConfig
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    root.putObject("ladder").put("mode", "classdisambig")
+    val cn = root.putObject("ecd_context")
+    cfg.context.toSeq.sortBy(_._1).foreach { case (span, entries) =>
+      val arr = cn.putArray(span)
+      entries.foreach { e =>
+        val o = arr.addObject()
+        o.put("entity_class", e.entityClass)
+        val rt = o.putArray("relevant_text")
+        e.relevantText.foreach(rt.add)
+        o.put("thresh", e.thresh)
+      }
+    }
+    val pages = Pages.fromDocuments(spark, sfDir)
+      .filter(regexp_extract(col("url"), "([0-9]+)$", 1).cast("long") % 5 === 4)
+      .withColumn("text", concat(col("text"), lit(" pane zzwop waits. vane rests.")))
+      .select(col("url"), col("warc_ts"),
+        to_binary(concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")),
+          lit("utf-8")).as("html"),
+        col("text"), col("lang"))
+    val bc = spark.sparkContext.broadcast(res)
+    val pre = Pages.toDocs(spark, pages).mapPartitions { it =>
+      val split = graft.ner.EntitySplitter.processDoc(graft.ner.EntitySplitter.Config()) _
+      it.map(d => split(graft.ner.TrieNer.processDoc(bc.value)(d)))
+    }
+    val preDocs = pre.collect().sortBy(_.url)
+    val postDocs = preDocs.map(graft.link.EntityClassDisambiguation.processDoc(cfg))
+    val docsArr = root.putArray("docs")
+    preDocs.zip(postDocs).foreach { case (dPre, dPost) =>
+      val dn = docsArr.addObject()
+      dn.put("url", dPre.url)
+      val secs = dn.putArray("sections")
+      dPre.sections.zip(dPost.sections).foreach { case (sPre, sPost) =>
+        val sn = secs.addObject()
+        sn.put("name", sPre.name)
+        sn.put("text", sPre.text)
+        val ss = sn.putArray("sentence_spans")
+        sPre.sentenceSpans.foreach { sp =>
+          val a = ss.addArray(); a.add(sp.start); a.add(sp.end)
+        }
+        val kept = sPost.entities
+          .map(e => (e.matchStr, e.entityClass, e.spans.map(s => (s.start, s.end))))
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+        val counted = scala.collection.mutable.HashMap.empty[(String, String, Seq[(Int, Int)]), Int]
+        val ents = sn.putArray("entities")
+        sPre.entities.foreach { e =>
+          val key = (e.matchStr, e.entityClass, e.spans.map(s => (s.start, s.end)))
+          val seen = counted.getOrElse(key, 0)
+          counted(key) = seen + 1
+          val en = ents.addObject()
+          en.put("match", e.matchStr)
+          en.put("entity_class", e.entityClass)
+          en.put("confidence", e.mentionConfidence)
+          val spans = en.putArray("spans")
+          e.spans.foreach { sp => val a = spans.addArray(); a.add(sp.start); a.add(sp.end) }
+          en.put("our_kept", seen < kept.getOrElse(key, 0))
+        }
+      }
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    println(s"ladder export: ${preDocs.length} docs -> $outPath (classdisambig)")
   }
 }

@@ -193,7 +193,7 @@ object SparkEntry {
   /** E16 resources: "pane" and "vane" exist in BOTH parsers (operator and
     * component classes) with identical spans — the span-identical
     * multi-class shape EntityClassDisambiguation resolves. */
-  private lazy val twoClassResources: Resources = {
+  private[graft] lazy val twoClassResources: Resources = {
     import graft.ontology._
     val extra = Seq(
       OntologyRow(CorpusOntology.OpsParser, "operator", "OP:PANE", "pane", "pane", "exactSyn"),
@@ -227,7 +227,7 @@ object SparkEntry {
     * suffix's context word (score 1.0 ≥ 0.5) while the component context
     * never matches (0.0 < 0.5) → operator wins, the component mention is
     * dropped; NEITHER of "vane"'s class contexts matches → both dropped. */
-  private lazy val twoClassConfig: graft.link.EntityClassDisambiguation.Config = {
+  private[graft] lazy val twoClassConfig: graft.link.EntityClassDisambiguation.Config = {
     import graft.link.EntityClassDisambiguation._
     Config(Map(
       "pane" -> Seq(

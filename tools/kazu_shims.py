@@ -78,7 +78,90 @@ _scipy = shim("scipy")
 _scipy.sparse = shim("scipy.sparse", csr_matrix=_Stub, vstack=lambda *a, **k: None)
 _skl = shim("sklearn")
 _skl.feature_extraction = shim("sklearn.feature_extraction")
-shim("sklearn.feature_extraction.text", TfidfVectorizer=_Stub)
+import re as _re
+try:
+    import numpy as _np
+except ImportError:  # pragma: no cover
+    _np = None
+
+
+class _CsrLike:
+    """Minimal CSR-matrix stand-in over a dense ndarray: exactly the surface
+    the replayed reference code touches (.data nonzeros row-major, .dot,
+    np.asarray interop)."""
+
+    def __init__(self, dense):
+        self.dense = _np.asarray(dense)
+
+    @property
+    def data(self):
+        out = []
+        for row in _np.atleast_2d(self.dense):
+            nz = _np.nonzero(row)[0]
+            out.extend(row[nz])
+        return _np.asarray(out)
+
+    def dot(self, other):
+        return self.dense @ other
+
+    def toarray(self):
+        return self.dense
+
+    def __array__(self, dtype=None):
+        return self.dense if dtype is None else self.dense.astype(dtype)
+
+
+class FaithfulTfidfVectorizer:
+    """A numpy reimplementation of sklearn TfidfVectorizer's DEFAULTS
+    (lowercase word tokens \b\w\w+\b, smooth idf ln((1+n)/(1+df))+1,
+    l2-normalized rows, alphabetically sorted vocabulary) — the model slot
+    behind reference code that constructs `TfidfVectorizer()` itself
+    (EntityClassDisambiguationStep). The same formulas are pinned against
+    a numpy replica of sklearn in the repo's tfidf_scores.tsv fixture."""
+
+    def __init__(self, lowercase=True, analyzer=None):
+        self.lowercase = lowercase
+        self.analyzer = analyzer
+
+    def _feats(self, s):
+        if callable(self.analyzer):
+            return list(self.analyzer(s))
+        return _re.findall(r"\b\w\w+\b", s.lower() if self.lowercase else s)
+
+    def fit(self, docs):
+        docs = list(docs)
+        df = {}
+        for d in docs:
+            for f in set(self._feats(d)):
+                df[f] = df.get(f, 0) + 1
+        self.vocabulary_ = {f: i for i, f in enumerate(sorted(df))}
+        n = len(docs)
+        self.idf_ = _np.zeros(len(df))
+        for f, c in df.items():
+            self.idf_[self.vocabulary_[f]] = _np.log((1.0 + n) / (1.0 + c)) + 1.0
+        return self
+
+    def transform(self, docs):
+        rows = []
+        for d in docs:
+            v = _np.zeros(len(self.idf_))
+            for f in self._feats(d):
+                i = self.vocabulary_.get(f)
+                if i is not None:
+                    v[i] += 1.0
+            v *= self.idf_
+            nrm = _np.linalg.norm(v)
+            rows.append(v / nrm if nrm > 0 else v)
+        return _CsrLike(_np.vstack(rows) if rows
+                        else _np.zeros((0, len(self.idf_))))
+
+    def fit_transform(self, docs):
+        docs = list(docs)
+        self.fit(docs)
+        return self.transform(docs)
+
+
+shim("sklearn.feature_extraction.text", TfidfVectorizer=FaithfulTfidfVectorizer)
 _skl.utils = shim("sklearn.utils")
 shim("sklearn.utils.extmath", safe_sparse_dot=lambda a, b: a @ b)
 shim("rapidfuzz", fuzz=types.SimpleNamespace(ratio=lambda *a, **k: 0.0))

@@ -187,6 +187,72 @@ class ExportedTfIdfScorer:
 # --------------------------------------------------------------------------
 export = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/ladder_export.json"))
 
+mode = export.get("ladder", {}).get("mode", "default")
+
+if mode == "classdisambig":
+    # E16: run the REFERENCE's own EntityClassDisambiguationStep over the
+    # exported post-NER documents (sentence spans included) and diff which
+    # entities survive vs our step's decisions. The sklearn TfidfVectorizer
+    # the step constructs internally resolves to the faithful numpy
+    # reimplementation of its defaults in kazu_shims.
+    from kazu.steps.linking.entity_class_disambiguation import (
+        EntityClassDisambiguationStep)
+    step = EntityClassDisambiguationStep(context={
+        span: [{"entity_class": e["entity_class"],
+                "relevant_text": list(e["relevant_text"]),
+                "thresh": e["thresh"]}
+               for e in entries]
+        for span, entries in export["ecd_context"].items()})
+    n_docs = n_secs = 0
+    n_ents_pre = 0
+    agree_secs = diverge = 0
+    examples = []
+    for dj in export["docs"]:
+        n_docs += 1
+        sections = []
+        for sj in dj["sections"]:
+            sec = Section(text=sj["text"], name=sj["name"])
+            sec.sentence_spans = tuple(
+                CharSpan(a, b) for a, b in sj["sentence_spans"])
+            for ej in sj["entities"]:
+                sec.entities.append(Entity(
+                    match=ej["match"],
+                    entity_class=ej["entity_class"],
+                    spans=frozenset(CharSpan(a, b) for a, b in ej["spans"]),
+                    namespace="test",
+                    mention_confidence=MentionConfidence(ej["confidence"])))
+            sections.append(sec)
+        doc = Document(idx=dj["url"], sections=sections)
+        step([doc])
+        for sj, sec in zip(dj["sections"], doc.sections):
+            n_secs += 1
+            n_ents_pre += len(sj["entities"])
+            ref_kept = sorted(
+                (e.match, e.entity_class,
+                 tuple(sorted((sp.start, sp.end) for sp in e.spans)))
+                for e in sec.entities)
+            ours_kept = sorted(
+                (ej["match"], ej["entity_class"],
+                 tuple(sorted((a, b) for a, b in ej["spans"])))
+                for ej in sj["entities"] if ej["our_kept"])
+            if ref_kept == ours_kept:
+                agree_secs += 1
+            else:
+                diverge += 1
+                if len(examples) < 5:
+                    examples.append((dj["url"],
+                                     [x for x in ours_kept if x not in ref_kept],
+                                     [x for x in ref_kept if x not in ours_kept]))
+    print("mode: classdisambig")
+    print(f"docs: {n_docs}  sections: {n_secs}  entities pre-step: {n_ents_pre}")
+    print(f"sections with IDENTICAL surviving-entity sets: {agree_secs}")
+    print(f"diverging sections: {diverge}")
+    for url, ours_only, ref_only in examples:
+        print(f"  {url} ours-only={ours_only} ref-only={ref_only}")
+    sys.exit(0 if diverge == 0 else 1)
+
+
+
 candidates = {}
 for c in export["ontology"]["candidates"]:
     id_sets = frozenset(
@@ -278,7 +344,6 @@ non_symbolic_probable = ConfidenceLevelStrategyExecution(
         ExactMatchMappingStrategy(HL, disamb_default())],
     stop_on_success=True)
 
-mode = export.get("ladder", {}).get("mode", "default")
 if mode == "default":
     runner = StrategyRunner(
         symbolic_strategies={"HIGHLY_LIKELY": symbolic_hl,
