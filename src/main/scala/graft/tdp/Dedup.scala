@@ -178,21 +178,31 @@ object Dedup {
     val buckets =
       if (maxBucket == Int.MaxValue) buckets0
       else {
-        // the capped shape adds plan branches (occupancy agg + filter join,
-        // then the a/b self-join) that would each recompute the per-doc
-        // signatures — persist them once (caller-released, as in
+        // the capped shape adds plan branches (occupancy agg + the drop
+        // filter, then the a/b self-join) that would each recompute the
+        // per-doc signatures — persist them once (caller-released, as in
         // minhashPairs); the uncapped default plan is left untouched
         // (its self-join reuses one exchange, and PLANS.md pins its shape)
         val cached = graft.util.CacheRegistry.register(
           buckets0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // occupancy via groupBy (map-side partial — never a Window over the
-        // possibly-hot bucket key); the filter join keys on (band, bucket)
-        // and AQE's skew split handles the mega-bucket's rows being dropped
-        val occ = cached.groupBy($"band", $"bucket")
+        // possibly-hot bucket key). Mega-buckets are FEW by definition
+        // (each one is ≥ maxBucket docs, so |blacklist| ≤ rows·bands /
+        // maxBucket and in practice orders of magnitude below that), so
+        // the blacklist broadcasts and the drop is a broadcast ANTI join —
+        // the mega-bucket's rows are dropped map-side without ever
+        // shuffling on the hot bucket key (an inner join against the
+        // keep-list would ship every hot row to one reducer just to
+        // discard it). Degenerate regime: a corpus that is MOSTLY clusters
+        // of ~maxBucket docs makes the blacklist corpus-sized; there the
+        // broadcast hint is ignored/fails and the right call is the
+        // exact-dedup tier first (SKEW.md), which removes those clusters
+        // before sketching.
+        val mega = cached.groupBy($"band", $"bucket")
           .agg(count(lit(1)).as("_occ"))
-          .filter($"_occ" <= maxBucket)
+          .filter($"_occ" > maxBucket)
           .select($"band", $"bucket")
-        cached.join(occ, Seq("band", "bucket"))
+        cached.join(broadcast(mega), Seq("band", "bucket"), "left_anti")
       }
     val a = buckets.as("a")
     val b = buckets.as("b")
