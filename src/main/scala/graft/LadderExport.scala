@@ -46,9 +46,11 @@ object LadderExport {
       spark.stop()
       return
     }
-    val (res, runner) =
-      if (mode == "default") (Resources.corpus, Ladders.default)
-      else { val h = SparkEntry.plantedHarness(mode); (h._3, h._4) }
+    val harness: Option[(Int, String, Resources, graft.link.StrategyRunner)] =
+      if (mode == "default") None else Some(SparkEntry.plantedHarness(mode))
+    val (res, runner) = harness
+      .map(h => (h._3, h._4))
+      .getOrElse((Resources.corpus, Ladders.default))
     val m = new ObjectMapper()
     val root = m.createObjectNode()
     root.putObject("ladder").put("mode", mode)
@@ -105,7 +107,7 @@ object LadderExport {
     val pages =
       if (mode == "default") Pages.fromDocuments(spark, sfDir)
       else {
-        val (residue, suffix, _, _) = SparkEntry.plantedHarness(mode)
+        val (residue, suffix, _, _) = harness.get
         Pages.fromDocuments(spark, sfDir)
           .filter(regexp_extract(col("url"), "([0-9]+)$", 1).cast("long") % 5 === residue)
           .withColumn("text", concat(col("text"), lit(suffix)))
@@ -136,8 +138,9 @@ object LadderExport {
       // sklearn-words vectorizer (vocab + idf) and the per-id context
       // strings the id vectors are built from
       val ctxs = SparkEntry.plantedGildaContexts
-      val fit = graft.index.TfIdfVectorizer.fit(
-        ctxs.toSeq.sortBy(_._1).map(_._2), graft.index.Featurizer.sklearnWords)
+      // the scorer's OWN fitted vectorizer — not a re-fit — so the exported
+      // model cannot drift from what the Scala run actually scored with
+      val fit = SparkEntry.plantedGildaScorer.vectorizer
       val gn = root.putObject("gilda")
       val vn = gn.putObject("vectorizer")
       val vocab = vn.putObject("vocab")

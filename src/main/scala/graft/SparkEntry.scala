@@ -159,7 +159,7 @@ object SparkEntry {
   private[graft] val plantedGildaContexts: Map[(String, String), String] = Map(
     (CorpusOntology.OpsParser, "OP:FILTER") -> "zzqpred zzqsieve",
     (CorpusOntology.OpsParser, "OP:SORT") -> "zzqorder zzqrank")
-  private lazy val plantedGildaScorer: graft.link.GildaScorer =
+  private[graft] lazy val plantedGildaScorer: graft.link.GildaScorer =
     graft.link.GildaScorer.forContexts(plantedGildaContexts)
 
   /** E11 resources: the corpus ontology with an `annotation_score` planted on
@@ -573,15 +573,11 @@ object SparkEntry {
       // join on (text_md5, salt = hash(doc_id) % SaltBuckets), spreading
       // any cluster over SaltBuckets reducers deterministically — no
       // broadcast or runtime re-plan dependence.
-      val SaltBuckets = 16
       val hashed = docsDf(s, dir)
         .select($"doc_id", md5(to_binary($"text", lit("utf-8"))).as("text_md5"))
       val counts = hashed.groupBy($"text_md5")
         .agg(count(lit(1)).as("n_same_text"))
-      val saltedCounts = counts.withColumn("_salt",
-        explode(array((0 until SaltBuckets).map(lit(_)): _*)))
-      hashed.withColumn("_salt", pmod(hash($"doc_id"), lit(SaltBuckets)))
-        .join(saltedCounts, Seq("text_md5", "_salt"))
+      Dedup.saltedJoinBack(hashed, counts, "text_md5", "doc_id")
         .select($"doc_id", $"text_md5", $"n_same_text")
         .orderBy($"doc_id")
     }),
@@ -1049,14 +1045,18 @@ object SparkEntry {
         |    FROM bc) WHERE rn = 1),
         |base AS (SELECT doc_id, len(w) AS n_words, greatest(len(w) - 1, 0) AS n_bigrams
         |         FROM docw)
+        |-- topb is LEFT-joined: a sub-2-token document has no bigrams at
+        |-- all (the engine emits top_bigram = '' with fraction 0.0 for it)
         |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
         |       tw.tok AS top_word,
         |       CAST(tw.c AS DOUBLE) / b.n_words AS top_word_frac,
-        |       tb.tok AS top_bigram,
-        |       CAST(tb.c AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
-        |       (CAST(tb.c AS DOUBLE) / b.n_bigrams > 0.18
+        |       coalesce(tb.tok, '') AS top_bigram,
+        |       CASE WHEN b.n_bigrams = 0 THEN 0.0
+        |            ELSE CAST(tb.c AS DOUBLE) / b.n_bigrams END AS top_bigram_frac,
+        |       (CASE WHEN b.n_bigrams = 0 THEN 0.0
+        |             ELSE CAST(tb.c AS DOUBLE) / b.n_bigrams END > 0.18
         |        OR CAST(tw.c AS DOUBLE) / b.n_words > 0.20) AS repetitive
-        |FROM base b JOIN topw tw USING (doc_id) JOIN topb tb USING (doc_id)
+        |FROM base b JOIN topw tw USING (doc_id) LEFT JOIN topb tb USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
     "lang_id" -> {
       // replicate TextStats.predictLang relationally: per-language

@@ -141,12 +141,8 @@ object SkewBench {
       // hash's whole cluster on one reducer (measured: ratio 8.5 at scale
       // 3 before salting; AQE's skew split cannot apply when the counts
       // side is a same-query aggregate)
-      val SaltBuckets = 16
       val counts = hashed.groupBy($"text_md5").agg(count(lit(1)).as("n_same_text"))
-      val saltedCounts = counts.withColumn("_salt",
-        explode(array((0 until SaltBuckets).map(lit(_)): _*)))
-      hashed.withColumn("_salt", pmod(hash($"doc_id"), lit(SaltBuckets)))
-        .join(saltedCounts, Seq("text_md5", "_salt"))
+      graft.tdp.Dedup.saltedJoinBack(hashed, counts, "text_md5", "doc_id")
         .select($"doc_id", $"text_md5", $"n_same_text")
         .write.mode("overwrite").parquet(s"$workDir/out_dedup_exact")
       spark.read.parquet(s"$workDir/out_dedup_exact").count()

@@ -40,16 +40,16 @@ object Decontaminate {
       maxBenchmarkNgrams: Long = 50_000_000L
   ): DataFrame = {
     import spark.implicits._
-    val benchNgrams = benchmark
+    val benchArr = benchmark
       .select(split(col("bench_text"), " ").as("words"))
       .as[Array[String]]
       .flatMap(ngrams(_, n))
       .distinct()
-    val cnt = benchNgrams.count()
-    require(cnt <= maxBenchmarkNgrams,
-      s"benchmark n-gram set ($cnt) exceeds the broadcastable bound " +
-        s"($maxBenchmarkNgrams); shard the benchmark or raise the bound")
-    val bc = spark.sparkContext.broadcast(benchNgrams.collect().toSet)
+      .collect() // one job; the bound is enforced on the collected size
+    require(benchArr.length <= maxBenchmarkNgrams,
+      s"benchmark n-gram set (${benchArr.length}) exceeds the broadcastable " +
+        s"bound ($maxBenchmarkNgrams); shard the benchmark or raise the bound")
+    val bc = spark.sparkContext.broadcast(benchArr.toSet)
     docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>

@@ -25,6 +25,30 @@ object Dedup {
     * call sites and the bench/verify drivers on one name. */
   def releaseCaches(): Unit = graft.util.CacheRegistry.releaseAll()
 
+  /** Hot-key-safe join of per-row data against per-key aggregates: the
+    * aggregate side is replicated over `saltBuckets` salts and the join
+    * keys on (key, hash(rowId) % saltBuckets), spreading any hot key's
+    * cluster over `saltBuckets` reducers deterministically — no dependence
+    * on broadcast thresholds or AQE re-planning (once the aggregate side
+    * outgrows broadcast, a plain hash join puts a hot key's whole cluster
+    * on one reducer, and AQE's skew split cannot apply when the aggregate
+    * feeds the join in the same query — measured in SKEW.md). The ONE
+    * definition of the shipped shape: the bench and the skew spec measure
+    * this function, so they cannot drift from production. */
+  def saltedJoinBack(
+      rows: DataFrame,
+      perKey: DataFrame,
+      keyCol: String,
+      rowIdCol: String,
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    val salted = perKey.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    rows.withColumn("_salt", pmod(hash(col(rowIdCol)), lit(saltBuckets)))
+      .join(salted, Seq(keyCol, "_salt"))
+      .drop("_salt")
+  }
+
   // --- MinHash -------------------------------------------------------------
 
   /** Word 3-gram shingles. */

@@ -57,10 +57,7 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     // reducers even when the counts side cannot broadcast
     val boundedSpread = measureSpread {
       val counts = hashed.groupBy($"text_md5").agg(count(lit(1)).as("n_same_text"))
-      val salted = counts.withColumn("_salt",
-        explode(array((0 until 16).map(lit(_)): _*)))
-      hashed.withColumn("_salt", pmod(hash($"doc_id"), lit(16)))
-        .join(salted, Seq("text_md5", "_salt")).count()
+      graft.tdp.Dedup.saltedJoinBack(hashed, counts, "text_md5", "doc_id").count()
     }(_.worstReadRatio())
     assert(boundedSpread <= 6.0,
       s"groupBy+salted-join-back spread $boundedSpread exceeds bound")
