@@ -324,6 +324,159 @@ object OracleSql {
       |$finalWhere
       |ORDER BY url, start, end_, pred, obj""".stripMargin
 
+  // ---- Gopher repetition / quality rule family --------------------------
+
+  /** Shared structure CTEs for the Gopher oracles: the corpus is
+    * single-line, so both engines derive the same deterministic structure —
+    * 8-word lines, 3-line paragraphs — from the word list (Gopher.structure).
+    * `docsSource` must yield (doc_id, text). Flattened to one line: the
+    * enclosing templates apply stripMargin AFTER interpolation, which would
+    * otherwise eat leading `||` concatenation operators as margin chars. */
+  private def gopherStructCtes(docsSource0: String): String = {
+    val docsSource = docsSource0.replace('\n', ' ')
+    s"""docs AS ($docsSource),
+       |docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+       |st1 AS (
+       |  SELECT doc_id, w,
+       |         [array_to_string(w[8*i+1 : 8*i+8], ' ')
+       |          for i in generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1)] AS lines
+       |  FROM docw),
+       |st2 AS (
+       |  SELECT doc_id, w, lines,
+       |         [array_to_string(lines[3*j+1 : 3*j+3], chr(10))
+       |          for j in generate_series(0, CAST(ceil(len(lines) / 3.0) AS INT) - 1)] AS paras
+       |  FROM st1),
+       |base AS (
+       |  SELECT doc_id, w, lines, paras, len(w) AS n_words,
+       |         length(array_to_string(paras, chr(10) || chr(10))) AS total_chars
+       |  FROM st2)""".stripMargin
+  }
+
+  /** All word n-gram occurrences (1-based start position) for one n. */
+  private def gramCte(n: Int): String =
+    s"""g$n AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(w) - ${n - 1})) AS i,
+       |         unnest([array_to_string(w[i : i + ${n - 1}], ' ')
+       |                 for i in generate_series(1, len(w) - ${n - 1})]) AS g
+       |  FROM docw WHERE len(w) >= $n)""".stripMargin
+
+  /** Top-n-gram char mass: count * length, tie-break (count desc, g asc in
+    * DuckDB's binary = UTF-8 byte collation, matching Gopher.utf8Less). */
+  private def topGramCtes(n: Int): String =
+    s"""t$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g),
+       |top$n AS (
+       |  SELECT doc_id, c * length(g) AS topchars FROM (
+       |    SELECT doc_id, c, g,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+       |    FROM t$n) WHERE rn = 1)""".stripMargin
+
+  /** Duplicate-n-gram char mass: union of word positions covered by
+    * occurrences of n-grams appearing ≥ 2 times, summed word lengths. */
+  private def dupGramCtes(n: Int): String =
+    s"""d$n AS (SELECT doc_id, g FROM g$n GROUP BY doc_id, g HAVING count(*) >= 2),
+       |cov$n AS (
+       |  SELECT DISTINCT o.doc_id, o.i + k.range AS pos
+       |  FROM g$n o JOIN d$n d ON o.doc_id = d.doc_id AND o.g = d.g, range($n) k),
+       |ch$n AS (
+       |  SELECT cv.doc_id, sum(length(dw.w[cv.pos])) AS dupchars
+       |  FROM cov$n cv JOIN docw dw USING (doc_id) GROUP BY cv.doc_id)""".stripMargin
+
+  /** gopher_repetition: all 13 published repetition rules, re-derived
+    * relationally (Rae et al. 2021 Table A1; graft.tdp.Gopher). */
+  def gopherRepetition(docsSource: String): String = {
+    val gramNs = 2 to 10
+    val ctes = Seq(gopherStructCtes(docsSource)) ++
+      gramNs.map(gramCte) ++
+      (2 to 4).map(topGramCtes) ++
+      (5 to 10).map(dupGramCtes) ++
+      Seq(
+        """lineu AS (SELECT doc_id, unnest(lines) AS l FROM base),
+          |linec AS (SELECT doc_id, l, count(*) AS c FROM lineu GROUP BY doc_id, l),
+          |linestats AS (
+          |  SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS dup_lines,
+          |         sum((c - 1) * length(l)) AS dup_line_chars
+          |  FROM linec GROUP BY doc_id),
+          |parau AS (SELECT doc_id, unnest(paras) AS p FROM base),
+          |parac AS (SELECT doc_id, p, count(*) AS c FROM parau GROUP BY doc_id, p),
+          |parastats AS (
+          |  SELECT doc_id, sum(c) AS n_paras, sum(c) - count(*) AS dup_paras,
+          |         sum((c - 1) * length(p)) AS dup_para_chars
+          |  FROM parac GROUP BY doc_id)""".stripMargin)
+    def cfrac(expr: String): String =
+      s"CASE WHEN b.total_chars = 0 THEN 0.0 ELSE CAST($expr AS DOUBLE) / b.total_chars END"
+    val topCols = (2 to 4).map(n =>
+      s"${cfrac(s"coalesce(top$n.topchars, 0)")} AS top_${n}gram_char_frac")
+    val dupCols = (5 to 10).map(n =>
+      s"${cfrac(s"coalesce(ch$n.dupchars, 0)")} AS dup_${n}gram_char_frac")
+    val joins = (2 to 4).map(n => s"LEFT JOIN top$n USING (doc_id)") ++
+      (5 to 10).map(n => s"LEFT JOIN ch$n USING (doc_id)")
+    val ruleOr = Seq(
+      s"dup_line_frac > ${graft.tdp.Gopher.DupLineFracT}",
+      s"dup_para_frac > ${graft.tdp.Gopher.DupParaFracT}",
+      s"dup_line_char_frac > ${graft.tdp.Gopher.DupLineCharFracT}",
+      s"dup_para_char_frac > ${graft.tdp.Gopher.DupParaCharFracT}") ++
+      (2 to 4).map(n => s"top_${n}gram_char_frac > ${graft.tdp.Gopher.TopGramT(n)}") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac > ${graft.tdp.Gopher.DupGramT(n)}")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT *, (${ruleOr.mkString(" OR ")}) AS repetitive FROM (
+       |  SELECT b.doc_id,
+       |    CAST(b.n_words AS BIGINT) AS n_words,
+       |    CAST(b.total_chars AS BIGINT) AS total_chars,
+       |    CAST(ls.dup_lines AS DOUBLE) / ls.n_lines AS dup_line_frac,
+       |    ${cfrac("ls.dup_line_chars")} AS dup_line_char_frac,
+       |    CAST(ps.dup_paras AS DOUBLE) / ps.n_paras AS dup_para_frac,
+       |    ${cfrac("ps.dup_para_chars")} AS dup_para_char_frac,
+       |    ${(topCols ++ dupCols).mkString(",\n    ")}
+       |  FROM base b
+       |  JOIN linestats ls USING (doc_id)
+       |  JOIN parastats ps USING (doc_id)
+       |  ${joins.mkString("\n  ")})
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** gopher_quality: the 7 Gopher quality rules, re-derived relationally. */
+  def gopherQuality(docsSource: String): String = {
+    val stop = graft.tdp.Gopher.StopWords.map(s => s"'$s'").mkString(", ")
+    s"""WITH ${gopherStructCtes(docsSource)},
+       |lineu AS (SELECT doc_id, unnest(lines) AS l FROM base),
+       |linest AS (
+       |  SELECT doc_id, count(*) AS n_lines,
+       |    sum(CASE WHEN starts_with(ltrim(l), '-')
+       |              OR starts_with(ltrim(l), '•') THEN 1 ELSE 0 END) AS n_bullet,
+       |    sum(CASE WHEN ends_with(rtrim(l), '...')
+       |              OR ends_with(rtrim(l), '…') THEN 1 ELSE 0 END) AS n_ellipsis
+       |  FROM lineu GROUP BY doc_id),
+       |wordstats AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |    list_sum(list_transform(w, x -> length(x))) AS sum_word_len,
+       |    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+       |    len(list_filter([$stop], s -> list_contains(w, s))) AS n_stop
+       |  FROM base),
+       |sym AS (
+       |  SELECT doc_id,
+       |    (length(text) - length(replace(text, '#', '')))
+       |    + (len(string_split(text, '...')) - 1)
+       |    + (length(text) - length(replace(text, '…', ''))) AS n_symbols
+       |  FROM docs)
+       |SELECT *,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND symbol_word_ratio <= 0.1
+       |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+       |   AND alpha_word_frac >= 0.8 AND n_stop_words >= 2) AS quality_keep
+       |FROM (
+       |  SELECT ws.doc_id,
+       |    CAST(ws.n_words AS BIGINT) AS n_words,
+       |    CAST(ws.sum_word_len AS DOUBLE) / ws.n_words AS mean_word_len,
+       |    CAST(s.n_symbols AS DOUBLE) / ws.n_words AS symbol_word_ratio,
+       |    CAST(l.n_bullet AS DOUBLE) / l.n_lines AS bullet_line_frac,
+       |    CAST(l.n_ellipsis AS DOUBLE) / l.n_lines AS ellipsis_line_frac,
+       |    CAST(ws.n_alpha AS DOUBLE) / ws.n_words AS alpha_word_frac,
+       |    CAST(ws.n_stop AS BIGINT) AS n_stop_words
+       |  FROM wordstats ws JOIN linest l USING (doc_id) JOIN sym s USING (doc_id))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** doc_fingerprint: Rabin–Karp 16-gram rolling hashes mod 2^64 (expressed
     * positionally with precomputed base powers — identical to the rolling
     * update by mod distributivity), signed winnowing window-minima with

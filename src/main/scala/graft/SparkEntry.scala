@@ -49,17 +49,33 @@ object SparkEntry {
   /** Bounded session-keyed memoize shared by the doc and triples caches:
     * hard cap at 8 entries — sessions sharing one context (newSession
     * clones) never see onApplicationEnd, so the excess is evicted (and
-    * unpersisted) before inserting regardless of lifecycle. */
+    * unpersisted) before inserting regardless of lifecycle. Insertion order
+    * is tracked explicitly (per-cache FIFO queue under one lock) so
+    * eviction removes the OLDEST entries — a TrieMap's `keys.take` is
+    * hash-order and could evict the entry another live session is mid-query
+    * on (recompute hit, not what "evict the excess" intends). */
+  private val memoLock = new Object
+  private val memoOrder =
+    scala.collection.mutable.HashMap.empty[AnyRef,
+      scala.collection.mutable.ArrayDeque[(SparkSession, String)]]
   private def boundedMemo[V <: org.apache.spark.sql.Dataset[_]](
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
-      key: (SparkSession, String))(build: => V): V =
-    cache.getOrElseUpdate(key, {
-      if (cache.size >= 8)
-        cache.keys.take(cache.size - 7).foreach { k =>
-          cache.remove(k).foreach(_.unpersist())
+      key: (SparkSession, String))(build: => V): V = memoLock.synchronized {
+    val order = memoOrder.getOrElseUpdate(cache,
+      scala.collection.mutable.ArrayDeque.empty)
+    cache.get(key) match {
+      case Some(v) => v
+      case None =>
+        while (cache.size >= 8 && order.nonEmpty) {
+          val oldest = order.removeHead()
+          cache.remove(oldest).foreach(_.unpersist())
         }
-      build
-    })
+        val v = build
+        cache.put(key, v)
+        order.append(key)
+        v
+    }
+  }
 
   private def pipelineDocs(spark: SparkSession, sfDir: String) = {
     // evict this session's entries when its application ends, so a
@@ -68,11 +84,13 @@ object SparkEntry {
     if (evictionHooked.add(spark))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          docsCache.filterInPlace { case ((s, _), _) => s ne spark }
-          triplesCache.filterInPlace { case ((s, _), _) => s ne spark }
-          evictionHooked.remove(spark)
-        }
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          memoLock.synchronized {
+            docsCache.filterInPlace { case ((s, _), _) => s ne spark }
+            triplesCache.filterInPlace { case ((s, _), _) => s ne spark }
+            memoOrder.values.foreach(_.filterInPlace { case (s, _) => s ne spark })
+            evictionHooked.remove(spark)
+          }
       })
     boundedMemo(docsCache, (spark, sfDir)) {
       val pages = Pages.fromDocuments(spark, sfDir)
@@ -93,6 +111,14 @@ object SparkEntry {
 
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Force the shared per-session materializations (pipeline docs +
+    * assembled triples) so benchmarks can price the one-time
+    * write-once/read-many cost separately from the queries that read it. */
+  def materializeShared(spark: SparkSession, sfDir: String): Unit = {
+    pipelineTriples(spark, sfDir).count()
+    ()
+  }
 
   // ---- strategy-isolation harness (E10/E11/E13/E16 driver-oracle rows) ----
 
@@ -667,12 +693,36 @@ object SparkEntry {
       graft.tdp.Decontaminate.flagContaminated(s, docs, bench)
     }),
     "text_quality" -> ((s, dir) => TextStats.quality(s, docsDf(s, dir))),
-    "gopher_repetition" -> ((s, dir) =>
-      // Gopher repetition rule (top word / top bigram document fraction,
-      // published removal thresholds); int/int double division is
-      // IEEE-identical across engines, tie-break (count desc, token asc)
-      // replayed relationally
-      TextStats.repetition(s, docsDf(s, dir))),
+    "gopher_repetition" -> ((s, dir) => {
+      import s.implicits._
+      // the FULL 13-rule Gopher repetition family (dup line/para count+char
+      // fractions, top-2/3/4-gram char fractions, dup-5..10-gram char
+      // fractions at the published thresholds). Planted repeats — the doc's
+      // own leading 12/24 words re-appended on deterministic doc_id slices —
+      // give the duplicate rules non-trivial mass; every fraction is an
+      // int/int double division, IEEE-identical cross-engine.
+      val decorated = docsDf(s, dir).withColumn("text", concat(
+        $"text",
+        when($"doc_id" % 4 === 0,
+          concat(lit(" "), concat_ws(" ", slice(split($"text", " "), 1, 12))))
+          .otherwise(lit("")),
+        when($"doc_id" % 10 === 0,
+          concat(lit(" "), concat_ws(" ", slice(split($"text", " "), 1, 24))))
+          .otherwise(lit(""))))
+      graft.tdp.Gopher.repetition(s, decorated)
+    }),
+    "gopher_quality" -> ((s, dir) => {
+      import s.implicits._
+      // the 7 Gopher quality rules; deterministic decorations plant
+      // bullet-starting lines (%5), stop words (%3), and symbol/ellipsis/
+      // non-alpha words (%7) so each rule measures non-trivially
+      val decorated = docsDf(s, dir).withColumn("text", concat(
+        when($"doc_id" % 5 === 0, lit("- ")).otherwise(lit("")),
+        $"text",
+        when($"doc_id" % 3 === 0, lit(" of the")).otherwise(lit("")),
+        when($"doc_id" % 7 === 0, lit(" 42 ## ...")).otherwise(lit(""))))
+      graft.tdp.Gopher.quality(s, decorated)
+    }),
     "lang_id" -> ((s, dir) => TextStats.langId(s, docsDf(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextStats.fingerprintDocs(s, docsDf(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
@@ -1024,40 +1074,22 @@ object SparkEntry {
         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "gopher_repetition" ->
-      """WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |words AS (SELECT doc_id, unnest(w) AS tok FROM docw),
-        |wc AS (SELECT doc_id, tok, count(*) AS c FROM words GROUP BY doc_id, tok),
-        |topw AS (
-        |  SELECT doc_id, tok, c FROM (
-        |    SELECT doc_id, tok, c,
-        |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
-        |    FROM wc) WHERE rn = 1),
-        |bigrams AS (
-        |  SELECT doc_id,
-        |         unnest([w[i] || ' ' || w[i+1]
-        |                 for i in generate_series(1, greatest(len(w) - 1, 0))]) AS tok
-        |  FROM docw),
-        |bc AS (SELECT doc_id, tok, count(*) AS c FROM bigrams GROUP BY doc_id, tok),
-        |topb AS (
-        |  SELECT doc_id, tok, c FROM (
-        |    SELECT doc_id, tok, c,
-        |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rn
-        |    FROM bc) WHERE rn = 1),
-        |base AS (SELECT doc_id, len(w) AS n_words, greatest(len(w) - 1, 0) AS n_bigrams
-        |         FROM docw)
-        |-- topb is LEFT-joined: a sub-2-token document has no bigrams at
-        |-- all (the engine emits top_bigram = '' with fraction 0.0 for it)
-        |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
-        |       tw.tok AS top_word,
-        |       CAST(tw.c AS DOUBLE) / b.n_words AS top_word_frac,
-        |       coalesce(tb.tok, '') AS top_bigram,
-        |       CASE WHEN b.n_bigrams = 0 THEN 0.0
-        |            ELSE CAST(tb.c AS DOUBLE) / b.n_bigrams END AS top_bigram_frac,
-        |       (CASE WHEN b.n_bigrams = 0 THEN 0.0
-        |             ELSE CAST(tb.c AS DOUBLE) / b.n_bigrams END > 0.18
-        |        OR CAST(tw.c AS DOUBLE) / b.n_words > 0.20) AS repetitive
-        |FROM base b JOIN topw tw USING (doc_id) LEFT JOIN topb tb USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin,
+      OracleSql.gopherRepetition(
+        """SELECT doc_id, text
+          |  || CASE WHEN doc_id % 4 = 0
+          |          THEN ' ' || array_to_string(string_split(text, ' ')[1:12], ' ')
+          |          ELSE '' END
+          |  || CASE WHEN doc_id % 10 = 0
+          |          THEN ' ' || array_to_string(string_split(text, ' ')[1:24], ' ')
+          |          ELSE '' END AS text
+          |FROM documents""".stripMargin),
+    "gopher_quality" ->
+      OracleSql.gopherQuality(
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END || text
+          |  || CASE WHEN doc_id % 3 = 0 THEN ' of the' ELSE '' END
+          |  || CASE WHEN doc_id % 7 = 0 THEN ' 42 ## ...' ELSE '' END AS text
+          |FROM documents""".stripMargin),
     "lang_id" -> {
       // replicate TextStats.predictLang relationally: per-language
       // stopword-profile vote (int/int division is bit-identical), zh =

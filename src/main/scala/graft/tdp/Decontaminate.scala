@@ -56,7 +56,9 @@ object Decontaminate {
         val set = bc.value
         var hits = 0
         val seen = scala.collection.mutable.HashSet.empty[String]
-        ngrams(text.split(" "), n).foreach { g =>
+        // -1 limit: keep trailing empty tokens, matching the Spark SQL
+        // split on the benchmark side and string_split in the oracle
+        ngrams(text.split(" ", -1), n).foreach { g =>
           if (set.contains(g) && seen.add(g)) hits += 1
         }
         (id, hits.toLong, hits > 0)

@@ -10,40 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Gopher-style repetition statistics (Rae et al. 2021, "Scaling
-    * Language Models" §A1.1): the fraction of a document owned by its most
-    * frequent word / word-bigram — the standard repetitive-boilerplate
-    * quality rule of production training-data pipelines. Pure per-doc
-    * narrow map, scan-bound like [[quality]]; deterministic tie-break
-    * (count desc, token asc) so the relational oracle can replay it.
-    * `repetitive` applies the published thresholds (top-2-gram fraction
-    * > 0.18, top-word fraction > 0.20). */
-  def repetition(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    docs.select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) =>
-        val words = text.split(" ")
-        def top(items: Iterator[String]): (String, Long) = {
-          val counts = scala.collection.mutable.HashMap.empty[String, Long]
-          items.foreach(w => counts(w) = counts.getOrElse(w, 0L) + 1L)
-          if (counts.isEmpty) ("", 0L)
-          else counts.minBy { case (w, c) => (-c, w) }
-        }
-        val (topWord, wc) = top(words.iterator)
-        val bigrams = (0 until words.length - 1).iterator
-          .map(i => words(i) + " " + words(i + 1))
-        val (topBigram, bc) = top(bigrams)
-        val nWords = words.length.toLong
-        val nBigrams = math.max(words.length - 1, 0).toLong
-        val wf = if (nWords == 0) 0.0 else wc.toDouble / nWords
-        val bf = if (nBigrams == 0) 0.0 else bc.toDouble / nBigrams
-        (id, nWords, topWord, wf, topBigram, bf, bf > 0.18 || wf > 0.20)
-      }
-      .toDF("doc_id", "n_words", "top_word", "top_word_frac",
-        "top_bigram", "top_bigram_frac", "repetitive")
-      .orderBy($"doc_id")
-  }
-
   /** PII scrubbing — a first-class pretraining-corpus op: redact emails,
     * phone numbers, and IPv4 addresses with typed placeholders and count
     * the redactions per document. Pure codegen'd built-ins (regexp_count /

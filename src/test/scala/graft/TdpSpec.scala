@@ -395,3 +395,77 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getLong(1) == 0 && !out(0).getBoolean(2))
   }
 }
+
+/** Full Gopher repetition + quality rule family (tdp/Gopher). */
+class GopherSpec extends AnyFunSuite with SparkTestBase {
+  import graft.tdp.Gopher
+
+  test("repeated 8-word line: dup line/para and n-gram char rules all fire") {
+    val line = "a1 b2 c3 d4 e5 f6 g7 h8"
+    val text = Seq.fill(6)(line).mkString(" ") // 48 words = 6 lines = 2 paras
+    val r = Gopher.repetitionRow(0L, text)
+    assert(r.n_words == 48)
+    assert(r.total_chars == 144) // 48*2 chars + 47 seps + 1 extra for the \n\n
+    assert(r.dup_line_frac == 5.0 / 6)
+    assert(r.dup_para_frac == 1.0 / 2)
+    assert(r.dup_line_char_frac == 115.0 / 144) // 5 dup lines × 23 chars
+    assert(r.dup_para_char_frac == 71.0 / 144)  // 1 dup para × 71 chars
+    assert(r.top_2gram_char_frac == 30.0 / 144) // "a1 b2" ×6 × 5 chars
+    assert(r.dup_5gram_char_frac == 96.0 / 144) // every word covered
+    assert(r.dup_10gram_char_frac == 96.0 / 144)
+    assert(r.repetitive)
+  }
+
+  test("all-distinct words: zero duplicate mass, not repetitive") {
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val r = Gopher.repetitionRow(1L, text)
+    assert(r.total_chars == 111)
+    assert(r.dup_line_frac == 0.0 && r.dup_para_frac == 0.0)
+    assert(r.dup_line_char_frac == 0.0 && r.dup_para_char_frac == 0.0)
+    (5 to 10).foreach { n => assert(Gopher.dupNgramChars(text.split(" "), n) == 0L) }
+    // count-1 tie → UTF-8-smallest bigram "w1 w2" (5 chars)
+    assert(r.top_2gram_char_frac == 5.0 / 111)
+    assert(!r.repetitive)
+  }
+
+  test("trailing space keeps the empty token (string_split parity)") {
+    val r = Gopher.repetitionRow(2L, "abc def ")
+    assert(r.n_words == 3) // ["abc", "def", ""]
+    val q = Gopher.qualityRow(2L, "abc def ")
+    assert(q.n_words == 3 && q.mean_word_len == 2.0)
+  }
+
+  test("top-n-gram tie-break is UTF-8 byte order, not UTF-16 code units") {
+    val eq = "Q"          // U+E000 (3-byte UTF-8: EE 80 80), 2 cp
+    val emoji = "😀"  // U+1F600 (4-byte UTF-8: F0 9F 98 80), 1 cp
+    val words = Seq(emoji, emoji, "z", emoji, emoji, "z2", eq, eq, "z3", eq, eq)
+    val r = Gopher.repetitionRow(3L, words.mkString(" "))
+    // both "😀 😀" and "Q Q" occur twice; UTF-8 order picks the
+    // U+E000 gram (EE < F0) → mass 2 × 5 cp = 10; UTF-16 order (D83D < E000)
+    // would pick the emoji gram → mass 2 × 3 = 6
+    assert(r.total_chars == 27)
+    assert(r.top_2gram_char_frac == 10.0 / 27)
+  }
+
+  test("quality rules: bullet/ellipsis lines, stop words, symbols, alpha") {
+    val words = Seq("-", "start") ++ (1 to 50).map(i => s"word$i") ++
+      Seq("the", "of", "#", "...")
+    val q = Gopher.qualityRow(4L, words.mkString(" "))
+    assert(q.n_words == 56)
+    assert(q.bullet_line_frac == 1.0 / 7)   // line 1 starts with "-"
+    assert(q.ellipsis_line_frac == 1.0 / 7) // last line ends with "..."
+    assert(q.n_stop_words == 2)             // the, of
+    assert(q.alpha_word_frac == 53.0 / 56)  // "-", "#", "..." have no alpha
+    assert(q.symbol_word_ratio == 2.0 / 56) // one '#', one '...'
+    assert(q.mean_word_len == 306.0 / 56)
+    assert(q.quality_keep)
+  }
+
+  test("quality keep=false under 50 words or missing stop words") {
+    val short = Gopher.qualityRow(5L, (1 to 20).map(i => s"w$i").mkString(" "))
+    assert(!short.quality_keep)
+    val noStop = Gopher.qualityRow(6L,
+      (1 to 60).map(i => s"w$i").mkString(" "))
+    assert(noStop.n_stop_words == 0 && !noStop.quality_keep)
+  }
+}
