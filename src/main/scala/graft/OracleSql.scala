@@ -324,6 +324,47 @@ object OracleSql {
       |$finalWhere
       |ORDER BY url, start, end_, pred, obj""".stripMargin
 
+  /** multimodal_neardup: the 8×8 average-hash of every synthetic frame
+    * re-derived from the doc_id pixel formulas (geometry w=8+id%24,
+    * h=8+(id·31)%24, frames=1+id%3, px=(x+y+id+f)%256; Multimodal.scala) —
+    * the engine computes the same hash from DECODED pixels, so one misread
+    * sample flips fingerprint bits and fails the compare. Bit 63 lands in
+    * the sign bit → two's-complement conversion to BIGINT. */
+  val multimodalNearDup: String =
+    s"""WITH geo AS (
+       |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 31) % 24 AS h,
+       |         1 + doc_id % 3 AS nf
+       |  FROM documents),
+       |samp AS (
+       |  SELECT g.doc_id, f.range AS f, i.range AS i, j.range AS j,
+       |         ((i.range * g.w) // 8 + (j.range * g.h) // 8
+       |          + g.doc_id + f.range) % 256 AS px
+       |  FROM geo g, range(3) f, range(8) i, range(8) j
+       |  WHERE f.range < g.nf),
+       |tot AS (SELECT doc_id, f, sum(px) AS total FROM samp GROUP BY doc_id, f),
+       |fh AS (
+       |  SELECT s.doc_id, s.f,
+       |         sum(CASE WHEN s.px * 64 > t.total
+       |                  THEN 1::HUGEINT << CAST(s.j * 8 + s.i AS INT)
+       |                  ELSE 0::HUGEINT END) AS hu
+       |  FROM samp s JOIN tot t ON s.doc_id = t.doc_id AND s.f = t.f
+       |  GROUP BY s.doc_id, s.f),
+       |fhs AS (SELECT doc_id, f, ${signed("hu")} AS hash FROM fh),
+       |nfh AS (SELECT doc_id, count(DISTINCT hash) AS n_frame_hashes
+       |        FROM fhs GROUP BY doc_id),
+       |doch AS (
+       |  SELECT a.doc_id, a.hash AS phash, b.n_frame_hashes
+       |  FROM fhs a JOIN nfh b USING (doc_id) WHERE a.f = 0),
+       |cl AS (SELECT phash, min(doc_id) AS canonical_doc, count(*) AS cluster_size
+       |       FROM doch GROUP BY phash)
+       |SELECT d.doc_id, d.phash,
+       |       CAST(d.n_frame_hashes AS BIGINT) AS n_frame_hashes,
+       |       cl.canonical_doc,
+       |       CAST(cl.cluster_size AS BIGINT) AS cluster_size,
+       |       d.doc_id != cl.canonical_doc AS is_dup
+       |FROM doch d JOIN cl USING (phash)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- Gopher repetition / quality rule family --------------------------
 
   /** Shared structure CTEs for the Gopher oracles: the corpus is

@@ -152,7 +152,8 @@ object SparkEntry {
       s: SparkSession, dir: String, residue: Int, suffix: String,
       res: Resources, runner: graft.link.StrategyRunner,
       classDisambig: graft.link.EntityClassDisambiguation.Config =
-        graft.link.EntityClassDisambiguation.Config(Map.empty)
+        graft.link.EntityClassDisambiguation.Config(Map.empty),
+      xrefs: Option[graft.link.Xref.XrefMap] = None
   ): DataFrame = {
     import s.implicits._
     val pages0 = Pages.fromDocuments(s, dir)
@@ -167,8 +168,14 @@ object SparkEntry {
     // per-call persist (each strategy row runs its own sliced pipeline);
     // released by the bench/verify drivers via CacheRegistry once the
     // returned plan has materialized
-    val docs = graft.util.CacheRegistry.register(
+    val docs1 = graft.util.CacheRegistry.register(
       docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // E17: optional cross-reference expansion as the post-mapping stage
+    // (broadcast map, narrow per-doc transform — same shape at any scale)
+    val docs = xrefs match {
+      case Some(x) => docs1.map(graft.link.Xref.processDoc(x))
+      case None => docs1
+    }
     val lens = pages0.select($"url", length($"text").as("orig_len"))
     Triples.fromDocs(s, docs).toDF()
       .join(lens, "url")
@@ -453,6 +460,40 @@ object SparkEntry {
       suffixedTriples(s, dir, 4, " pane zzwop waits. vane rests.",
         twoClassResources, graft.link.Ladders.default,
         classDisambig = twoClassConfig)),
+    "kg_xref" -> ((s, dir) =>
+      // E17 CrossReferenceManager: a planted OXO-style xref map expands the
+      // suffix's two unambiguous mentions into xref'd-ontology mappings —
+      // OP:FILTER fans out to TWO targets (multi-target expansion),
+      // SYS:SPARK to one — so each sliced doc emits exactly 5 suffix-region
+      // triples (2 original + 3 expanded) at offsets derived from the
+      // original text length
+      suffixedTriples(s, dir, 0, " filter spark.", Resources.corpus,
+        graft.link.Ladders.default,
+        xrefs = Some(graft.link.Xref.XrefMap(Map(
+          (CorpusOntology.OpsParser, "OP:FILTER") -> Seq(
+            graft.link.Xref.XrefTarget("xref_ops", "XREF", "XREF:XFILTER", "xfilter"),
+            graft.link.Xref.XrefTarget("xref_ops2", "XR2", "XR2:FILTER", "xfilter2")),
+          (CorpusOntology.SysParser, "SYS:SPARK") -> Seq(
+            graft.link.Xref.XrefTarget("xref_sys", "XREF", "XREF:XSPARK", "xspark"))))))),
+    "kg_acceptance" -> ((s, dir) => {
+      import s.implicits._
+      // acceptance P/R as a driver row (ref annotation/acceptance_test.py
+      // soft-span semantics): pred = every distinct pipeline entity span,
+      // gold = a deterministic transform of the same span set (all operator
+      // spans verbatim + one synthetic [0,5) component span per url), so
+      // tp/fp/fn exercise exact matches, partial overlaps, misses, and
+      // spurious predictions; the oracle replays the interval join over the
+      // full-dump derivation
+      val spans = pipelineTriples(s, dir)
+        .select($"url", $"start", $"end",
+          regexp_replace($"pred", "^mentions_", "").as("entity_class"))
+        .distinct()
+      val gold = spans.filter($"entity_class" === "operator")
+        .unionByName(spans.select($"url").distinct()
+          .select($"url", lit(0).as("start"), lit(5).as("end"),
+            lit("component").as("entity_class")))
+      graft.eval.Acceptance.nerScores(s, spans, gold)
+    }),
 
     "kg_classfilter" -> ((s, dir) => {
       import s.implicits._
@@ -738,6 +779,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
           col("n_pixels"), col("px_sum"))
     }),
+    "multimodal_neardup" -> ((s, dir) => {
+      // image-level near-dup: per-frame aHash from DECODED pixels (real
+      // codec work), doc fingerprint = frame-0 hash, identical-hash
+      // clustering through the shared salted join-back; the oracle
+      // re-derives every hash from the synthetic pixel formulas
+      val media = Multimodal.mediaFromDocuments(s, docsDf(s, dir))
+      Multimodal.perceptualNearDup(s, media)
+    }),
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       // sketch → verify: banded-LSH candidate pairs (equi-join on (table,
@@ -887,6 +936,73 @@ object SparkEntry {
         |SELECT url, CAST(len + 1 AS INT) AS start, CAST(len + 5 AS INT) AS "end",
         |       'mentions_operator' AS pred, 'OP:PANE' AS obj, 'pane' AS "match"
         |FROM base ORDER BY url, start, obj""".stripMargin,
+    // E17: every sliced doc carries the suffix " filter spark." whose two
+    // unambiguous mentions expand through the planted xref map — OP:FILTER
+    // into two xref'd targets, SYS:SPARK into one
+    "kg_xref" ->
+      """WITH base AS (
+        |  SELECT concat('https://graft.test/doc/', CAST(doc_id AS VARCHAR)) AS url,
+        |         length(text) AS len
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |expected(off_s, off_e, pred, obj, m) AS (VALUES
+        |  (1, 7,  'mentions_operator',  'OP:FILTER',    'filter'),
+        |  (1, 7,  'mentions_operator',  'XREF:XFILTER', 'filter'),
+        |  (1, 7,  'mentions_operator',  'XR2:FILTER',   'filter'),
+        |  (8, 13, 'mentions_component', 'SYS:SPARK',    'spark'),
+        |  (8, 13, 'mentions_component', 'XREF:XSPARK',  'spark'))
+        |SELECT url, CAST(len + off_s AS INT) AS start,
+        |       CAST(len + off_e AS INT) AS "end",
+        |       pred, obj, m AS "match"
+        |FROM base CROSS JOIN expected
+        |ORDER BY url, start, obj""".stripMargin,
+    // acceptance P/R: pred + gold both re-derived from the full-dump
+    // derivation, tp/fp/fn via the soft-span overlap join
+    "kg_acceptance" ->
+      s"""WITH spans AS (
+         |  SELECT DISTINCT url, start, "end",
+         |         replace(pred, 'mentions_', '') AS entity_class
+         |  FROM (${OracleSql.kgTriples})),
+         |gold AS (
+         |  SELECT url, start, "end", entity_class FROM spans
+         |  WHERE entity_class = 'operator'
+         |  UNION
+         |  SELECT DISTINCT url, 0, 5, 'component' FROM spans),
+         |pred AS (SELECT url, start, "end", entity_class FROM spans),
+         |ov AS (
+         |  SELECT p.url, p.start, p."end", p.entity_class,
+         |         g.start AS g_start, g."end" AS g_end
+         |  FROM pred p JOIN gold g
+         |    ON p.url = g.url AND p.entity_class = g.entity_class
+         |   AND g.start < p."end" AND p.start < g."end"),
+         |tpc AS (SELECT entity_class, count(*) AS tp FROM (
+         |  SELECT DISTINCT url, g_start, g_end, entity_class FROM ov)
+         |  GROUP BY entity_class),
+         |fpc AS (SELECT entity_class, count(*) AS fp FROM (
+         |  SELECT url, start, "end", entity_class FROM pred
+         |  EXCEPT
+         |  SELECT DISTINCT url, start, "end", entity_class FROM ov)
+         |  GROUP BY entity_class),
+         |fnc AS (SELECT entity_class, count(*) AS fn FROM (
+         |  SELECT url, start, "end", entity_class FROM gold
+         |  EXCEPT
+         |  SELECT DISTINCT url, g_start, g_end, entity_class FROM ov)
+         |  GROUP BY entity_class),
+         |cls AS (SELECT DISTINCT entity_class FROM (
+         |  SELECT entity_class FROM pred UNION SELECT entity_class FROM gold))
+         |SELECT entity_class,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS "precision",
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+         |FROM (
+         |  SELECT c.entity_class, coalesce(t.tp, 0) AS tp,
+         |         coalesce(f.fp, 0) AS fp, coalesce(n.fn, 0) AS fn
+         |  FROM cls c LEFT JOIN tpc t USING (entity_class)
+         |  LEFT JOIN fpc f USING (entity_class)
+         |  LEFT JOIN fnc n USING (entity_class))
+         |ORDER BY entity_class""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -1135,6 +1251,7 @@ object SparkEntry {
         |       CAST(d.w * d.h AS BIGINT) AS n_pixels,
         |       CAST(px.px_sum AS BIGINT) AS px_sum
         |FROM d JOIN px USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "multimodal_neardup" -> OracleSql.multimodalNearDup,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

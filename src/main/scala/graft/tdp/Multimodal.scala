@@ -110,6 +110,75 @@ object Multimodal {
       .toDF()
   }
 
+  /** 8×8 average-hash (aHash) of a decoded grayscale frame — the classic
+    * perceptual image fingerprint: nearest-neighbor sample onto an 8×8
+    * grid (x = i·w/8, y = j·h/8, integer division), bit k = j·8+i set iff
+    * sample·64 > total (exact integer compare — no float mean, so the
+    * relational replay is bit-identical). Bit 63 lands in the Long sign
+    * bit; the oracle converts two's-complement accordingly. */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val v = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val s = raster.getSample(i * w / 8, j * h / 8, 0).toLong
+        v(j * 8 + i) = s; total += s; i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) { if (v(k) * 64 > total) hash |= 1L << k; k += 1 }
+    hash
+  }
+
+  final case class PHashRow(doc_id: Long, phash: Long, n_frame_hashes: Long)
+
+  /** Image-level near-duplicate detection over the multimodal column:
+    * decode every frame (real codec work — a misread pixel flips hash
+    * bits), aHash each, fingerprint the document by its first frame's hash,
+    * then cluster documents with IDENTICAL perceptual hashes.
+    *
+    * Scale shape: decode is a narrow mapPartitions with the executor-pinned
+    * codec; clustering is ONE groupBy on the 8-byte hash plus the shared
+    * [[Dedup.saltedJoinBack]] — identical-image mega-clusters (the same
+    * logo/placeholder image on millions of pages) are exactly the hot-key
+    * shape the salted join-back bounds, independent of broadcast thresholds.
+    */
+  def perceptualNearDup(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashes = media.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = CodecHolder.codec
+        it.map { case (id, payload) =>
+          var first = 0L
+          val distinct = scala.collection.mutable.HashSet.empty[Long]
+          var f = 0
+          codec.frames(payload).foreach { fr =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr))
+            require(img != null, "undecodable frame")
+            val hsh = aHash(img)
+            if (f == 0) first = hsh
+            distinct += hsh
+            f += 1
+          }
+          PHashRow(id, first, distinct.size.toLong)
+        }
+      }
+      .toDF()
+    val clusters = hashes.groupBy($"phash")
+      .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("cluster_size"))
+    Dedup.saltedJoinBack(hashes, clusters, "phash", "doc_id")
+      .withColumn("is_dup", $"doc_id" =!= $"canonical_doc")
+      .select($"doc_id", $"phash", $"n_frame_hashes", $"canonical_doc",
+        $"cluster_size", $"is_dup")
+      .orderBy($"doc_id")
+  }
+
   /** The decode/feature stage: batched per partition, codec pinned per
     * executor JVM, emits typed metadata rows. Narrow map — no shuffle; at
     * 100 TB this runs at scan speed and the decode cost dominates, exactly
