@@ -324,6 +324,50 @@ object OracleSql {
       |$finalWhere
       |ORDER BY url, start, end_, pred, obj""".stripMargin
 
+  /** bpe_tokens: exact BPE encode counts replayed independently — a
+    * recursive CTE applies one merge per step (leftmost occurrence of the
+    * lowest-ranked adjacent pair, graft.text.Bpe.encode's spec) with the
+    * committed merge table shipped as a literal rank CASE; per-word
+    * terminal token counts join back to the documents. Training itself is
+    * cross-validated outside SQL: the committed table was generated by the
+    * independent python trainer and the Scala trainer must reproduce it
+    * (BpeSpec). */
+  def bpeTokens(merges: Seq[graft.text.Bpe.Merge]): String = {
+    val whens = merges
+      .map(m => s"WHEN '${m.left}|${m.right}' THEN ${m.rank}")
+      .mkString(" ")
+    val rankCase =
+      s"CASE toks[i] || '|' || toks[i + 1] $whens ELSE 999999 END"
+    s"""WITH RECURSIVE words AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+       |enc(word, toks) AS (
+       |  SELECT word, [c for c in string_split(word, '')] FROM words
+       |  UNION ALL
+       |  SELECT word,
+       |         toks[1 : p - 1] || [toks[p] || toks[p + 1]]
+       |           || toks[p + 2 : len(toks)]
+       |  FROM (
+       |    SELECT word, toks, list_min(pr) AS mr,
+       |           list_position(pr, list_min(pr)) AS p
+       |    FROM (
+       |      SELECT word, toks,
+       |             list_transform(range(1, len(toks)), i -> $rankCase) AS pr
+       |      FROM enc))
+       |  WHERE mr IS NOT NULL AND mr < 999999),
+       |term AS (
+       |  SELECT word, len(toks) AS n FROM (
+       |    SELECT word, toks,
+       |           list_transform(range(1, len(toks)), i -> $rankCase) AS pr
+       |    FROM enc)
+       |  WHERE list_min(pr) IS NULL OR list_min(pr) >= 999999),
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(t.n) AS BIGINT) AS n_bpe_tokens
+       |FROM docw d JOIN term t USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   /** multimodal_neardup: the 8×8 average-hash of every synthetic frame
     * re-derived from the doc_id pixel formulas (geometry w=8+id%24,
     * h=8+(id·31)%24, frames=1+id%3, px=(x+y+id+f)%256; Multimodal.scala) —

@@ -765,6 +765,28 @@ object SparkEntry {
       graft.tdp.Gopher.quality(s, decorated)
     }),
     "lang_id" -> ((s, dir) => TextStats.langId(s, docsDf(s, dir))),
+    "bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      // REAL BPE token counts (committed train-once merge asset; exact
+      // leftmost-lowest-rank encode) — replaces the regex approximation for
+      // token budgeting; per-partition word→count memo makes the pass
+      // O(distinct words) on the closed vocabulary
+      val ranks = graft.text.Bpe.committedRanks
+      docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          val memo = scala.collection.mutable.HashMap.empty[String, Int]
+          it.map { case (id, text) =>
+            val words = text.split(" ", -1)
+            var total = 0L
+            words.foreach { w =>
+              total += memo.getOrElseUpdate(w, graft.text.Bpe.encode(w, ranks).length)
+            }
+            (id, words.length.toLong, total)
+          }
+        }
+        .toDF("doc_id", "n_words", "n_bpe_tokens")
+        .orderBy($"doc_id")
+    }),
     "doc_fingerprint" -> ((s, dir) => TextStats.fingerprintDocs(s, docsDf(s, dir))),
     "multimodal_meta" -> ((s, dir) => {
       // REAL codec work: the payload is a length-delimited container of
@@ -1206,6 +1228,7 @@ object SparkEntry {
           |  || CASE WHEN doc_id % 3 = 0 THEN ' of the' ELSE '' END
           |  || CASE WHEN doc_id % 7 = 0 THEN ' 42 ## ...' ELSE '' END AS text
           |FROM documents""".stripMargin),
+    "bpe_tokens" -> OracleSql.bpeTokens(graft.text.Bpe.committed),
     "lang_id" -> {
       // replicate TextStats.predictLang relationally: per-language
       // stopword-profile vote (int/int division is bit-identical), zh =

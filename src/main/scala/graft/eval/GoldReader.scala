@@ -45,7 +45,10 @@ object GoldReader {
     * match = "<to-text> <from-text>", label INTERSECTION, mapping UNION;
     * the unmapped sentinel `("None", "unmapped|unmapped")` is kept as a
     * mapping row like the reference does. One output row per gold entity:
-    * (doc_id, entity_class, match, starts, ends, sources, mapping_idxs).
+    * (doc_id, entity_class, match, starts, ends, mappings) with `mappings`
+    * an array of (source, idx) structs — the PAIRING the reference's
+    * Mapping-set union preserves (two independently-distinct arrays would
+    * conflate {(test1,1),(test2,2)} with {(test1,2),(test2,1)}).
     * The committed fixture `ls_reference_export.json` is generated and
     * round-trip-validated by the reference's own converter
     * (tools/make_ls_fixture.py). */
@@ -72,18 +75,21 @@ object GoldReader {
         element_at(col("t"), 1).as("source"),
         element_at(split(element_at(col("t"), 2), "\\|"), -1).as("mapping_idx"))
       .groupBy(col("doc_id"), col("rid"))
-      .agg(sort_array(collect_list(col("source"))).as("sources"),
-        sort_array(collect_list(col("mapping_idx"))).as("mapping_idxs"))
+      // (source, idx) kept as PAIRED structs, distinct + sorted — set-of-
+      // Mapping semantics for both the contiguous and merged row shapes
+      .agg(sort_array(array_distinct(collect_list(
+        struct(col("source"), col("mapping_idx").as("idx"))))).as("mappings"))
     val rel = results.filter(col("r.type") === "relation").select(
       col("doc_id"), col("r.from_id").as("from_id"), col("r.to_id").as("to_id"))
     val regions = ner.join(mappings, Seq("doc_id", "rid"), "left")
     val linkedIds = rel.select(col("doc_id"), col("from_id").as("rid"))
       .union(rel.select(col("doc_id"), col("to_id").as("rid"))).distinct()
+    val emptyMappings =
+      array().cast("array<struct<source:string,idx:string>>")
     val contiguous = regions.join(linkedIds, Seq("doc_id", "rid"), "left_anti")
       .select(col("doc_id"), col("entity_class"), col("match"),
         array(col("start")).as("starts"), array(col("end")).as("ends"),
-        coalesce(col("sources"), array()).as("sources"),
-        coalesce(col("mapping_idxs"), array()).as("mapping_idxs"))
+        coalesce(col("mappings"), emptyMappings).as("mappings"))
     val fromSide = regions.toDF(regions.columns.map("f_" + _): _*)
     val toSide = regions.toDF(regions.columns.map("t_" + _): _*)
     val nonContig = rel
@@ -96,13 +102,11 @@ object GoldReader {
         concat(col("t_match"), lit(" "), col("f_match")).as("match"),
         array(col("f_start"), col("t_start")).as("starts"),
         array(col("f_end"), col("t_end")).as("ends"),
-        // mapping UNION across the linked regions (:291-293)
+        // mapping UNION across the linked regions (:291-293) — pairwise,
+        // on the (source, idx) structs
         sort_array(array_distinct(concat(
-          coalesce(col("f_sources"), array()),
-          coalesce(col("t_sources"), array())))).as("sources"),
-        sort_array(array_distinct(concat(
-          coalesce(col("f_mapping_idxs"), array()),
-          coalesce(col("t_mapping_idxs"), array())))).as("mapping_idxs"))
+          coalesce(col("f_mappings"), emptyMappings),
+          coalesce(col("t_mappings"), emptyMappings)))).as("mappings"))
     contiguous.unionByName(nonContig)
       .orderBy(col("doc_id"), col("entity_class"), col("match"))
   }

@@ -140,18 +140,19 @@ class GoldReaderSpec extends AnyFunSuite with SparkTestBase {
       .collect()
       .map(r => (r.getAs[String]("entity_class"), r.getAs[String]("match"),
         r.getAs[Seq[Int]]("starts").sorted,
-        r.getAs[Seq[String]]("sources"), r.getAs[Seq[String]]("mapping_idxs")))
+        r.getAs[Seq[org.apache.spark.sql.Row]]("mappings")
+          .map(m => (m.getAs[String]("source"), m.getAs[String]("idx")))))
       .toSet
     assert(rows.size == 3, rows)
     // same assertions as the reference's test_kazu_doc_to_label_studio
     assert(rows.contains(("gene", "cat mat", Seq(4, 19),
-      Seq("test1", "test2"), Seq("1", "2"))), rows)
+      Seq("test1" -> "1", "test2" -> "2"))), rows)
     assert(rows.contains(("disease", "mat", Seq(19),
-      Seq("test3"), Seq("3"))), rows)
+      Seq("test3" -> "3"))), rows)
     // the reference keeps the unmapped sentinel as a ("None", "unmapped")
     // mapping (LSToKazuConversion.create_mappings) — mirrored
     assert(rows.contains(("drug", "cat", Seq(4),
-      Seq("None"), Seq("unmapped"))), rows)
+      Seq("None" -> "unmapped"))), rows)
     assert(rows.forall(_ != null))
   }
 

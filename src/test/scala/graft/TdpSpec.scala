@@ -469,3 +469,26 @@ class GopherSpec extends AnyFunSuite with SparkTestBase {
     assert(noStop.n_stop_words == 0 && !noStop.quality_keep)
   }
 }
+
+/** Decontaminate path agreement: broadcast vs sharded-join fallback. */
+class DecontaminatePathsSpec extends AnyFunSuite with SparkTestBase {
+  test("join fallback (bound 0) agrees with the broadcast path row-for-row") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"w$i")
+    val docs = Seq(
+      (0L, w.mkString(" ")),                                   // superset
+      (1L, (w.take(13) ++ w.take(13)).mkString(" ")),          // repeated gram
+      (2L, (1 to 30).map(i => s"z$i").mkString(" ")),          // clean
+      (3L, (w.slice(4, 25) ++ Seq("tail")).mkString(" "))      // partial
+    ).toDF("doc_id", "text")
+    val bench = Seq(w.slice(4, 25).mkString(" "), w.take(14).mkString(" "))
+      .toDF("bench_text")
+    val broadcastPath = graft.tdp.Decontaminate
+      .flagContaminated(spark, docs, bench).collect().toSeq
+    val joinPath = graft.tdp.Decontaminate
+      .flagContaminated(spark, docs, bench, broadcastNgramBound = 0L)
+      .collect().toSeq
+    assert(joinPath == broadcastPath)
+    assert(broadcastPath.count(_.getBoolean(2)) == 3) // docs 0, 1, 3 flagged
+  }
+}
