@@ -341,7 +341,11 @@ object OracleSql {
     s"""WITH RECURSIVE words AS (
        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
        |enc(word, toks) AS (
-       |  SELECT word, [c for c in string_split(word, '')] FROM words
+       |  -- string_split('', '') is [''], but the engine encodes the empty
+       |  -- word to ZERO tokens — keep parity on irregular spacing
+       |  SELECT word, CASE WHEN word = '' THEN []::VARCHAR[]
+       |               ELSE [c for c in string_split(word, '')] END
+       |  FROM words
        |  UNION ALL
        |  SELECT word,
        |         toks[1 : p - 1] || [toks[p] || toks[p + 1]]

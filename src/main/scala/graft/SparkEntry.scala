@@ -60,20 +60,30 @@ object SparkEntry {
       scala.collection.mutable.ArrayDeque[(SparkSession, String)]]
   private def boundedMemo[V <: org.apache.spark.sql.Dataset[_]](
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
-      key: (SparkSession, String))(build: => V): V = memoLock.synchronized {
-    val order = memoOrder.getOrElseUpdate(cache,
-      scala.collection.mutable.ArrayDeque.empty)
+      key: (SparkSession, String))(build: => V): V = {
     cache.get(key) match {
       case Some(v) => v
       case None =>
-        while (cache.size >= 8 && order.nonEmpty) {
-          val oldest = order.removeHead()
-          cache.remove(oldest).foreach(_.unpersist())
-        }
+        // build OUTSIDE the lock: plan construction (and the lazy resource
+        // index it may touch) must not serialize unrelated sessions or the
+        // listener-bus app-end handler; a racing duplicate simply loses and
+        // unpersists its never-observed dataset
         val v = build
-        cache.put(key, v)
-        order.append(key)
-        v
+        memoLock.synchronized {
+          val order = memoOrder.getOrElseUpdate(cache,
+            scala.collection.mutable.ArrayDeque.empty)
+          cache.get(key) match {
+            case Some(w) => v.unpersist(); w
+            case None =>
+              while (cache.size >= 8 && order.nonEmpty) {
+                val oldest = order.removeHead()
+                cache.remove(oldest).foreach(_.unpersist())
+              }
+              cache.put(key, v)
+              order.append(key)
+              v
+          }
+        }
     }
   }
 

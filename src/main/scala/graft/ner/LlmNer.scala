@@ -75,13 +75,21 @@ object LlmNer {
   private def classOf(v: JsonNode): String =
     if (v.isTextual) v.textValue() else v.toString
 
+  /** Python dict.update semantics: an existing key keeps its ORIGINAL
+    * insertion position, only the value changes; new keys append. */
+  private def upsert(vec: Vector[(String, String)], k: String, v: String)
+      : Vector[(String, String)] = {
+    val i = vec.indexWhere(_._1 == k)
+    if (i < 0) vec :+ (k -> v) else vec.updated(i, k -> v)
+  }
+
   private def objectPairs(node: JsonNode): Vector[(String, String)] = {
     val obj = node.asInstanceOf[ObjectNode] // non-object → CCE → caught/raised
     var out = Vector.empty[(String, String)]
     val it = obj.fields()
     while (it.hasNext) {
       val e = it.next()
-      out = out.filterNot(_._1 == e.getKey) :+ (e.getKey -> classOf(e.getValue))
+      out = upsert(out, e.getKey, classOf(e.getValue))
     }
     out
   }
@@ -108,7 +116,7 @@ object LlmNer {
           val it = arr.elements()
           while (it.hasNext)
             objectPairs(it.next()).foreach { case (k, v) =>
-              out = out.filterNot(_._1 == k) :+ (k -> v) // later items override
+              out = upsert(out, k, v) // later items override IN PLACE
             }
           out
         }
@@ -132,7 +140,7 @@ object LlmNer {
           throw new NoSuchElementException(
             s"missing entity_match/$entityKey in $item")
         val k = if (key.isTextual) key.textValue() else key.toString
-        out = out.filterNot(_._1 == k) :+ (k -> classOf(cls))
+        out = upsert(out, k, classOf(cls))
       }
       out
     }
@@ -173,7 +181,7 @@ object LlmNer {
             if (parsed.nonEmpty)
               parsed.foreach { case (k, v) =>
                 val key = k.toLowerCase(java.util.Locale.ROOT).trim
-                acc = acc.filterNot(_._1 == key) :+ (key -> v)
+                acc = upsert(acc, key, v)
               }
             else if (strategy == ProcessIndividuallyAndDropFailedSections)
               sections = sections.filterNot(_ eq section)

@@ -55,9 +55,13 @@ object Decontaminate {
       .as[Array[String]]
       .flatMap(ngrams(_, n))
       .distinct()
+      // persisted across the bound-check count and whichever path follows
+      // (the collect, or the join's probe side) — one derivation, not two
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (benchNgrams.count() <= broadcastNgramBound) {
       // the count above bounds the set BEFORE any driver materialization
       val bc = spark.sparkContext.broadcast(benchNgrams.collect().toSet)
+      benchNgrams.unpersist()
       docs.select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
@@ -74,10 +78,11 @@ object Decontaminate {
         .toDF("doc_id", "n_contaminated_ngrams", "contaminated")
         .orderBy(col("doc_id"))
     } else {
-      // benchmark n-grams re-derived distributed (recomputing the two
-      // narrow stages is cheaper than persisting a >bound set); per-doc
+      // join path: the persisted set stays distributed (caller releases it
+      // via CacheRegistry once the returned plan materializes); per-doc
       // DISTINCT n-grams emitted locally so the join counts each (doc,
       // gram) pair once — identical semantics to the broadcast path
+      graft.util.CacheRegistry.register(benchNgrams)
       val docGrams = docs.select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .flatMap { case (id, text) =>

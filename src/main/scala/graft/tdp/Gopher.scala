@@ -3,8 +3,6 @@ package graft.tdp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.charset.StandardCharsets
-
 /** The full Gopher repetition + quality rule family (Rae et al. 2021,
   * "Scaling Language Models: Methods, Analysis & Insights from Training
   * Gopher", Table A1) — the standard removal filters of production
@@ -65,18 +63,8 @@ object Gopher {
   private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
 
   /** UTF-8 byte-order comparison (== DuckDB's binary VARCHAR collation). */
-  private def utf8Less(a: String, b: String): Boolean = {
-    val x = a.getBytes(StandardCharsets.UTF_8)
-    val y = b.getBytes(StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+  private def utf8Less(a: String, b: String): Boolean =
+    graft.util.Utf8Order.less(a, b)
 
   /** (duplicate occurrences beyond the first, their summed char length). */
   private def dupStats(items: Array[String]): (Long, Long) = {

@@ -27,9 +27,23 @@ class LlmNerSpec extends AnyFunSuite with SparkTestBase {
     assert(r == Vector("BRCA1" -> "gene", "imatinib" -> "drug"))
   }
 
-  test("free-form: array of objects merges in order, later items override") {
+  test("free-form: array of objects merges in order, later items override IN PLACE") {
+    // dict.update semantics: overridden keys keep their first-insertion
+    // position — [a->z, b->y], not [b->y, a->z]
     val r = FreeFormResultParser.parse("""[{"a": "x"}, {"b": "y"}, {"a": "z"}]""")
-    assert(r == Vector("b" -> "y", "a" -> "z"))
+    assert(r == Vector("a" -> "z", "b" -> "y"))
+  }
+
+  test("free-form: in-place override decides which case variant wins the automaton") {
+    // python: {A:1} → {a:2} → {A:3} gives order [A->3, a->2]; the automaton
+    // map lowercases in iteration order so ("a", "2") wins — NOT ("A", "3")
+    val r = FreeFormResultParser.parse("""[{"A": "1"}, {"a": "2"}, {"A": "3"}]""")
+    assert(r == Vector("A" -> "3", "a" -> "2"))
+    val d = doc("a word")
+    val m = Scripted(Map("a word" -> """[{"A": "1"}, {"a": "2"}, {"A": "3"}]"""))
+    val (out, _) = LlmNer.processDoc(m, FreeFormResultParser)(d)
+    assert(out.sections.head.entities.map(e => (e.matchStr, e.entityClass)) ==
+      Seq(("a", "2")))
   }
 
   test("free-form: the '{}' shortcut fires even when a valid object follows (ref quirk)") {
