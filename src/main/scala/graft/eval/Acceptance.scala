@@ -27,7 +27,13 @@ object Acceptance {
     val p = pred.select($"url", $"start", $"end", $"entity_class").distinct()
     val g = gold.select($"url".as("g_url"), $"start".as("g_start"),
       $"end".as("g_end"), $"entity_class".as("g_class")).distinct()
-    val overlap = p.join(broadcast(g),
+    // no forced broadcast hint: gold sets are tiny in the acceptance-test
+    // shape (Catalyst auto-broadcasts under the threshold), but a
+    // corpus-derived gold side (the kg_acceptance driver row; any
+    // pipeline-vs-pipeline comparison) must be free to sort-merge — a
+    // forced broadcast would balloon with the corpus. Corpus×corpus at
+    // cluster scale uses [[overlapJoinBucketed]] for the equi-keyed form.
+    val overlap = p.join(g,
       $"url" === $"g_url" && $"entity_class" === $"g_class" &&
         $"g_start" < $"end" && $"start" < $"g_end")
     val tp = overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct()
@@ -35,7 +41,7 @@ object Acceptance {
     val predMatched = overlap.select($"url", $"start", $"end", $"entity_class").distinct()
     val fp = p.exceptAll(predMatched)
       .groupBy($"entity_class").agg(count(lit(1)).as("fp"))
-    val fn = g.join(broadcast(overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct()),
+    val fn = g.join(overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct(),
         Seq("g_url", "g_start", "g_end", "g_class"), "left_anti")
       .groupBy($"g_class".as("entity_class")).agg(count(lit(1)).as("fn"))
     tp.join(fp, Seq("entity_class"), "outer")
