@@ -572,7 +572,7 @@ object OracleSql {
     * consecutive dedup. Every corpus doc has length ≥ 23, so the short-text
     * fallbacks of the kernel are unreachable here (spec-covered instead);
     * a shorter doc would yield a count mismatch, loudly. */
-  val docFingerprint: String = {
+  private def fingerprintCtes: String = {
     val B = 1000000007L
     val pow = Iterator.iterate(1L)(_ * B).take(16).toIndexedSeq // wraps like the kernel
     val terms = (1 to 16)
@@ -593,9 +593,30 @@ object OracleSql {
        |fp AS (
        |  SELECT doc_id,
        |         list_filter(wm, (x, i) -> i = 1 OR x != wm[i-1]) AS fps
-       |  FROM wm)
+       |  FROM wm)""".stripMargin
+  }
+
+  val docFingerprint: String =
+    s"""$fingerprintCtes
        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
        |       list_min(fps) AS min_fingerprint
        |FROM fp ORDER BY doc_id""".stripMargin
-  }
+
+  /** dedup_substring: the winnowed-fingerprint postings re-derived from the
+    * SAME rolling-hash CTEs as doc_fingerprint, then the capped
+    * shared-anchor pair count replayed relationally (blacklist = postings
+    * over `maxPosting`, exactly the engine's broadcast anti-join). */
+  def dedupSubstring(minShared: Int, maxPosting: Long): String =
+    s"""$fingerprintCtes,
+       |post AS (SELECT DISTINCT doc_id, unnest(fps) AS f FROM fp),
+       |cnt AS (SELECT f, count(*) AS n FROM post GROUP BY f),
+       |clean AS (SELECT p.doc_id, p.f FROM post p JOIN cnt c USING (f)
+       |          WHERE c.n <= $maxPosting),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM clean a JOIN clean b ON a.f = b.f AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+       |FROM pairs WHERE n_shared >= $minShared
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -706,6 +706,11 @@ object SparkEntry {
     }),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(s, docsDf(s, dir))),
+    "dedup_substring" -> ((s, dir) =>
+      // substring-anchored dedup: winnowed Rabin-Karp fingerprints as
+      // shared-16-char-run anchors, mega-postings dropped via broadcast
+      // anti-join, pair score = shared-anchor count
+      graft.tdp.DedupSubstring.substringPairs(s, docsDf(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, docsDf(s, dir))),
     "corpus_sample" -> ((s, dir) => {
@@ -1167,6 +1172,7 @@ object SparkEntry {
     // mod-2^64 arithmetic (OracleSql) — independent bit-exact checks of the
     // minhash/simhash/Rabin–Karp pipelines, constants shipped as literals
     "dedup_minhash" -> OracleSql.dedupMinhash,
+    "dedup_substring" -> OracleSql.dedupSubstring(minShared = 2, maxPosting = 20L),
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "pii_scrub" -> {

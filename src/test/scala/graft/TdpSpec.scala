@@ -492,3 +492,34 @@ class DecontaminatePathsSpec extends AnyFunSuite with SparkTestBase {
     assert(broadcastPath.count(_.getBoolean(2)) == 3) // docs 0, 1, 3 flagged
   }
 }
+
+/** Substring-anchored dedup: shared winnowed fingerprints as anchors. */
+class DedupSubstringSpec extends AnyFunSuite with SparkTestBase {
+  test("docs sharing a long verbatim run pair up; unrelated docs do not") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again and again"
+    val a = s"unique alpha prologue $boiler distinct alpha epilogue"
+    val b = s"other beta start here $boiler different beta ending text"
+    val c = "completely unrelated content with no shared runs whatsoever in it"
+    val docs = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val out = graft.tdp.DedupSubstring.substringPairs(spark, docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.tdp.Dedup.releaseCaches()
+    assert(out.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    assert(out.head._3 >= 2, s"shared anchors ${out.head._3}")
+  }
+
+  test("a corpus-wide boilerplate anchor is blacklisted (no pair explosion)") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate string is present absolutely everywhere always"
+    // 30 same-length docs all sharing ONLY the boilerplate (equal prefix
+    // lengths keep the winnowing windows aligned, so every boilerplate
+    // anchor is shared by all 30 docs) → posting lists exceed
+    // maxPosting=20 → blacklisted → zero pairs (vs 435 naive)
+    val docs = (10 until 40).map(i => (i.toLong, s"prefix$i $boiler suffix$i"))
+      .toDF("doc_id", "text")
+    val out = graft.tdp.DedupSubstring.substringPairs(spark, docs).collect()
+    graft.tdp.Dedup.releaseCaches()
+    assert(out.isEmpty, s"${out.length} pairs")
+  }
+}
