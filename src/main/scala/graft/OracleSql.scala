@@ -324,6 +324,25 @@ object OracleSql {
       |$finalWhere
       |ORDER BY url, start, end_, pred, obj""".stripMargin
 
+  /** dedup_paragraph: corpus-wide paragraph duplicate fractions re-derived
+    * over the same deterministic 8-word-line / 3-line-paragraph structure
+    * as the Gopher oracles (ParagraphDedup uses Gopher.structure). */
+  def dedupParagraph(docsSource: String): String =
+    s"""WITH ${gopherStructCtes(docsSource)},
+       |parau AS (SELECT doc_id, unnest(paras) AS p FROM base),
+       |ph AS (SELECT doc_id, md5(p) AS h FROM parau),
+       |cnt AS (SELECT h, count(*) AS n FROM ph GROUP BY h),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_paras,
+       |         sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM ph JOIN cnt c USING (h) GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+       |       CAST(n_dup AS BIGINT) AS n_dup_paras,
+       |       CAST(n_dup AS DOUBLE) / CAST(n_paras AS DOUBLE) AS dup_para_frac,
+       |       CAST(n_dup AS DOUBLE) / CAST(n_paras AS DOUBLE) <= 0.3
+       |         AS para_dedup_keep
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
   /** bpe_tokens: exact BPE encode counts replayed independently — a
     * recursive CTE applies one merge per step (leftmost occurrence of the
     * lowest-ranked adjacent pair, graft.text.Bpe.encode's spec) with the

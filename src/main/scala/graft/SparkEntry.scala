@@ -706,6 +706,20 @@ object SparkEntry {
     }),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(s, docsDf(s, dir))),
+    "dedup_paragraph" -> ((s, dir) => {
+      import s.implicits._
+      // CCNet-style corpus-wide paragraph dedup: a planted 24-word cookie
+      // banner prepended to every third doc becomes EXACTLY its first
+      // 3-line paragraph (structure chunks from position 0), creating the
+      // hot corpus-wide boilerplate key the salted join-back bounds
+      val banner = "cookie notice accept our terms and privacy policy " +
+        "before continuing to read this page content here now ok fine " +
+        "yes please do thank you" // exactly 24 words = one full paragraph
+      val decorated = docsDf(s, dir).withColumn("text",
+        when($"doc_id" % 3 === 0, concat(lit(banner), lit(" "), $"text"))
+          .otherwise($"text"))
+      graft.tdp.ParagraphDedup.paragraphDedup(s, decorated)
+    }),
     "dedup_substring" -> ((s, dir) =>
       // substring-anchored dedup: winnowed Rabin-Karp fingerprints as
       // shared-16-char-run anchors, mega-postings dropped via broadcast
@@ -1173,6 +1187,12 @@ object SparkEntry {
     // minhash/simhash/Rabin–Karp pipelines, constants shipped as literals
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_substring" -> OracleSql.dedupSubstring(minShared = 2, maxPosting = 20L),
+    "dedup_paragraph" -> OracleSql.dedupParagraph(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN 'cookie notice accept our terms and privacy policy before continuing to read this page content here now ok fine yes please do thank you ' || text
+        |       ELSE text END AS text
+        |FROM documents""".stripMargin),
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "pii_scrub" -> {

@@ -523,3 +523,26 @@ class DedupSubstringSpec extends AnyFunSuite with SparkTestBase {
     assert(out.isEmpty, s"${out.length} pairs")
   }
 }
+
+/** Corpus-wide paragraph dedup (CCNet shape). */
+class ParagraphDedupSpec extends AnyFunSuite with SparkTestBase {
+  test("shared boilerplate paragraph flags across docs; within-doc repeats count too") {
+    import spark.implicits._
+    val banner = (1 to 24).map(i => s"b$i").mkString(" ")   // one full para
+    val u = (n: Int) => (1 to 24).map(i => s"u${n}_$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$banner ${u(0)}"),          // banner + unique → 1/2 dup
+      (1L, s"$banner ${u(1)}"),          // banner + unique → 1/2 dup
+      (2L, s"${u(2)} ${u(3)}"),          // all unique      → 0/2
+      (3L, s"${u(4)} ${u(4)}")           // self-repeat     → 2/2 dup
+    ).toDF("doc_id", "text")
+    val out = graft.tdp.ParagraphDedup.paragraphDedup(spark, docs)
+      .select("doc_id", "n_paras", "n_dup_paras", "para_dedup_keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 1L, false),  // 0.5 > 0.3
+      (1L, 2L, 1L, false),
+      (2L, 2L, 0L, true),
+      (3L, 2L, 2L, false)))
+  }
+}
