@@ -173,19 +173,16 @@ object SparkEntry {
       to_binary(concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")),
         lit("utf-8")).as("html"),
       $"text", $"lang")
+    // E17 xref expansion rides Pipeline.run's mapping post-processing
+    // (selectable step, as the reference's CrossReferenceManager is)
     val (docs0, _) = Pipeline.run(s, withHtml, s.sparkContext.broadcast(res),
-      runner = runner, withTransformerNer = false, classDisambig = classDisambig)
+      runner = runner, withTransformerNer = false,
+      classDisambig = classDisambig, xrefs = xrefs)
     // per-call persist (each strategy row runs its own sliced pipeline);
     // released by the bench/verify drivers via CacheRegistry once the
     // returned plan has materialized
-    val docs1 = graft.util.CacheRegistry.register(
+    val docs = graft.util.CacheRegistry.register(
       docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // E17: optional cross-reference expansion as the post-mapping stage
-    // (broadcast map, narrow per-doc transform — same shape at any scale)
-    val docs = xrefs match {
-      case Some(x) => docs1.map(graft.link.Xref.processDoc(x))
-      case None => docs1
-    }
     val lens = pages0.select($"url", length($"text").as("orig_len"))
     Triples.fromDocs(s, docs).toDF()
       .join(lens, "url")

@@ -177,6 +177,40 @@ object SkewBench {
     }(bounded)
     graft.tdp.Dedup.releaseCaches()
 
+    // ---- paragraph dedup (round 5) ------------------------------------------
+    results += measure(spark, "paragraph_dedup_salted") {
+      // the template's paragraphs are ONE md5 key carried by all 10^5
+      // copies — the count join-back goes through the shared 16-way salted
+      // join, so the mega-cluster spreads across reducers
+      graft.tdp.ParagraphDedup.paragraphDedup(spark, docs)
+        .write.mode("overwrite").parquet(s"$workDir/out_para_dedup")
+      spark.read.parquet(s"$workDir/out_para_dedup").count()
+    }(bounded)
+
+    // ---- substring-anchor dedup (round 5) -----------------------------------
+    results += measure(spark, "substring_anchor_blacklist") {
+      // every template copy shares EVERY winnowed anchor → posting lists of
+      // 10^5 → all template anchors land on the mega-posting blacklist
+      // (broadcast anti-join) and the pair join sees only the diverse tail
+      graft.tdp.DedupSubstring.substringPairs(spark, docs)
+        .write.mode("overwrite").parquet(s"$workDir/out_substring")
+      spark.read.parquet(s"$workDir/out_substring").count()
+    }(bounded)
+    graft.tdp.Dedup.releaseCaches()
+    val substrNaiveCopies = math.min(1000, hotCopies)
+    results += measure(spark, "substring_anchor_uncapped_naive") {
+      // naive contrast at a REDUCED copy count (the full 10^5 cluster would
+      // emit ~10^10-pair fanout): with no posting cap, each template anchor
+      // key alone fans out copies²/2 pairs on its single join task
+      val slice = docs.filter($"doc_id" < substrNaiveCopies || $"doc_id" >= hotCopies)
+      graft.tdp.DedupSubstring.substringPairs(spark, slice,
+        maxPosting = Long.MaxValue).count()
+    }(r =>
+      if (r.maxShuffleWrite >= substrNaiveCopies.toLong * (substrNaiveCopies - 1) / 2)
+        "SKEWED(single-anchor pair fanout, as expected)"
+      else "naive-shape-did-not-skew(UNEXPECTED)")
+    graft.tdp.Dedup.releaseCaches()
+
     // ---- triples aggregations ----------------------------------------------
     results += measure(spark, "graph_stats_salted") {
       graft.triples.GraphStats.saltedObjectCounts(spark, triples)

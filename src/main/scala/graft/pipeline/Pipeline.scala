@@ -145,7 +145,8 @@ object Pipeline {
       splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config(),
       useExplosionMatcher: Boolean = false,
       classDisambig: EntityClassDisambiguation.Config =
-        EntityClassDisambiguation.Config(Map.empty)
+        EntityClassDisambiguation.Config(Map.empty),
+      xrefs: Option[graft.link.Xref.XrefMap] = None
   )(docs: Iterator[KDoc]): Iterator[KDoc] = {
     val session = TokenClassifier.executorSession
     // gazetteer step selection, as the reference configures its pipeline
@@ -169,7 +170,7 @@ object Pipeline {
       val t = gazetteer(d)
       ecd(splitDoc(if (withTransformerNer) transformer(t) else t))
     }
-    linkingStages(resources, runner, classRules)(nerDocs)
+    linkingStages(resources, runner, classRules, xrefs)(nerDocs)
   }
 
   /** The `linking_only` step group (ref conf/Pipeline/default.yaml:14-20,
@@ -183,17 +184,23 @@ object Pipeline {
   def linkingStages(
       resources: Resources,
       runner: StrategyRunner = Ladders.default,
-      classRules: ClassFilter.Rules = ClassFilter.Rules()
+      classRules: ClassFilter.Rules = ClassFilter.Rules(),
+      xrefs: Option[graft.link.Xref.XrefMap] = None
   )(docs: Iterator[KDoc]): Iterator[KDoc] = {
     val cleanupCfg = Cleanup.Config()
     val mergeCfg = MergeOverlaps.Config()
     val classFilter = ClassFilter.processDoc(classRules) _
+    // E17 cross-reference expansion rides mapping post-processing, as the
+    // reference's CrossReferenceManager does (disabled by default there too)
+    val xrefStep: KDoc => KDoc =
+      xrefs.map(graft.link.Xref.processDoc _).getOrElse(identity[KDoc] _)
     val perDocAfterLinking: KDoc => KDoc = d =>
       MergeOverlaps.processDoc(mergeCfg)(
         Cleanup.processDoc(cleanupCfg)(Abbreviations.step(d)))
     val linked = DictionaryLinking.processPartition(resources)(docs)
       .map(classFilter)
     MappingStep.processPartition(resources, runner)(linked)
+      .map(xrefStep)
       .map(perDocAfterLinking)
   }
 
@@ -217,7 +224,8 @@ object Pipeline {
       splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config(),
       useExplosionMatcher: Boolean = false,
       classDisambig: EntityClassDisambiguation.Config =
-        EntityClassDisambiguation.Config(Map.empty)
+        EntityClassDisambiguation.Config(Map.empty),
+      xrefs: Option[graft.link.Xref.XrefMap] = None
   ): (Dataset[KDoc], Seq[LineageRow]) = {
     import spark.implicits._
     val runCtx = new Run(spark, cfg, scala.collection.mutable.ArrayBuffer.empty)
@@ -245,7 +253,8 @@ object Pipeline {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var n = 0L; var fails = 0L
         val mapped = fusedStages(resources.value, runner, classRules,
-          withTransformerNer, splitter, useExplosionMatcher, classDisambig)(it).map { d =>
+          withTransformerNer, splitter, useExplosionMatcher, classDisambig,
+          xrefs)(it).map { d =>
           n += 1; if (d.error.isDefined) fails += 1; d
         }
         new Iterator[KDoc] {
@@ -313,8 +322,13 @@ object Pipeline {
         linked.map(ClassFilter.processDoc(classRules)))
     val mapped = runCtx.stage("mapping",
       filtered.mapPartitions(MappingStep.processPartition(resources.value, runner)))
+    val xrefd = xrefs match {
+      case Some(x) =>
+        runCtx.stage("xref", mapped.map(graft.link.Xref.processDoc(x)))
+      case None => mapped
+    }
     val abbrev = runCtx.stage("abbrev",
-      mapped.mapPartitions(_.map(graft.post.Abbreviation.processDoc)))
+      xrefd.mapPartitions(_.map(graft.post.Abbreviation.processDoc)))
     val cleaned = runCtx.stage("cleanup",
       abbrev.map(Cleanup.processDoc(Cleanup.Config())))
     val merged = runCtx.stage("merge",
