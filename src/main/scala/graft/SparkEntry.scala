@@ -501,6 +501,28 @@ object SparkEntry {
             lit("component").as("entity_class")))
       graft.eval.Acceptance.nerScores(s, spans, gold)
     }),
+    "kg_acceptance_linking" -> ((s, dir) => {
+      import s.implicits._
+      // linking-level acceptance (ref calculate_linking_matches): per
+      // soft-matched gold entity, set-compare the union of matched test
+      // mappings vs gold mappings, per source. Gold = the pipeline's own
+      // mapping set with two planted perturbations — OP:SORT renamed (an
+      // fp+fn pair in source OP wherever sort mentions resolve) and SYS
+      // ids suffixed on odd docs (fp+fn in SYS on half the corpus) — so
+      // tp, fp and fn all measure non-trivially per source
+      val t = pipelineTriples(s, dir)
+      val mappings = t.select($"url", $"start", $"end",
+          regexp_replace($"pred", "^mentions_", "").as("entity_class"),
+          split($"obj", ":").getItem(0).as("source"), $"obj".as("idx"))
+        .distinct()
+      val docOdd =
+        regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 2 === 1
+      val gold = mappings.withColumn("idx",
+        when($"idx" === "OP:SORT", lit("OP:SORTED"))
+          .when($"source" === "SYS" && docOdd, concat($"idx", lit("X")))
+          .otherwise($"idx"))
+      graft.eval.Acceptance.linkingScores(s, mappings, gold)
+    }),
 
     "kg_classfilter" -> ((s, dir) => {
       import s.implicits._
@@ -1051,6 +1073,64 @@ object SparkEntry {
          |  LEFT JOIN fpc f USING (entity_class)
          |  LEFT JOIN fnc n USING (entity_class))
          |ORDER BY entity_class""".stripMargin,
+    // linking acceptance: the same planted perturbations + per-source set
+    // algebra replayed over the full-dump derivation
+    "kg_acceptance_linking" ->
+      s"""WITH m AS (
+         |  SELECT DISTINCT url, start, "end",
+         |         replace(pred, 'mentions_', '') AS entity_class,
+         |         split_part(obj, ':', 1) AS source, obj AS idx
+         |  FROM (${OracleSql.kgTriples})),
+         |g AS (
+         |  SELECT url, start, "end", entity_class, source,
+         |         CASE WHEN idx = 'OP:SORT' THEN 'OP:SORTED'
+         |              WHEN source = 'SYS'
+         |               AND CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) % 2 = 1
+         |              THEN idx || 'X'
+         |              ELSE idx END AS idx
+         |  FROM m),
+         |pe AS (SELECT DISTINCT url, start, "end", entity_class FROM m),
+         |ge AS (SELECT DISTINCT url, start AS g_start, "end" AS g_end,
+         |              entity_class FROM g),
+         |ov AS (
+         |  SELECT DISTINCT p.url, e.g_start, e.g_end, p.entity_class,
+         |         p.start, p."end"
+         |  FROM pe p JOIN ge e
+         |    ON p.url = e.url AND p.entity_class = e.entity_class
+         |   AND e.g_start < p."end" AND p.start < e.g_end),
+         |tm AS (
+         |  SELECT DISTINCT o.url, o.g_start, o.g_end, o.entity_class,
+         |         m.source, m.idx
+         |  FROM ov o JOIN m ON m.url = o.url AND m.start = o.start
+         |   AND m."end" = o."end" AND m.entity_class = o.entity_class),
+         |gk AS (SELECT DISTINCT url, g_start, g_end, entity_class FROM ov),
+         |gm AS (
+         |  SELECT DISTINCT g.url, g.start AS g_start, g."end" AS g_end,
+         |         g.entity_class, g.source, g.idx
+         |  FROM g JOIN gk ON g.url = gk.url AND g.start = gk.g_start
+         |   AND g."end" = gk.g_end AND g.entity_class = gk.entity_class),
+         |tpc AS (SELECT source, count(*) AS tp FROM (
+         |  SELECT * FROM gm INTERSECT SELECT * FROM tm) GROUP BY source),
+         |fnc AS (SELECT source, count(*) AS fn FROM (
+         |  SELECT * FROM gm EXCEPT SELECT * FROM tm) GROUP BY source),
+         |fpc AS (SELECT source, count(*) AS fp FROM (
+         |  SELECT * FROM tm EXCEPT SELECT * FROM gm) GROUP BY source),
+         |srcs AS (SELECT DISTINCT source FROM (
+         |  SELECT source FROM gm UNION SELECT source FROM tm))
+         |SELECT source,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS "precision",
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+         |FROM (
+         |  SELECT s.source, coalesce(t.tp, 0) AS tp, coalesce(f.fp, 0) AS fp,
+         |         coalesce(n.fn, 0) AS fn
+         |  FROM srcs s LEFT JOIN tpc t USING (source)
+         |  LEFT JOIN fpc f USING (source)
+         |  LEFT JOIN fnc n USING (source))
+         |ORDER BY source""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

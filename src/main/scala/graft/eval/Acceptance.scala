@@ -54,6 +54,60 @@ object Acceptance {
       .orderBy($"entity_class")
   }
 
+  /** Linking-level P/R per mapping source (ref acceptance_test.py
+    * calculate_linking_matches:89-105 + aggregate_linking_results): for
+    * every gold entity with at least one soft-matched test entity, the
+    * UNION of its matched test entities' mappings is compared set-wise
+    * against the gold mappings, per source; tp/fp/fn aggregate per source.
+    *
+    * pred/gold schema: one row PER MAPPING —
+    * (url, start, end, entity_class, source, idx).
+    */
+  def linkingScores(spark: SparkSession, pred: DataFrame, gold: DataFrame): DataFrame = {
+    import spark.implicits._
+    val mapCols = Seq("url", "g_start", "g_end", "entity_class", "source", "idx")
+    val predEnts = pred.select($"url", $"start", $"end", $"entity_class").distinct()
+    val goldEnts = gold.select($"url", $"start".as("g_start"),
+      $"end".as("g_end"), $"entity_class").distinct()
+    // soft span match: same doc + class, spans overlap (span equality is
+    // subsumed for contiguous spans) — same predicate family as nerScores,
+    // no forced broadcast
+    val ov = predEnts.join(goldEnts,
+        predEnts("url") === goldEnts("url") &&
+        predEnts("entity_class") === goldEnts("entity_class") &&
+        $"g_start" < predEnts("end") && predEnts("start") < $"g_end")
+      .select(predEnts("url"), $"g_start", $"g_end",
+        predEnts("entity_class"), predEnts("start"), predEnts("end"))
+      .distinct()
+    // test mappings re-keyed by the GOLD entity they soft-match (union
+    // across all matched test entities, distinct per reference set algebra)
+    val testMap = ov.join(pred, Seq("url", "start", "end", "entity_class"))
+      .select($"url", $"g_start", $"g_end", $"entity_class", $"source", $"idx")
+      .distinct()
+    val matchedGold = ov.select($"url", $"g_start", $"g_end", $"entity_class").distinct()
+    val goldMap = gold.select($"url", $"start".as("g_start"), $"end".as("g_end"),
+        $"entity_class", $"source", $"idx")
+      .join(matchedGold, Seq("url", "g_start", "g_end", "entity_class"))
+      .select(mapCols.map(col): _*)
+      .distinct()
+    val tm = testMap.select(mapCols.map(col): _*)
+    val tp = goldMap.intersect(tm)
+      .groupBy($"source").agg(count(lit(1)).as("tp"))
+    val fn = goldMap.except(tm)
+      .groupBy($"source").agg(count(lit(1)).as("fn"))
+    val fp = tm.except(goldMap)
+      .groupBy($"source").agg(count(lit(1)).as("fp"))
+    tp.join(fp, Seq("source"), "outer")
+      .join(fn, Seq("source"), "outer")
+      .na.fill(0L)
+      .select($"source", $"tp", $"fp", $"fn")
+      .withColumn("precision",
+        when($"tp" + $"fp" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fp")))
+      .withColumn("recall",
+        when($"tp" + $"fn" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fn")))
+      .orderBy($"source")
+  }
+
   /** Scale path for the interval join: when BOTH sides are corpus-sized
     * (pipeline-vs-pipeline comparison over 10^12 pages), the non-equi
     * overlap predicate cannot ride a broadcast join. Rewrite: explode each
