@@ -263,6 +263,18 @@ object SparkEntry {
     case m => sys.error(s"unknown planted mode $m")
   }
 
+  /** E17 planted xref map — the kg_xref oracle row AND the reference-code
+    * parity replay (tools/xref_parity.py) share this one definition. One
+    * metadata parser per target SOURCE, as the reference's
+    * source_to_parser_metadata_lookup models it. */
+  private[graft] val plantedXrefMap: graft.link.Xref.XrefMap =
+    graft.link.Xref.XrefMap(Map(
+      ("OP", "OP:FILTER") -> Seq(
+        graft.link.Xref.XrefTarget("xref_meta", "XREF", "XREF:XFILTER", "xfilter"),
+        graft.link.Xref.XrefTarget("xref2_meta", "XR2", "XR2:FILTER", "xfilter2")),
+      ("SYS", "SYS:SPARK") -> Seq(
+        graft.link.Xref.XrefTarget("xref_meta", "XREF", "XREF:XSPARK", "xspark"))))
+
   /** E16 config: "pane" has an operator context corpus containing the
     * suffix's context word (score 1.0 ≥ 0.5) while the component context
     * never matches (0.0 < 0.5) → operator wins, the component mention is
@@ -476,12 +488,7 @@ object SparkEntry {
       // original text length
       suffixedTriples(s, dir, 0, " filter spark.", Resources.corpus,
         graft.link.Ladders.default,
-        xrefs = Some(graft.link.Xref.XrefMap(Map(
-          (CorpusOntology.OpsParser, "OP:FILTER") -> Seq(
-            graft.link.Xref.XrefTarget("xref_ops", "XREF", "XREF:XFILTER", "xfilter"),
-            graft.link.Xref.XrefTarget("xref_ops2", "XR2", "XR2:FILTER", "xfilter2")),
-          (CorpusOntology.SysParser, "SYS:SPARK") -> Seq(
-            graft.link.Xref.XrefTarget("xref_sys", "XREF", "XREF:XSPARK", "xspark"))))))),
+        xrefs = Some(SparkEntry.plantedXrefMap))),
     "kg_acceptance" -> ((s, dir) => {
       import s.implicits._
       // acceptance P/R as a driver row (ref annotation/acceptance_test.py

@@ -11,14 +11,19 @@ import graft.model._
   */
 object Xref {
 
-  /** (sourceParser, idx) → target (parserName, source, idx, defaultLabel). */
+  /** (source, idx) → targets — keyed by the mapping's SOURCE ontology like
+    * the reference's XrefDatabase (xref_manager.py:74-76 keys on
+    * `mapping.source`, not the parser), since different parsers can carry
+    * sub/supersets of one source's ids. Target carries the parser whose
+    * metadata supplies the default label (source_to_parser_metadata_lookup
+    * analogue). */
   final case class XrefTarget(parserName: String, source: String, idx: String,
       defaultLabel: String)
 
   final case class XrefMap(map: Map[(String, String), Seq[XrefTarget]])
       extends Serializable {
     def expand(m: Mapping): Seq[Mapping] =
-      map.getOrElse((m.parserName, m.idx), Seq.empty).map { t =>
+      map.getOrElse((m.source, m.idx), Seq.empty).map { t =>
         Mapping(
           defaultLabel = t.defaultLabel,
           source = t.source,

@@ -201,7 +201,7 @@ class EntitySplitterSpec extends AnyFunSuite {
 class XrefSpec extends AnyFunSuite {
   test("xref expansion adds mappings in target ontologies") {
     val xm = Xref.XrefMap(Map(
-      ("DIS_DB", "MONDO:1") -> Seq(
+      ("MONDO", "MONDO:1") -> Seq(
         Xref.XrefTarget("MEDDRA_DB", "MEDDRA", "M123", "breast cancer"))))
     val base = Mapping("breast cancer", "MONDO", "DIS_DB", "MONDO:1",
       "s", "HIGHLY_LIKELY", None, None)
