@@ -432,6 +432,44 @@ object OracleSql {
        |FROM doch d JOIN cl USING (phash)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** multimodal_hamming: frame-0 aHashes re-derived from the pixel
+    * formulas, distinct-hash block-pigeonhole pairs at hamming ≤ 3 (the
+    * dedup_simhash block technique over the image plane). Pair
+    * canonicalization on the SIGNED value, matching the engine's Long
+    * compare. */
+  val multimodalHamming: String = {
+    val sa = signed("a.hu")
+    val sb = signed("b.hu")
+    s"""WITH geo AS (
+       |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id * 31) % 24 AS h
+       |  FROM documents),
+       |samp AS (
+       |  SELECT g.doc_id, i.range AS i, j.range AS j,
+       |         ((i.range * g.w) // 8 + (j.range * g.h) // 8 + g.doc_id) % 256 AS px
+       |  FROM geo g, range(8) i, range(8) j),
+       |tot AS (SELECT doc_id, sum(px) AS total FROM samp GROUP BY doc_id),
+       |fh AS (
+       |  SELECT s.doc_id,
+       |         sum(CASE WHEN s.px * 64 > t.total
+       |                  THEN 1::HUGEINT << CAST(s.j * 8 + s.i AS INT)
+       |                  ELSE 0::HUGEINT END) AS hu
+       |  FROM samp s JOIN tot t USING (doc_id) GROUP BY s.doc_id),
+       |dh AS (SELECT hu, count(*) AS n FROM fh GROUP BY hu),
+       |blocks AS (
+       |  SELECT hu, n, b.range AS blk,
+       |         (hu >> CAST(b.range * 16 AS INT)) % 65536 AS bv
+       |  FROM dh, range(4) b),
+       |cand AS (
+       |  SELECT DISTINCT a.hu AS ha, a.n AS na, b.hu AS hb, b.n AS nb
+       |  FROM blocks a JOIN blocks b
+       |    ON a.blk = b.blk AND a.bv = b.bv AND $sa < $sb)
+       |SELECT ${signed("ha")} AS hash_a, ${signed("hb")} AS hash_b,
+       |       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+       |       CAST(na AS BIGINT) AS n_docs_a, CAST(nb AS BIGINT) AS n_docs_b
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY hash_a, hash_b""".stripMargin
+  }
+
   // ---- Gopher repetition / quality rule family --------------------------
 
   /** Shared structure CTEs for the Gopher oracles: the corpus is

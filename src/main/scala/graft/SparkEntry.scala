@@ -864,6 +864,13 @@ object SparkEntry {
       val media = Multimodal.mediaFromDocuments(s, docsDf(s, dir))
       Multimodal.perceptualNearDup(s, media)
     }),
+    "multimodal_hamming" -> ((s, dir) => {
+      // hash-cluster graph: hamming<=3 pairs BETWEEN distinct perceptual
+      // hashes via the 4x16-bit block pigeonhole — one edge per hash pair
+      // regardless of cluster sizes (no document-pair explosion)
+      val media = Multimodal.mediaFromDocuments(s, docsDf(s, dir))
+      Multimodal.hammingPairs(s, media)
+    }),
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       // sketch → verify: banded-LSH candidate pairs (equi-join on (table,
@@ -1395,6 +1402,7 @@ object SparkEntry {
         |       CAST(px.px_sum AS BIGINT) AS px_sum
         |FROM d JOIN px USING (doc_id) ORDER BY doc_id""".stripMargin,
     "multimodal_neardup" -> OracleSql.multimodalNearDup,
+    "multimodal_hamming" -> OracleSql.multimodalHamming,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

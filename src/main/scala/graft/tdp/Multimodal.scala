@@ -179,6 +179,42 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup pairs BETWEEN distinct perceptual hashes (hamming ≤ 3 via the
+    * 4×16-bit block pigeonhole, as the simhash tier) — the hash-cluster
+    * GRAPH layer above [[perceptualNearDup]]'s identical-hash clustering.
+    * Deliberately pair-per-distinct-HASH, never per document: two
+    * 10^6-copy image clusters near each other yield ONE edge carrying both
+    * doc counts, not 10^12 document pairs. */
+  def hammingPairs(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashes = media.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = CodecHolder.codec
+        it.map { case (id, payload) =>
+          val first = codec.frames(payload).next()
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(first))
+          require(img != null, "undecodable frame")
+          (id, aHash(img))
+        }
+      }
+      .toDF("doc_id", "phash")
+    val distinctHashes = hashes.groupBy($"phash").agg(count(lit(1)).as("n"))
+    val blocks = distinctHashes.as[(Long, Long)].flatMap { case (h, n) =>
+      (0 until 4).iterator.map(b => (h, n, b, (h >>> (b * 16)) & 0xffffL))
+    }.toDF("phash", "n", "blk", "bv")
+    val a = blocks.toDF("hash_a", "n_docs_a", "blk", "bv")
+    val b = blocks.toDF("hash_b", "n_docs_b", "blk", "bv")
+    a.join(b, Seq("blk", "bv"))
+      .filter($"hash_a" < $"hash_b")
+      .select($"hash_a", $"hash_b", $"n_docs_a", $"n_docs_b")
+      .distinct()
+      .withColumn("hamming",
+        bit_count($"hash_a".bitwiseXOR($"hash_b")).cast("int"))
+      .filter($"hamming" <= 3)
+      .select($"hash_a", $"hash_b", $"hamming", $"n_docs_a", $"n_docs_b")
+      .orderBy($"hash_a", $"hash_b")
+  }
+
   /** The decode/feature stage: batched per partition, codec pinned per
     * executor JVM, emits typed metadata rows. Narrow map — no shuffle; at
     * 100 TB this runs at scan speed and the decode cost dominates, exactly
