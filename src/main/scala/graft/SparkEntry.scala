@@ -518,16 +518,24 @@ object SparkEntry {
       // ids suffixed on odd docs (fp+fn in SYS on half the corpus) — so
       // tp, fp and fn all measure non-trivially per source
       val t = pipelineTriples(s, dir)
+      val labels = CorpusOntology.rows.map(r => (r.idx, r.defaultLabel))
+        .distinct.toDF("idx", "default_label")
       val mappings = t.select($"url", $"start", $"end",
           regexp_replace($"pred", "^mentions_", "").as("entity_class"),
           split($"obj", ":").getItem(0).as("source"), $"obj".as("idx"))
         .distinct()
-      val docOdd =
-        regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 2 === 1
-      val gold = mappings.withColumn("idx",
-        when($"idx" === "OP:SORT", lit("OP:SORTED"))
-          .when($"source" === "SYS" && docOdd, concat($"idx", lit("X")))
-          .otherwise($"idx"))
+        .join(broadcast(labels), "idx")
+      val docId = regexp_extract($"url", "([0-9]+)$", 1).cast("long")
+      val gold = mappings
+        // label-ONLY perturbation: same (source, idx), renamed label — the
+        // reference identity (source, "label|idx") counts this fp+fn
+        .withColumn("default_label",
+          when($"idx" === "OP:FILTER" && docId % 7 === 0, lit("filter-renamed"))
+            .otherwise($"default_label"))
+        .withColumn("idx",
+          when($"idx" === "OP:SORT", lit("OP:SORTED"))
+            .when($"source" === "SYS" && docId % 2 === 1, concat($"idx", lit("X")))
+            .otherwise($"idx"))
       graft.eval.Acceptance.linkingScores(s, mappings, gold)
     }),
 
@@ -1089,14 +1097,23 @@ object SparkEntry {
          |ORDER BY entity_class""".stripMargin,
     // linking acceptance: the same planted perturbations + per-source set
     // algebra replayed over the full-dump derivation
-    "kg_acceptance_linking" ->
-      s"""WITH m AS (
-         |  SELECT DISTINCT url, start, "end",
-         |         replace(pred, 'mentions_', '') AS entity_class,
-         |         split_part(obj, ':', 1) AS source, obj AS idx
-         |  FROM (${OracleSql.kgTriples})),
+    "kg_acceptance_linking" -> {
+      // the closed ontology's default labels, shipped as literals — part of
+      // the reference's mapping identity (source, "default_label|idx")
+      val labelVals = CorpusOntology.rows.map(r => (r.idx, r.defaultLabel))
+        .distinct.sorted.map { case (i, l) => s"('$i', '$l')" }.mkString(", ")
+      s"""WITH labels(idx, default_label) AS (VALUES $labelVals),
+         |m AS (
+         |  SELECT DISTINCT d.url, d.start, d."end",
+         |         replace(d.pred, 'mentions_', '') AS entity_class,
+         |         split_part(d.obj, ':', 1) AS source, l.default_label,
+         |         d.obj AS idx
+         |  FROM (${OracleSql.kgTriples}) d JOIN labels l ON l.idx = d.obj),
          |g AS (
          |  SELECT url, start, "end", entity_class, source,
+         |         CASE WHEN idx = 'OP:FILTER'
+         |               AND CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) % 7 = 0
+         |              THEN 'filter-renamed' ELSE default_label END AS default_label,
          |         CASE WHEN idx = 'OP:SORT' THEN 'OP:SORTED'
          |              WHEN source = 'SYS'
          |               AND CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) % 2 = 1
@@ -1114,13 +1131,13 @@ object SparkEntry {
          |   AND e.g_start < p."end" AND p.start < e.g_end),
          |tm AS (
          |  SELECT DISTINCT o.url, o.g_start, o.g_end, o.entity_class,
-         |         m.source, m.idx
+         |         m.source, m.default_label, m.idx
          |  FROM ov o JOIN m ON m.url = o.url AND m.start = o.start
          |   AND m."end" = o."end" AND m.entity_class = o.entity_class),
          |gk AS (SELECT DISTINCT url, g_start, g_end, entity_class FROM ov),
          |gm AS (
          |  SELECT DISTINCT g.url, g.start AS g_start, g."end" AS g_end,
-         |         g.entity_class, g.source, g.idx
+         |         g.entity_class, g.source, g.default_label, g.idx
          |  FROM g JOIN gk ON g.url = gk.url AND g.start = gk.g_start
          |   AND g."end" = gk.g_end AND g.entity_class = gk.entity_class),
          |tpc AS (SELECT source, count(*) AS tp FROM (
@@ -1144,7 +1161,8 @@ object SparkEntry {
          |  FROM srcs s LEFT JOIN tpc t USING (source)
          |  LEFT JOIN fpc f USING (source)
          |  LEFT JOIN fnc n USING (source))
-         |ORDER BY source""".stripMargin,
+         |ORDER BY source""".stripMargin
+    },
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -59,13 +59,18 @@ object Acceptance {
     * every gold entity with at least one soft-matched test entity, the
     * UNION of its matched test entities' mappings is compared set-wise
     * against the gold mappings, per source; tp/fp/fn aggregate per source.
+    * Mapping identity = (source, default_label, idx) — the reference's set
+    * elements are (source, "default_label|idx")
+    * (group_mappings_by_source:67-77), so a label rename alone is an
+    * fp+fn pair, not a tp.
     *
     * pred/gold schema: one row PER MAPPING —
-    * (url, start, end, entity_class, source, idx).
+    * (url, start, end, entity_class, source, default_label, idx).
     */
   def linkingScores(spark: SparkSession, pred: DataFrame, gold: DataFrame): DataFrame = {
     import spark.implicits._
-    val mapCols = Seq("url", "g_start", "g_end", "entity_class", "source", "idx")
+    val mapCols = Seq("url", "g_start", "g_end", "entity_class", "source",
+      "default_label", "idx")
     val predEnts = pred.select($"url", $"start", $"end", $"entity_class").distinct()
     val goldEnts = gold.select($"url", $"start".as("g_start"),
       $"end".as("g_end"), $"entity_class").distinct()
@@ -82,11 +87,12 @@ object Acceptance {
     // test mappings re-keyed by the GOLD entity they soft-match (union
     // across all matched test entities, distinct per reference set algebra)
     val testMap = ov.join(pred, Seq("url", "start", "end", "entity_class"))
-      .select($"url", $"g_start", $"g_end", $"entity_class", $"source", $"idx")
+      .select($"url", $"g_start", $"g_end", $"entity_class", $"source",
+        $"default_label", $"idx")
       .distinct()
     val matchedGold = ov.select($"url", $"g_start", $"g_end", $"entity_class").distinct()
     val goldMap = gold.select($"url", $"start".as("g_start"), $"end".as("g_end"),
-        $"entity_class", $"source", $"idx")
+        $"entity_class", $"source", $"default_label", $"idx")
       .join(matchedGold, Seq("url", "g_start", "g_end", "entity_class"))
       .select(mapCols.map(col): _*)
       .distinct()

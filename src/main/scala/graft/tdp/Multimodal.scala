@@ -138,20 +138,13 @@ object Multimodal {
 
   final case class PHashRow(doc_id: Long, phash: Long, n_frame_hashes: Long)
 
-  /** Image-level near-duplicate detection over the multimodal column:
-    * decode every frame (real codec work — a misread pixel flips hash
-    * bits), aHash each, fingerprint the document by its first frame's hash,
-    * then cluster documents with IDENTICAL perceptual hashes.
-    *
-    * Scale shape: decode is a narrow mapPartitions with the executor-pinned
-    * codec; clustering is ONE groupBy on the 8-byte hash plus the shared
-    * [[Dedup.saltedJoinBack]] — identical-image mega-clusters (the same
-    * logo/placeholder image on millions of pages) are exactly the hot-key
-    * shape the salted join-back bounds, independent of broadcast thresholds.
-    */
-  def perceptualNearDup(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** Per-doc perceptual hashes from DECODED frames — the ONE definition
+    * both near-dup layers share (a codec or error-handling change cannot
+    * fork the hash the oracles replay). */
+  private def frameHashRows(spark: SparkSession, media: DataFrame)
+      : org.apache.spark.sql.Dataset[PHashRow] = {
     import spark.implicits._
-    val hashes = media.select($"doc_id", $"payload").as[(Long, Array[Byte])]
+    media.select($"doc_id", $"payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val codec = CodecHolder.codec
         it.map { case (id, payload) =>
@@ -169,7 +162,22 @@ object Multimodal {
           PHashRow(id, first, distinct.size.toLong)
         }
       }
-      .toDF()
+  }
+
+  /** Image-level near-duplicate detection over the multimodal column:
+    * decode every frame (real codec work — a misread pixel flips hash
+    * bits), aHash each, fingerprint the document by its first frame's hash,
+    * then cluster documents with IDENTICAL perceptual hashes.
+    *
+    * Scale shape: decode is a narrow mapPartitions with the executor-pinned
+    * codec; clustering is ONE groupBy on the 8-byte hash plus the shared
+    * [[Dedup.saltedJoinBack]] — identical-image mega-clusters (the same
+    * logo/placeholder image on millions of pages) are exactly the hot-key
+    * shape the salted join-back bounds, independent of broadcast thresholds.
+    */
+  def perceptualNearDup(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hashes = frameHashRows(spark, media).toDF()
     val clusters = hashes.groupBy($"phash")
       .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("cluster_size"))
     Dedup.saltedJoinBack(hashes, clusters, "phash", "doc_id")
@@ -187,17 +195,7 @@ object Multimodal {
     * doc counts, not 10^12 document pairs. */
   def hammingPairs(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val hashes = media.select($"doc_id", $"payload").as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val codec = CodecHolder.codec
-        it.map { case (id, payload) =>
-          val first = codec.frames(payload).next()
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(first))
-          require(img != null, "undecodable frame")
-          (id, aHash(img))
-        }
-      }
-      .toDF("doc_id", "phash")
+    val hashes = frameHashRows(spark, media).toDF()
     val distinctHashes = hashes.groupBy($"phash").agg(count(lit(1)).as("n"))
     val blocks = distinctHashes.as[(Long, Long)].flatMap { case (h, n) =>
       (0 until 4).iterator.map(b => (h, n, b, (h >>> (b * 16)) & 0xffffL))

@@ -35,6 +35,11 @@ object ParagraphDedup {
       .toDF("doc_id", "para_idx", "para")
       .select($"doc_id", $"para_idx",
         md5(to_binary($"para", lit("utf-8"))).as("ph"))
+      // persisted: the structure flatMap + hashing feeds BOTH the count
+      // aggregate and the join-back rows (different exchanges — Spark
+      // cannot reuse one); released by the caller via CacheRegistry
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.CacheRegistry.register(paras)
     val counts = paras.groupBy($"ph").agg(count(lit(1)).as("n"))
     val joined = Dedup.saltedJoinBack(
       paras.withColumn("_rid", concat_ws("#", $"doc_id", $"para_idx")),

@@ -46,5 +46,43 @@ compare("cooccurrence_capped", "out_cooccurrence", f"""
   FROM capped a JOIN capped b ON a.url = b.url AND a.obj < b.obj
   GROUP BY a.obj, b.obj""")
 
+# round 5: corpus-wide paragraph dedup over the hostile docs (deterministic
+# 8-word-line / 3-line-paragraph structure, as the engine's Gopher.structure)
+compare("paragraph_dedup_salted", "out_para_dedup", f"""
+  WITH docw AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM '{work}/docs_skew/*.parquet'),
+  st1 AS (SELECT doc_id,
+            [array_to_string(w[8*i+1 : 8*i+8], ' ')
+             for i in generate_series(0, CAST(ceil(len(w)/8.0) AS INT)-1)] AS lines
+          FROM docw),
+  st2 AS (SELECT doc_id,
+            [array_to_string(lines[3*j+1 : 3*j+3], chr(10))
+             for j in generate_series(0, CAST(ceil(len(lines)/3.0) AS INT)-1)] AS paras
+          FROM st1),
+  parau AS (SELECT doc_id, unnest(paras) AS p FROM st2),
+  ph AS (SELECT doc_id, md5(p) AS h FROM parau),
+  cnt AS (SELECT h, count(*) AS n FROM ph GROUP BY h),
+  perdoc AS (SELECT doc_id, count(*) AS n_paras,
+                    sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS n_dup
+             FROM ph JOIN cnt c USING (h) GROUP BY doc_id)
+  SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras,
+         CAST(n_dup AS BIGINT) AS n_dup_paras,
+         CAST(n_dup AS DOUBLE)/CAST(n_paras AS DOUBLE) AS dup_para_frac,
+         CAST(n_dup AS DOUBLE)/CAST(n_paras AS DOUBLE) <= 0.3 AS para_dedup_keep
+  FROM perdoc""")
+
+# round 5: substring-anchor dedup — reuse the COMMITTED oracle derivation
+# (the same SQL the driver gate runs) with `documents` viewed over the
+# hostile corpus
+import json, os
+osql_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
+if os.path.exists(osql_path):
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{work}/docs_skew/*.parquet'")
+    compare("substring_anchor_blacklist", "out_substring",
+            json.load(open(osql_path))["dedup_substring"].replace("ORDER BY doc_a, doc_b", ""))
+else:
+    print(f"substring_anchor_blacklist: SKIP (no {osql_path}; run graft.Verify first)")
+    fails.append("substring_anchor_blacklist(no oracle_sql.json)")
+
 print("SKEW ORACLE FAILS:", fails if fails else "none")
 sys.exit(1 if fails else 0)
