@@ -740,6 +740,23 @@ object SparkEntry {
     }),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(s, docsDf(s, dir))),
+    "url_canonical" -> ((s, dir) => {
+      import s.implicits._
+      // crawl-frontier URL canonicalization: deterministic decorations give
+      // every 4-doc group one logical page behind four surface forms
+      // (tracking params, unsorted query, fragment, mixed-case host); the
+      // oracle derives the EXPECTED canonical form independently from
+      // doc_id, so any canonicalizer misstep mismatches
+      val urls = docsDf(s, dir).select($"doc_id",
+        concat(lit("https://"),
+          when($"doc_id" % 5 === 0, lit("GRAFT.Test")).otherwise(lit("graft.test")),
+          lit("/doc/"), floor($"doc_id" / 4).cast("long").cast("string"),
+          when($"doc_id" % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .when($"doc_id" % 4 === 1, lit("?b=2&a=1#frag"))
+            .when($"doc_id" % 4 === 2, lit(""))
+            .otherwise(lit("?a=1&utm_campaign=x"))).as("url"))
+      graft.tdp.UrlCanonical.dedupByUrl(s, urls)
+    }),
     "dedup_paragraph" -> ((s, dir) => {
       import s.implicits._
       // CCNet-style corpus-wide paragraph dedup: a planted 24-word cookie
@@ -1296,6 +1313,24 @@ object SparkEntry {
     // minhash/simhash/Rabin–Karp pipelines, constants shipped as literals
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_substring" -> OracleSql.dedupSubstring(minShared = 2, maxPosting = 20L),
+    "url_canonical" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'https://graft.test/doc/' || CAST(doc_id // 4 AS VARCHAR) ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '?a=1&b=2'
+        |      WHEN 1 THEN '?a=1&b=2'
+        |      WHEN 2 THEN ''
+        |      ELSE '?a=1' END AS url_canonical
+        |  FROM documents),
+        |g AS (SELECT url_canonical, min(doc_id) AS canonical_doc,
+        |             count(*) AS n_same_url
+        |      FROM c GROUP BY url_canonical)
+        |SELECT c.doc_id, c.url_canonical, g.canonical_doc,
+        |       CAST(g.n_same_url AS BIGINT) AS n_same_url,
+        |       c.doc_id != g.canonical_doc AS is_dup
+        |FROM c JOIN g USING (url_canonical)
+        |ORDER BY c.doc_id""".stripMargin,
     "dedup_paragraph" -> OracleSql.dedupParagraph(
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0

@@ -1,0 +1,68 @@
+package graft.tdp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + dedup — the crawl-frontier normalization every
+  * web-scale ingest runs before content dedup: the same page arrives as
+  * `HTTP://Host/path?b=2&a=1&utm_source=feed#frag` and
+  * `http://host/path?a=1&b=2`, and canonical-URL grouping collapses them
+  * without touching the payload.
+  *
+  * Rules (deterministic, shared with the DuckDB oracle):
+  *  - lowercase the scheme://host prefix (authority is case-insensitive;
+  *    the path is NOT touched — it is case-sensitive);
+  *  - strip the fragment;
+  *  - drop `utm_*` tracking parameters, sort the remaining query
+  *    parameters in byte order, re-join (no `?` when none remain).
+  *
+  * Scale shape: canonicalization is a pure narrow map; grouping is a
+  * hash-groupBy on the canonical string plus the shared
+  * [[Dedup.saltedJoinBack]] — a corpus-wide hot canonical (a homepage
+  * linked everywhere) is the familiar hot-key case.
+  */
+object UrlCanonical {
+
+  def canonicalize(url: String): String = {
+    val noFrag = {
+      val h = url.indexOf('#')
+      if (h < 0) url else url.substring(0, h)
+    }
+    val schemeEnd = noFrag.indexOf("://")
+    val (base, rest) =
+      if (schemeEnd < 0) ("", noFrag)
+      else {
+        val hostEnd = noFrag.indexOf('/', schemeEnd + 3)
+        if (hostEnd < 0)
+          (noFrag.toLowerCase(java.util.Locale.ROOT), "")
+        else
+          (noFrag.substring(0, hostEnd).toLowerCase(java.util.Locale.ROOT),
+            noFrag.substring(hostEnd))
+      }
+    val q = rest.indexOf('?')
+    val (path, params) =
+      if (q < 0) (rest, "")
+      else {
+        val kept = rest.substring(q + 1).split("&", -1)
+          .filter(p => p.nonEmpty && !p.startsWith("utm_"))
+          .sorted(graft.util.Utf8Order.ordering)
+        (rest.substring(0, q), kept.mkString("&"))
+      }
+    base + path + (if (params.isEmpty) "" else "?" + params)
+  }
+
+  /** (doc_id, url) → canonical url + canonical-group stats. */
+  def dedupByUrl(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val canon = docs.select($"doc_id", $"url").as[(Long, String)]
+      .map { case (id, u) => (id, canonicalize(u)) }
+      .toDF("doc_id", "url_canonical")
+    val counts = canon.groupBy($"url_canonical")
+      .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("n_same_url"))
+    Dedup.saltedJoinBack(canon, counts, "url_canonical", "doc_id")
+      .withColumn("is_dup", $"doc_id" =!= $"canonical_doc")
+      .select($"doc_id", $"url_canonical", $"canonical_doc", $"n_same_url",
+        $"is_dup")
+      .orderBy($"doc_id")
+  }
+}

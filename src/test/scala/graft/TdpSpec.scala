@@ -546,3 +546,18 @@ class ParagraphDedupSpec extends AnyFunSuite with SparkTestBase {
       (3L, 2L, 2L, false)))
   }
 }
+
+/** URL canonicalization rules. */
+class UrlCanonicalSpec extends AnyFunSuite {
+  import graft.tdp.UrlCanonical.canonicalize
+  test("lowercases authority only, strips fragment, drops utm_*, sorts params") {
+    assert(canonicalize("HTTPS://Graft.Test/Doc/7?utm_source=x&b=2&a=1#frag")
+      == "https://graft.test/Doc/7?a=1&b=2")
+    assert(canonicalize("https://graft.test/doc/7?utm_campaign=only")
+      == "https://graft.test/doc/7")
+    assert(canonicalize("https://graft.test/doc/7") == "https://graft.test/doc/7")
+    assert(canonicalize("https://HOST.example") == "https://host.example")
+    assert(canonicalize("no-scheme/Path?b=1&a=2") == "no-scheme/Path?a=2&b=1")
+    assert(canonicalize("https://h/p?") == "https://h/p")
+  }
+}
