@@ -91,12 +91,18 @@ object Acceptance {
         $"default_label", $"idx")
       .distinct()
     val matchedGold = ov.select($"url", $"g_start", $"g_end", $"entity_class").distinct()
-    val goldMap = gold.select($"url", $"start".as("g_start"), $"end".as("g_end"),
+    val goldMap0 = gold.select($"url", $"start".as("g_start"), $"end".as("g_end"),
         $"entity_class", $"source", $"default_label", $"idx")
       .join(matchedGold, Seq("url", "g_start", "g_end", "entity_class"))
       .select(mapCols.map(col): _*)
       .distinct()
-    val tm = testMap.select(mapCols.map(col): _*)
+    // each side feeds THREE set ops (intersect + two excepts) — persist
+    // once, released by the caller via CacheRegistry
+    val goldMap = graft.util.CacheRegistry.register(
+      goldMap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tm = graft.util.CacheRegistry.register(
+      testMap.select(mapCols.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val tp = goldMap.intersect(tm)
       .groupBy($"source").agg(count(lit(1)).as("tp"))
     val fn = goldMap.except(tm)
