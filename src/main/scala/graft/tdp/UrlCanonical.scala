@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * without touching the payload.
   *
   * Rules (deterministic, shared with the DuckDB oracle):
-  *  - lowercase the scheme://host prefix (authority is case-insensitive;
-  *    the path is NOT touched — it is case-sensitive);
+  *  - lowercase the scheme and host[:port] (userinfo and path keep their
+  *    case — both are case-sensitive per RFC 3986);
   *  - strip the fragment;
   *  - drop `utm_*` tracking parameters, sort the remaining query
   *    parameters in byte order, re-join (no `?` when none remain).
@@ -24,31 +24,46 @@ import org.apache.spark.sql.functions._
 object UrlCanonical {
 
   def canonicalize(url: String): String = {
+    if (url == null) return "" // null urls group under the empty canonical
     val noFrag = {
       val h = url.indexOf('#')
       if (h < 0) url else url.substring(0, h)
     }
     val schemeEnd = noFrag.indexOf("://")
-    val (base, rest) =
-      if (schemeEnd < 0) ("", noFrag)
-      else {
-        val hostEnd = noFrag.indexOf('/', schemeEnd + 3)
-        if (hostEnd < 0)
-          (noFrag.toLowerCase(java.util.Locale.ROOT), "")
-        else
-          (noFrag.substring(0, hostEnd).toLowerCase(java.util.Locale.ROOT),
-            noFrag.substring(hostEnd))
-      }
+    if (schemeEnd < 0) normalizeRest(noFrag)
+    else {
+      val authStart = schemeEnd + 3
+      // the authority ends at the first '/' OR '?' (RFC 3986 — an
+      // authority-only URL can still carry a query)
+      val slash = noFrag.indexOf('/', authStart)
+      val qm = noFrag.indexOf('?', authStart)
+      val authEnd =
+        if (slash < 0 && qm < 0) noFrag.length
+        else if (slash < 0) qm
+        else if (qm < 0) slash
+        else math.min(slash, qm)
+      val scheme = noFrag.substring(0, schemeEnd)
+        .toLowerCase(java.util.Locale.ROOT)
+      val auth = noFrag.substring(authStart, authEnd)
+      // only the HOST[:port] is case-insensitive — userinfo keeps its case
+      val at = auth.lastIndexOf('@')
+      val authNorm =
+        if (at < 0) auth.toLowerCase(java.util.Locale.ROOT)
+        else auth.substring(0, at + 1) +
+          auth.substring(at + 1).toLowerCase(java.util.Locale.ROOT)
+      scheme + "://" + authNorm + normalizeRest(noFrag.substring(authEnd))
+    }
+  }
+
+  private def normalizeRest(rest: String): String = {
     val q = rest.indexOf('?')
-    val (path, params) =
-      if (q < 0) (rest, "")
-      else {
-        val kept = rest.substring(q + 1).split("&", -1)
-          .filter(p => p.nonEmpty && !p.startsWith("utm_"))
-          .sorted(graft.util.Utf8Order.ordering)
-        (rest.substring(0, q), kept.mkString("&"))
-      }
-    base + path + (if (params.isEmpty) "" else "?" + params)
+    if (q < 0) rest
+    else {
+      val kept = rest.substring(q + 1).split("&", -1)
+        .filter(p => p.nonEmpty && !p.startsWith("utm_"))
+        .sorted(graft.util.Utf8Order.ordering)
+      rest.substring(0, q) + (if (kept.isEmpty) "" else "?" + kept.mkString("&"))
+    }
   }
 
   /** (doc_id, url) → canonical url + canonical-group stats. */
