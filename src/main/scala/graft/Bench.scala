@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark artifact (driver captures the JSON line as
   * BENCH_rN.json).
   *
-  * Methodology (round 5): the published per-query seconds are WARM
-  * best-of-2 — each query runs twice and reports the minimum — and the
-  * one-time shared materialization (full pipeline docs + assembled triples,
-  * the write-once/read-many snapshot of production) is measured first as
-  * its own line (`materialize_sec`). A cold single run conflates JIT, page
-  * cache, and the shared materialization with per-query cost and made
-  * round-over-round deltas unreadable (see VERDICT r4 "What's wrong #2":
-  * apparent 4× regressions in queries whose code hadn't changed).
+  * Methodology (round 6): the published per-query seconds are the WARM
+  * MEDIAN of 3 runs, and every query carries its own min/median/max spread
+  * (`spread` field) so a round-over-round delta arrives with its noise bar
+  * attached — this VM's co-tenant bursts vary single runs by ±20% and the
+  * r5 verdict spent forensics on three deltas that were pure noise. The
+  * one-time shared materialization (full pipeline docs + assembled
+  * triples, the write-once/read-many snapshot of production) is measured
+  * first as its own line (`materialize_sec`); a cold single run conflates
+  * JIT, page cache, and shared materialization with per-query cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,18 +43,26 @@ object Bench {
       graft.util.CacheRegistry.releaseAll()
       if (ok) elapsed else -1.0
     }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val a = once(fn)
-      val b = once(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = Seq.fill(runs)(once(fn))
+      name -> (if (ts.exists(_ < 0)) Seq(-1.0) else ts.sorted)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // locale-independent 3-decimal formatting (the f interpolator honors
+    // the default locale; a comma decimal separator would corrupt the JSON)
+    def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    // headline per-query value = the median; spread = min/median/max
+    def median(ts: Seq[Double]): Double = ts(ts.size / 2)
+    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val spread = results.map { case (k, ts) =>
+      s"\"" + k + s"""":{"min":${fmt(ts.head)},"med":${fmt(median(ts))},"max":${fmt(ts.last)}}"""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(median).sum else 0.0
     // transformer-NER inference is real compute now (MiniBern): surface the
     // per-frame forward-pass cost next to the timings
     val flops = graft.ner.MiniBern.flops(graft.ner.TokenClassifier.MaxSeqLen - 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"timing":"warm_best_of_2","materialize_sec":$materializeSec,"model_flops_per_frame":$flops}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs_per_query":$runs,"timing":"warm_median_of_$runs","materialize_sec":$materializeSec,"model_flops_per_frame":$flops}""")
     spark.stop()
   }
 }

@@ -65,6 +65,30 @@ object PlanAudit {
         "orderBy's range partitioning (no hash shuffle anywhere); no UDF.",
       mustContain = Seq("rangepartitioning("),
       mustNotContain = Seq("hashpartitioning(")),
+    Audit("kg_acceptance",
+      "acceptance P/R interval join: equi-keyed on (url, entity_class) " +
+        "with the span-overlap residual — never a cartesian or a " +
+        "nested-loop join — and NO forced broadcast hint (the gold side " +
+        "is corpus-derived here; Catalyst stays free to sort-merge at " +
+        "scale). The join output and both distinct span sets are " +
+        "persisted (InMemoryTableScan) so the theta-join executes once " +
+        "for its three consumers (tp / fp / fn).",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Audit("dedup_substring",
+      "substring-anchored dedup: winnowed fingerprint postings are " +
+        "persisted once (InMemoryTableScan); mega-postings leave via a " +
+        "broadcast ANTI join BEFORE the pair self-join (hot anchors never " +
+        "shuffle to a single reducer); pairs carry ids only.",
+      mustContain = Seq("InMemoryTableScan", "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "Window")),
+    Audit("dedup_paragraph",
+      "corpus-wide paragraph dedup: paragraphs shuffle as 16-byte md5 " +
+        "keys with map-side partial counting; the boilerplate hot " +
+        "paragraph joins back through the shared 16-way salted join — no " +
+        "Window over the paragraph key.",
+      mustContain = Seq("partial_count"),
+      mustNotContain = Seq("Window", "CartesianProduct")),
     Audit("multimodal_neardup",
       "identical-image clustering: per-hash counts group with map-side " +
         "partial aggregation and join back through the shared 16-way " +

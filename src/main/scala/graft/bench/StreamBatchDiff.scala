@@ -74,12 +74,21 @@ object StreamBatchDiff {
       nearQ.processAllAvailable()
     }
     nearQ.stop()
-    val streamPairs = spark.table("sb_near")
+    // at-least-once per band → a pair may be emitted several times, but
+    // every emission MUST carry the same similarity. Check that BEFORE
+    // collapsing: a last-write-wins .toMap would silently hide exactly the
+    // contradictory-emission state bug this harness exists to catch.
+    val streamEmissions = spark.table("sb_near")
       .select($"url".cast("long").as("a"), $"matchedUrl".cast("long").as("b"),
         $"estJaccard")
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, s) => (math.min(a, b), math.max(a, b)) -> s }
-      .toMap // at-least-once per band → same sim each emission
+    val contradictory = streamEmissions.groupBy(_._1)
+      .collect { case (p, es) if es.map(_._2).distinct.length > 1 =>
+        s"pair $p emitted with ${es.map(_._2).distinct.length} distinct sims: " +
+          es.map(_._2).distinct.mkString(", ") }
+      .toSeq
+    val streamPairs = streamEmissions.toMap
 
     // ---- batch side -------------------------------------------------------
     val batchClusters = docsDf
@@ -106,6 +115,7 @@ object StreamBatchDiff {
     }
 
     val pairDivergences = scala.collection.mutable.ArrayBuffer.empty[String]
+    contradictory.take(5).foreach(pairDivergences += _)
     (streamPairs.keySet diff batchPairs.keySet).take(5)
       .foreach(p => pairDivergences += s"stream-only pair $p")
     (batchPairs.keySet diff streamPairs.keySet).take(5)

@@ -24,24 +24,40 @@ object Acceptance {
     */
   def nerScores(spark: SparkSession, pred: DataFrame, gold: DataFrame): DataFrame = {
     import spark.implicits._
-    val p = pred.select($"url", $"start", $"end", $"entity_class").distinct()
-    val g = gold.select($"url".as("g_url"), $"start".as("g_start"),
-      $"end".as("g_end"), $"entity_class".as("g_class")).distinct()
+    // each side feeds the interval join AND a set-op (exceptAll / left_anti)
+    // — persist the distinct'd span sets so the upstream pipeline + distinct
+    // shuffle run once per side
+    val p = graft.util.CacheRegistry.register(
+      pred.select($"url", $"start", $"end", $"entity_class").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val g = graft.util.CacheRegistry.register(
+      gold.select($"url".as("g_url"), $"start".as("g_start"),
+        $"end".as("g_end"), $"entity_class".as("g_class")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // no forced broadcast hint: gold sets are tiny in the acceptance-test
     // shape (Catalyst auto-broadcasts under the threshold), but a
     // corpus-derived gold side (the kg_acceptance driver row; any
     // pipeline-vs-pipeline comparison) must be free to sort-merge — a
     // forced broadcast would balloon with the corpus. Corpus×corpus at
     // cluster scale uses [[overlapJoinBucketed]] for the equi-keyed form.
-    val overlap = p.join(g,
-      $"url" === $"g_url" && $"entity_class" === $"g_class" &&
-        $"g_start" < $"end" && $"start" < $"g_end")
-    val tp = overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct()
+    // the interval join feeds THREE consumers (tp, fp via predMatched, fn)
+    // — without a persist the theta-join over the full span sets executes
+    // three times per run. Persist the join output AND its two distinct
+    // projections (each a shuffle); caller releases via CacheRegistry.
+    val overlap = graft.util.CacheRegistry.register(
+      p.join(g,
+        $"url" === $"g_url" && $"entity_class" === $"g_class" &&
+          $"g_start" < $"end" && $"start" < $"g_end")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val goldMatched = graft.util.CacheRegistry.register(
+      overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tp = goldMatched
       .groupBy($"g_class".as("entity_class")).agg(count(lit(1)).as("tp"))
     val predMatched = overlap.select($"url", $"start", $"end", $"entity_class").distinct()
     val fp = p.exceptAll(predMatched)
       .groupBy($"entity_class").agg(count(lit(1)).as("fp"))
-    val fn = g.join(overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct(),
+    val fn = g.join(goldMatched,
         Seq("g_url", "g_start", "g_end", "g_class"), "left_anti")
       .groupBy($"g_class".as("entity_class")).agg(count(lit(1)).as("fn"))
     tp.join(fp, Seq("entity_class"), "outer")
@@ -77,13 +93,17 @@ object Acceptance {
     // soft span match: same doc + class, spans overlap (span equality is
     // subsumed for contiguous spans) — same predicate family as nerScores,
     // no forced broadcast
-    val ov = predEnts.join(goldEnts,
-        predEnts("url") === goldEnts("url") &&
-        predEnts("entity_class") === goldEnts("entity_class") &&
-        $"g_start" < predEnts("end") && predEnts("start") < $"g_end")
-      .select(predEnts("url"), $"g_start", $"g_end",
-        predEnts("entity_class"), predEnts("start"), predEnts("end"))
-      .distinct()
+    // the interval join feeds testMap AND matchedGold — persist so the
+    // theta-join executes once (released by the caller via CacheRegistry)
+    val ov = graft.util.CacheRegistry.register(
+      predEnts.join(goldEnts,
+          predEnts("url") === goldEnts("url") &&
+          predEnts("entity_class") === goldEnts("entity_class") &&
+          $"g_start" < predEnts("end") && predEnts("start") < $"g_end")
+        .select(predEnts("url"), $"g_start", $"g_end",
+          predEnts("entity_class"), predEnts("start"), predEnts("end"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // test mappings re-keyed by the GOLD entity they soft-match (union
     // across all matched test entities, distinct per reference set algebra)
     val testMap = ov.join(pred, Seq("url", "start", "end", "entity_class"))

@@ -183,8 +183,13 @@ object LlmNer {
                 val key = k.toLowerCase(java.util.Locale.ROOT).trim
                 acc = upsert(acc, key, v)
               }
-            else if (strategy == ProcessIndividuallyAndDropFailedSections)
-              sections = sections.filterNot(_ eq section)
+            else if (strategy == ProcessIndividuallyAndDropFailedSections) {
+              // ref `doc.sections.remove(section)` removes the FIRST
+              // value-equal element, not the identical instance — matters
+              // when a document holds duplicate equal sections
+              val i = sections.indexWhere(_ == section)
+              if (i >= 0) sections = sections.patch(i, Nil, 1)
+            }
             else
               throw new IllegalStateException(s"Failed to parse result: $raw")
           }
