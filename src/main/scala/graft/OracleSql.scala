@@ -327,8 +327,8 @@ object OracleSql {
   /** dedup_paragraph: corpus-wide paragraph duplicate fractions re-derived
     * over the same deterministic 8-word-line / 3-line-paragraph structure
     * as the Gopher oracles (ParagraphDedup uses Gopher.structure). */
-  def dedupParagraph(docsSource: String): String =
-    s"""WITH ${gopherStructCtes(docsSource)},
+  def dedupParagraph(docsSource: String, newlineStructure: Boolean = false): String =
+    s"""WITH ${gopherStructCtes(docsSource, newlineStructure)},
        |parau AS (SELECT doc_id, unnest(paras) AS p FROM base),
        |ph AS (SELECT doc_id, md5(p) AS h FROM parau),
        |cnt AS (SELECT h, count(*) AS n FROM ph GROUP BY h),
@@ -478,24 +478,38 @@ object OracleSql {
     * `docsSource` must yield (doc_id, text). Flattened to one line: the
     * enclosing templates apply stripMargin AFTER interpolation, which would
     * otherwise eat leading `||` concatenation operators as margin chars. */
-  private def gopherStructCtes(docsSource0: String): String = {
+  private def gopherStructCtes(docsSource0: String, newlineStructure: Boolean = false): String = {
     val docsSource = docsSource0.replace('\n', ' ')
-    s"""docs AS ($docsSource),
-       |docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
-       |st1 AS (
-       |  SELECT doc_id, w,
-       |         [array_to_string(w[8*i+1 : 8*i+8], ' ')
-       |          for i in generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1)] AS lines
-       |  FROM docw),
-       |st2 AS (
-       |  SELECT doc_id, w, lines,
-       |         [array_to_string(lines[3*j+1 : 3*j+3], chr(10))
-       |          for j in generate_series(0, CAST(ceil(len(lines) / 3.0) AS INT) - 1)] AS paras
-       |  FROM st1),
-       |base AS (
-       |  SELECT doc_id, w, lines, paras, len(w) AS n_words,
-       |         length(array_to_string(paras, chr(10) || chr(10))) AS total_chars
-       |  FROM st2)""".stripMargin
+    if (newlineStructure)
+      // real multi-line corpus path (Gopher.structure's '\n' branch):
+      // lines on '\n', paragraphs on '\n\n', words on flattened whitespace
+      s"""docs AS ($docsSource),
+         |docw AS (SELECT doc_id, text,
+         |                string_split(replace(text, chr(10), ' '), ' ') AS w
+         |         FROM docs),
+         |base AS (
+         |  SELECT doc_id, w,
+         |         string_split(text, chr(10)) AS lines,
+         |         string_split(text, chr(10) || chr(10)) AS paras,
+         |         len(w) AS n_words, length(text) AS total_chars
+         |  FROM docw)""".stripMargin
+    else
+      s"""docs AS ($docsSource),
+         |docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+         |st1 AS (
+         |  SELECT doc_id, w,
+         |         [array_to_string(w[8*i+1 : 8*i+8], ' ')
+         |          for i in generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1)] AS lines
+         |  FROM docw),
+         |st2 AS (
+         |  SELECT doc_id, w, lines,
+         |         [array_to_string(lines[3*j+1 : 3*j+3], chr(10))
+         |          for j in generate_series(0, CAST(ceil(len(lines) / 3.0) AS INT) - 1)] AS paras
+         |  FROM st1),
+         |base AS (
+         |  SELECT doc_id, w, lines, paras, len(w) AS n_words,
+         |         length(array_to_string(paras, chr(10) || chr(10))) AS total_chars
+         |  FROM st2)""".stripMargin
   }
 
   /** All word n-gram occurrences (1-based start position) for one n. */
@@ -529,9 +543,9 @@ object OracleSql {
 
   /** gopher_repetition: all 13 published repetition rules, re-derived
     * relationally (Rae et al. 2021 Table A1; graft.tdp.Gopher). */
-  def gopherRepetition(docsSource: String): String = {
+  def gopherRepetition(docsSource: String, newlineStructure: Boolean = false): String = {
     val gramNs = 2 to 10
-    val ctes = Seq(gopherStructCtes(docsSource)) ++
+    val ctes = Seq(gopherStructCtes(docsSource, newlineStructure)) ++
       gramNs.map(gramCte) ++
       (2 to 4).map(topGramCtes) ++
       (5 to 10).map(dupGramCtes) ++

@@ -122,6 +122,97 @@ object SparkEntry {
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** 4×6-word boilerplate banner planted as a corpus-wide PARAGRAPH in the
+    * multi-line corpus (the CCNet cookie-banner shape, now with real '\n'
+    * structure). */
+  private val NlBannerLines = Seq(
+    "cookie notice accept our terms and",
+    "privacy policy before continuing to read",
+    "this page content here now ok",
+    "fine yes please do thank you")
+
+  /** Multi-line corpus derivation (round-6: prove the '\n'-split
+    * line/paragraph path, not just the 8-word-chunk fallback): rebuild each
+    * doc's text with real newline structure — '\n' before every 6th word,
+    * '\n\n' before every 24th — then plant (a) the corpus-wide banner
+    * paragraph on every 3rd doc, (b) a duplicate of the doc's first line on
+    * every 4th, (c) a duplicate of its first paragraph on every 10th, so
+    * the duplicate-line/paragraph rules and corpus-wide paragraph dedup all
+    * measure non-trivially over genuine newline boundaries. Replayed
+    * word-for-word by the SQL in `nlDocsSource`. */
+  private def newlineDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val banner = NlBannerLines.mkString("\n")
+    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val words = t.split(" ", -1)
+        val sb = new StringBuilder
+        if (id % 3 == 0) sb.append(banner).append("\n\n")
+        var j = 0
+        while (j < words.length) {
+          if (j > 0)
+            sb.append(if (j % 24 == 0) "\n\n" else if (j % 6 == 0) "\n" else " ")
+          sb.append(words(j))
+          j += 1
+        }
+        def seg(a: Int, b: Int) = words.slice(a, b).mkString(" ")
+        if (id % 4 == 0) sb.append('\n').append(seg(0, 6))
+        if (id % 10 == 0) sb.append("\n\n").append(seg(0, 6)).append('\n')
+          .append(seg(6, 12)).append('\n').append(seg(12, 18)).append('\n')
+          .append(seg(18, 24))
+        (id, sb.toString)
+      }.toDF("doc_id", "text")
+  }
+
+  /** The decontamination oracle (shared verbatim by `decontaminate` and
+    * `decontaminate_sharded` — the two engine paths must be byte-identical). */
+  private val decontaminateOracle: String =
+    """WITH bench AS (
+      |  SELECT string_split(text, ' ')[5:25] AS w
+      |  FROM documents
+      |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 25),
+      |bgrams AS (
+      |  SELECT DISTINCT unnest([array_to_string(w[i : i+12], ' ')
+      |                          for i in generate_series(1, 9)]) AS ngram
+      |  FROM bench),
+      |docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dgrams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest([array_to_string(w[i : i+12], ' ')
+      |                 for i in generate_series(1, greatest(len(w) - 12, 0))]) AS ngram
+      |  FROM docw),
+      |hits AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM dgrams JOIN bgrams USING (ngram) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+      |       coalesce(h.n, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB replay of [[newlineDocs]] (yields (doc_id, text)).
+    * array_to_string of an EMPTY list is NULL in DuckDB (Scala mkString is
+    * "") — every segment is coalesced so a short doc's out-of-range slice
+    * contributes an empty string on both engines. */
+  private val nlDocsSource: String = {
+    val bannerSql = NlBannerLines.map(l => s"'$l'").mkString(" || chr(10) || ")
+    def seg(lo: Int, hi: Int) = s"coalesce(array_to_string(w[$lo:$hi], ' '), '')"
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN $bannerSql || chr(10) || chr(10) ELSE '' END
+       |  || array_to_string([CASE WHEN i = 1 THEN w[i]
+       |       WHEN (i-1) % 24 = 0 THEN chr(10) || chr(10) || w[i]
+       |       WHEN (i-1) % 6 = 0 THEN chr(10) || w[i]
+       |       ELSE ' ' || w[i] END for i in generate_series(1, len(w))], '')
+       |  || CASE WHEN doc_id % 4 = 0
+       |       THEN chr(10) || ${seg(1, 6)} ELSE '' END
+       |  || CASE WHEN doc_id % 10 = 0
+       |       THEN chr(10) || chr(10) || ${seg(1, 6)}
+       |            || chr(10) || ${seg(7, 12)}
+       |            || chr(10) || ${seg(13, 18)}
+       |            || chr(10) || ${seg(19, 24)} ELSE '' END AS text
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+  }
+
   /** Force the shared per-session materializations (pipeline docs +
     * assembled triples) so benchmarks can price the one-time
     * write-once/read-many cost separately from the queries that read it. */
@@ -757,6 +848,42 @@ object SparkEntry {
             .otherwise(lit("?a=1&utm_campaign=x"))).as("url"))
       graft.tdp.UrlCanonical.dedupByUrl(s, urls)
     }),
+    "dedup_url_text" -> ((s, dir) => {
+      import s.implicits._
+      // the crawl-ingest COMPOSITION (canonical-url first, content-hash
+      // second): stage 1 collapses the four planted URL surface forms into
+      // canonical groups and keeps the min-doc representative; stage 2
+      // exact-dedups the REPRESENTATIVES by content hash (texts planted so
+      // each 8-id block shares one payload → adjacent canonical groups are
+      // content dups). n_same_content counts representatives, never raw
+      // docs — the layers compose without double-counting a page that was
+      // already collapsed by URL.
+      val src = docsDf(s, dir).select($"doc_id".as("src_id"), $"text")
+      val base = docsDf(s, dir).select($"doc_id",
+        ($"doc_id" - $"doc_id" % 8).as("src_id"),
+        concat(lit("https://"),
+          when($"doc_id" % 5 === 0, lit("GRAFT.Test")).otherwise(lit("graft.test")),
+          lit("/doc/"), floor($"doc_id" / 4).cast("long").cast("string"),
+          when($"doc_id" % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .when($"doc_id" % 4 === 1, lit("?b=2&a=1#frag"))
+            .when($"doc_id" % 4 === 2, lit(""))
+            .otherwise(lit("?a=1&utm_campaign=x"))).as("url"))
+      val docs2 = base.join(src, "src_id").select($"doc_id", $"url", $"text")
+      val canon = graft.tdp.UrlCanonical.dedupByUrl(s, docs2.select($"doc_id", $"url"))
+      val reps = canon.filter($"doc_id" === $"canonical_doc")
+        .select($"doc_id", $"url_canonical", $"n_same_url")
+      val withHash = reps.join(docs2.select($"doc_id", $"text"), "doc_id")
+        .withColumn("h", md5(to_binary($"text", lit("utf-8"))))
+        .select($"doc_id", $"url_canonical", $"n_same_url", $"h")
+      val counts = withHash.groupBy($"h")
+        .agg(min($"doc_id").as("content_canonical"),
+          count(lit(1)).as("n_same_content"))
+      graft.tdp.Dedup.saltedJoinBack(withHash, counts, "h", "doc_id")
+        .withColumn("is_content_dup", $"doc_id" =!= $"content_canonical")
+        .select($"doc_id", $"url_canonical", $"n_same_url",
+          $"content_canonical", $"n_same_content", $"is_content_dup")
+        .orderBy($"doc_id")
+    }),
     "dedup_paragraph" -> ((s, dir) => {
       import s.implicits._
       // CCNet-style corpus-wide paragraph dedup: a planted 24-word cookie
@@ -771,6 +898,17 @@ object SparkEntry {
           .otherwise($"text"))
       graft.tdp.ParagraphDedup.paragraphDedup(s, decorated)
     }),
+    "dedup_paragraph_nl" -> ((s, dir) =>
+      // the SAME corpus-wide paragraph dedup over the multi-line corpus:
+      // paragraph boundaries come from real '\n\n' splits (the banner
+      // paragraph is the hot corpus-wide key), not the chunked fallback
+      graft.tdp.ParagraphDedup.paragraphDedup(s, newlineDocs(s, dir))),
+    "gopher_repetition_nl" -> ((s, dir) =>
+      // the full 13-rule family over the multi-line corpus: duplicate-line
+      // and duplicate-paragraph rules measure over genuine '\n'/'\n\n'
+      // boundaries (planted first-line/first-paragraph repeats + the %3
+      // banner paragraph give them non-trivial mass)
+      graft.tdp.Gopher.repetition(s, newlineDocs(s, dir))),
     "dedup_substring" -> ((s, dir) =>
       // substring-anchored dedup: winnowed Rabin-Karp fingerprints as
       // shared-16-char-run anchors, mega-postings dropped via broadcast
@@ -813,6 +951,28 @@ object SparkEntry {
         .select(concat_ws(" ", $"w").as("bench_text"))
       graft.tdp.Decontaminate.flagContaminated(s, docs, bench)
     }),
+    "decontaminate_sharded" -> ((s, dir) => {
+      import s.implicits._
+      // the SAME decontamination semantics forced down the sharded
+      // equi-join fallback (broadcastNgramBound = 0): proves the
+      // above-the-broadcast-ceiling path against the identical oracle —
+      // the r5 spec equivalence test, promoted to a driver CORRECTNESS row
+      val docs = docsDf(s, dir)
+      val bench = docs
+        .filter($"doc_id" % 50 === 0)
+        .select(slice(split($"text", " "), 5, 21).as("w"))
+        .filter(size($"w") === 21)
+        .select(concat_ws(" ", $"w").as("bench_text"))
+      graft.tdp.Decontaminate.flagContaminated(s, docs, bench,
+        broadcastNgramBound = 0L)
+    }),
+    "dedup_stream" -> ((s, dir) =>
+      // the stateful streaming exact-dedup surfaced as a driver row: the
+      // corpus replays through dedupStream in 4 deterministic micro-batches
+      // and the oracle replays occurrence numbers as row_number() per
+      // content hash ordered by (batch, url) — the STREAMBATCH.md contract
+      // at CORRECTNESS-gate strength
+      graft.streaming.StreamingPipeline.dedupStreamReplay(s, docsDf(s, dir))),
     "text_quality" -> ((s, dir) => TextStats.quality(s, docsDf(s, dir))),
     "gopher_repetition" -> ((s, dir) => {
       import s.implicits._
@@ -1331,12 +1491,47 @@ object SparkEntry {
         |       c.doc_id != g.canonical_doc AS is_dup
         |FROM c JOIN g USING (url_canonical)
         |ORDER BY c.doc_id""".stripMargin,
+    "dedup_url_text" ->
+      """WITH t AS (
+        |  SELECT d.doc_id, s.text
+        |  FROM documents d JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 8),
+        |c AS (
+        |  SELECT doc_id,
+        |    'https://graft.test/doc/' || CAST(doc_id // 4 AS VARCHAR) ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN '?a=1&b=2'
+        |      WHEN 1 THEN '?a=1&b=2'
+        |      WHEN 2 THEN ''
+        |      ELSE '?a=1' END AS url_canonical
+        |  FROM documents),
+        |g AS (SELECT url_canonical, min(doc_id) AS canonical_doc,
+        |             count(*) AS n_same_url
+        |      FROM c GROUP BY url_canonical),
+        |reps AS (SELECT c.doc_id, c.url_canonical, g.n_same_url
+        |         FROM c JOIN g USING (url_canonical)
+        |         WHERE c.doc_id = g.canonical_doc),
+        |rh AS (SELECT r.doc_id, r.url_canonical, r.n_same_url, md5(t.text) AS h
+        |       FROM reps r JOIN t USING (doc_id)),
+        |hc AS (SELECT h, min(doc_id) AS content_canonical,
+        |              count(*) AS n_same_content
+        |       FROM rh GROUP BY h)
+        |SELECT rh.doc_id, rh.url_canonical,
+        |       CAST(rh.n_same_url AS BIGINT) AS n_same_url,
+        |       hc.content_canonical,
+        |       CAST(hc.n_same_content AS BIGINT) AS n_same_content,
+        |       rh.doc_id != hc.content_canonical AS is_content_dup
+        |FROM rh JOIN hc USING (h)
+        |ORDER BY rh.doc_id""".stripMargin,
     "dedup_paragraph" -> OracleSql.dedupParagraph(
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0
         |       THEN 'cookie notice accept our terms and privacy policy before continuing to read this page content here now ok fine yes please do thank you ' || text
         |       ELSE text END AS text
         |FROM documents""".stripMargin),
+    "dedup_paragraph_nl" ->
+      OracleSql.dedupParagraph(nlDocsSource, newlineStructure = true),
+    "gopher_repetition_nl" ->
+      OracleSql.gopherRepetition(nlDocsSource, newlineStructure = true),
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "pii_scrub" -> {
@@ -1358,29 +1553,23 @@ object SparkEntry {
          |      '$ip', '[IP]', 'g')) AS scrubbed_md5
          |FROM t ORDER BY doc_id""".stripMargin
     },
-    "decontaminate" ->
-      """WITH bench AS (
-        |  SELECT string_split(text, ' ')[5:25] AS w
-        |  FROM documents
-        |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 25),
-        |bgrams AS (
-        |  SELECT DISTINCT unnest([array_to_string(w[i : i+12], ' ')
-        |                          for i in generate_series(1, 9)]) AS ngram
-        |  FROM bench),
-        |docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |dgrams AS (
-        |  SELECT DISTINCT doc_id,
-        |         unnest([array_to_string(w[i : i+12], ' ')
-        |                 for i in generate_series(1, greatest(len(w) - 12, 0))]) AS ngram
-        |  FROM docw),
-        |hits AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-        |  FROM dgrams JOIN bgrams USING (ngram) GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
-        |       coalesce(h.n, 0) > 0 AS contaminated
-        |FROM documents d LEFT JOIN hits h USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "decontaminate" -> decontaminateOracle,
+    // identical SQL by construction: the sharded join path must produce
+    // byte-identical output to the broadcast path
+    "decontaminate_sharded" -> decontaminateOracle,
+    "dedup_stream" ->
+      """WITH p AS (
+        |  SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS bsz FROM documents),
+        |h AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS url, md5(text) AS text_md5,
+        |         doc_id // (SELECT bsz FROM p) AS b
+        |  FROM documents)
+        |SELECT url, text_md5, rn = 1 AS is_first_seen,
+        |       CAST(rn AS BIGINT) AS n_occurrence
+        |FROM (SELECT url, text_md5,
+        |             row_number() OVER (PARTITION BY text_md5 ORDER BY b, url) AS rn
+        |      FROM h)
+        |ORDER BY url""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,

@@ -89,6 +89,39 @@ object StreamingPipeline {
       }
   }
 
+  /** The [[dedupStream]] contract as a batch-materializable driver row:
+    * replay `docs` through the stateful stream in deterministic micro-batches
+    * (batch key = doc_id / ceil(n/numBatches), fed in ascending key order;
+    * within a batch the state machine sorts each hash group by url), then
+    * return every emitted decision. Every ordering input is deterministic,
+    * so a relational oracle can replay occurrence numbers exactly:
+    * row_number() per content hash ordered by (batch, url). The driver-side
+    * collect feeds MemoryStream (a validation-harness API, driver-side by
+    * design); production ingest uses [[pagesStream]]/Kafka. */
+  def dedupStreamReplay(spark: SparkSession, docs: DataFrame,
+      numBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val bsz = math.max(1L, math.ceil(rows.length / numBatches.toDouble).toLong)
+    val sink = "dedup_stream_sink"
+    spark.catalog.dropTempView(sink)
+    val in = MemoryStream[(String, String)]
+    val q = dedupStream(spark, in.toDF().toDF("url", "text"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    rows.groupBy(_._1 / bsz).toSeq.sortBy(_._1).foreach { case (_, chunk) =>
+      in.addData(chunk.toSeq.map { case (id, t) => (id.toString, t) })
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(sink)
+      .select($"url", $"textMd5".as("text_md5"),
+        $"isFirstSeen".as("is_first_seen"), $"nOccurrence".as("n_occurrence"))
+      .orderBy($"url")
+  }
+
   // --- streaming NEAR-dup (minhash LSH over a stream) -----------------------
 
   final case class NearDup(url: String, matchedUrl: String, estJaccard: Double)

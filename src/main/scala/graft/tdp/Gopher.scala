@@ -39,22 +39,33 @@ import org.apache.spark.sql.functions._
 object Gopher {
 
   /** Deterministic document structure for line/paragraph rules when the
-    * input is single-line text: 8-word lines, 3-line paragraphs. Real
-    * multi-line corpora would split on '\n' / '\n\n' instead; the chunked
-    * structure exercises identical rule math. */
+    * input is single-line text: 8-word lines, 3-line paragraphs. Multi-line
+    * text takes the real corpus path instead: lines split on '\n',
+    * paragraphs on '\n\n' (blank-line boundaries), words on whitespace —
+    * the structure an actual crawl carries. Both paths are relationally
+    * replayable (string_split is LTR non-overlapping on both engines, and
+    * re-joining the split always reconstructs the original). */
   val LineWords = 8
   val ParaLines = 3
 
   final case class Structure(words: Array[String], lines: Array[String],
       paras: Array[String], text: String)
 
-  def structure(rawText: String): Structure = {
-    // -1 limit: keep trailing empty tokens, matching SQL string_split
-    val words = rawText.split(" ", -1)
-    val lines = words.grouped(LineWords).map(_.mkString(" ")).toArray
-    val paras = lines.grouped(ParaLines).map(_.mkString("\n")).toArray
-    Structure(words, lines, paras, paras.mkString("\n\n"))
-  }
+  def structure(rawText: String): Structure =
+    if (rawText.indexOf('\n') >= 0) {
+      // -1 limit: keep trailing empty tokens, matching SQL string_split;
+      // word list flattens newlines to spaces (consecutive '\n's yield
+      // empty words on BOTH engines — symmetric, zero char mass)
+      val words = rawText.replace('\n', ' ').split(" ", -1)
+      val lines = rawText.split("\n", -1)
+      val paras = rawText.split("\n\n", -1)
+      Structure(words, lines, paras, rawText)
+    } else {
+      val words = rawText.split(" ", -1)
+      val lines = words.grouped(LineWords).map(_.mkString(" ")).toArray
+      val paras = lines.grouped(ParaLines).map(_.mkString("\n")).toArray
+      Structure(words, lines, paras, paras.mkString("\n\n"))
+    }
 
   /** Code-point count (== DuckDB length(); Java String.length counts UTF-16
     * units, which diverges for non-BMP text). All char masses below use
