@@ -580,6 +580,39 @@ object SparkEntry {
       suffixedTriples(s, dir, 0, " filter spark.", Resources.corpus,
         graft.link.Ladders.default,
         xrefs = Some(SparkEntry.plantedXrefMap))),
+    "kg_mutations" -> ((s, dir) => {
+      import s.implicits._
+      // C9 SETH mutation NER as a driver row: every doc gets a deterministic
+      // suffix planting one mention of each asked family — nucleotide
+      // substitution, deletion, insertion, protein substitution, frameshift,
+      // and a dbSNP id — with all variable parts (positions, bases, residue
+      // names) derived arithmetically from doc_id at FIXED widths, so the
+      // oracle reconstructs every span offset and normalized HGVS without a
+      // regex. The recognizer scans the full decorated text (the corpus part
+      // is provably pattern-free: all-lowercase, no digits).
+      val aa3 = graft.ner.MutationNer.AminoAcids3
+      docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (n, t) =>
+          val bases = "ACGT"
+          val b1 = bases(((n % 4) + 4).toInt % 4)
+          val b2 = bases((((n + 1) % 4) + 4).toInt % 4)
+          val p1 = 100 + n % 900; val p2 = 200 + n % 700
+          val p3 = 100 + n % 899; val p4 = 300 + n % 600
+          val p5 = 400 + n % 500; val rsid = 1000 + n % 9000
+          val aa1 = aa3((n % 20).toInt); val aa2 = aa3(((n + 7) % 20).toInt)
+          val suffix = s" variant c.$p1$b1>$b2 and c.${p2}del$b1 plus " +
+            s"c.${p3}_${p3 + 1}ins$b2$b1 with p.$aa1$p4$aa2 frameshift " +
+            s"p.$aa1${p5}fs and rs$rsid found."
+          graft.ner.MutationNer.findMutations(t + suffix).map { m =>
+            (n, m.start.toLong, m.end.toLong, m.text, m.hgvs, m.mutationType,
+              m.wtResidue, m.mutResidue, m.foundWith, m.proteinMutation,
+              m.nucleotideMutation, m.ambiguous)
+          }
+        }
+        .toDF("doc_id", "start", "end", "match", "hgvs", "mutation_type",
+          "wt", "mut", "found_with", "is_protein", "is_nucleotide", "ambiguous")
+        .orderBy($"doc_id", $"start")
+    }),
     "kg_acceptance" -> ((s, dir) => {
       import s.implicits._
       // acceptance P/R as a driver row (ref annotation/acceptance_test.py
@@ -1224,6 +1257,61 @@ object SparkEntry {
         |       pred, obj, m AS "match"
         |FROM base CROSS JOIN expected
         |ORDER BY url, start, obj""".stripMargin,
+    // C9 mutation NER: every planted mention re-derived arithmetically
+    // (fixed-width positions/bases/residues from doc_id; offsets from
+    // length(text) + literal segment widths) — no regex on the oracle side
+    "kg_mutations" -> {
+      val aa3 = graft.ner.MutationNer.AminoAcids3.map(a => s"'$a'").mkString(", ")
+      val aa1 = graft.ner.MutationNer.AminoAcids1.map(a => s"'$a'").mkString(", ")
+      s"""WITH v AS (
+         |  SELECT doc_id, length(text) AS L,
+         |    ['A','C','G','T'][CAST(doc_id % 4 AS INT) + 1] AS b1,
+         |    ['A','C','G','T'][CAST((doc_id + 1) % 4 AS INT) + 1] AS b2,
+         |    CAST(100 + doc_id % 900 AS VARCHAR) AS p1,
+         |    CAST(200 + doc_id % 700 AS VARCHAR) AS p2,
+         |    CAST(100 + doc_id % 899 AS VARCHAR) AS p3,
+         |    CAST(101 + doc_id % 899 AS VARCHAR) AS p3b,
+         |    CAST(300 + doc_id % 600 AS VARCHAR) AS p4,
+         |    CAST(400 + doc_id % 500 AS VARCHAR) AS p5,
+         |    CAST(1000 + doc_id % 9000 AS VARCHAR) AS rsid,
+         |    [$aa3][CAST(doc_id % 20 AS INT) + 1] AS aa1,
+         |    [$aa3][CAST((doc_id + 7) % 20 AS INT) + 1] AS aa2,
+         |    [$aa1][CAST(doc_id % 20 AS INT) + 1] AS a1,
+         |    [$aa1][CAST((doc_id + 7) % 20 AS INT) + 1] AS a2
+         |  FROM documents)
+         |SELECT doc_id, start, "end", match, hgvs, mutation_type, wt, mut,
+         |       found_with, is_protein, is_nucleotide, ambiguous
+         |FROM (
+         |  SELECT doc_id, L+9 AS start, L+17 AS "end",
+         |    'c.' || p1 || b1 || '>' || b2 AS match,
+         |    'c.' || p1 || b1 || '>' || b2 AS hgvs,
+         |    'SUBSTITUTION' AS mutation_type, b1 AS wt, b2 AS mut,
+         |    'SETH' AS found_with, false AS is_protein,
+         |    true AS is_nucleotide, false AS ambiguous
+         |  FROM v
+         |  UNION ALL
+         |  SELECT doc_id, L+22, L+31,
+         |    'c.' || p2 || 'del' || b1, 'c.' || p2 || 'del' || b1,
+         |    'DELETION', b1, '', 'SETH', false, true, false FROM v
+         |  UNION ALL
+         |  SELECT doc_id, L+37, L+51,
+         |    'c.' || p3 || '_' || p3b || 'ins' || b2 || b1,
+         |    'c.' || p3 || '_' || p3b || 'ins' || b2 || b1,
+         |    'INSERTION', '', b2 || b1, 'SETH', false, true, false FROM v
+         |  UNION ALL
+         |  SELECT doc_id, L+57, L+68,
+         |    'p.' || aa1 || p4 || aa2, 'p.' || a1 || p4 || a2,
+         |    'SUBSTITUTION', a1, a2, 'SETH', true, false, false FROM v
+         |  UNION ALL
+         |  SELECT doc_id, L+80, L+90,
+         |    'p.' || aa1 || p5 || 'fs', 'p.' || a1 || p5 || 'fs',
+         |    'FRAMESHIFT', a1, '', 'SETH', true, false, false FROM v
+         |  UNION ALL
+         |  SELECT doc_id, L+95, L+101,
+         |    'rs' || rsid, 'rs' || rsid,
+         |    'DBSNP', '', '', 'DBSNP', false, false, false FROM v)
+         |ORDER BY doc_id, start""".stripMargin
+    },
     // acceptance P/R: pred + gold both re-derived from the full-dump
     // derivation, tp/fp/fn via the soft-span overlap join
     "kg_acceptance" ->

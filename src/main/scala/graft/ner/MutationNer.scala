@@ -1,0 +1,272 @@
+package graft.ner
+
+import graft.model.{CharSpan, Mapping, Mention}
+
+/** C9 — mutation NER (SETH: SNP Extraction Tool for Human Variations).
+  *
+  * The reference wraps the published SETH tool over py4j
+  * (kazu/steps/ner/seth.py:20-178; kazu-jvm SethRunner.scala:9-35) and the
+  * jar is env-blocked here, so this is a FIRST-PARTY re-implementation of
+  * the published, deterministic part of the algorithm — the
+  * mutation-nomenclature grammar of Thomas et al. 2016 (SETH detects and
+  * normalizes genetic variants in text, Bioinformatics) built on the HGVS
+  * nomenclature (den Dunnen et al., Hum Mutat 2016) plus the
+  * MutationFinder surface patterns (Caporaso et al. 2007) and dbSNP rs
+  * identifiers — the same three recognition planes SETH combines
+  * (`found_with` mirrors MutationMention.getTool). The ML-free grammar is
+  * the whole default behavior; no trained assets are involved (the
+  * rapidfuzz/BPE porting playbook).
+  *
+  * Recognized (grammar plane, `SETH`):
+  *  - nucleotide HGVS on prefixes c./g./m./n./r. — substitution
+  *    (c.269T>C), deletion (c.35delG, c.76_78del), duplication (c.35dupG),
+  *    insertion (c.76_77insT), deletion-insertion (c.112_117delinsTG),
+  *    inversion (c.203_506inv); positions may carry UTR/intronic markers
+  *    (c.-12A>T, c.88+2T>G, c.*46del).
+  *  - protein HGVS on p. — substitution in one- or three-letter code with
+  *    optional parentheses (p.Leu90Pro, p.L90P, p.(Trp26Ter), p.*90Leu),
+  *    point/range deletion and duplication (p.Leu90del,
+  *    p.Ala3_Ser5dup), insertion/delins (p.Lys2_Gly3insGlnSer),
+  *    frameshift (p.Arg97fs, p.Arg97ProfsTer23).
+  *
+  * Free-text plane (`MUTATIONFINDER`): wNm one-letter substitutions (L90P
+  * — flagged `ambiguous`, the one-letter form collides with cell-line and
+  * chromosome-band names) and three-letter Xaa123Yaa forms (Leu90Pro).
+  * Identifier plane (`DBSNP`): rs123456.
+  *
+  * Normalization (`hgvs`, mirroring MutationMention.toHGVS): grammar
+  * matches are already HGVS and normalize to themselves minus parentheses;
+  * protein residues normalize to ONE-letter code; free-text substitutions
+  * normalize to `p.<wt><pos><mut>`; rs ids to `rs<n>`.
+  *
+  * Overlap resolution: all planes propose candidates; longest match wins,
+  * ties to the earlier plane (SETH > MutationFinder > dbSNP) — so `L90P
+  * (c.269T>C)` yields exactly two mentions and the free-text reading of a
+  * `p.`-prefixed residue never double-fires.
+  */
+object MutationNer {
+
+  final case class MutationMention(
+      start: Int, end: Int, text: String, hgvs: String,
+      wtResidue: String, mutResidue: String, mutationType: String,
+      foundWith: String, proteinMutation: Boolean,
+      nucleotideMutation: Boolean, ambiguous: Boolean)
+
+  // --- vocabulary ----------------------------------------------------------
+
+  private val Aa3Names = Seq(
+    "Ala", "Arg", "Asn", "Asp", "Cys", "Gln", "Glu", "Gly", "His", "Ile",
+    "Leu", "Lys", "Met", "Phe", "Pro", "Ser", "Thr", "Trp", "Tyr", "Val")
+  private val Aa3To1: Map[String, String] = Map(
+    "Ala" -> "A", "Arg" -> "R", "Asn" -> "N", "Asp" -> "D", "Cys" -> "C",
+    "Gln" -> "Q", "Glu" -> "E", "Gly" -> "G", "His" -> "H", "Ile" -> "I",
+    "Leu" -> "L", "Lys" -> "K", "Met" -> "M", "Phe" -> "F", "Pro" -> "P",
+    "Ser" -> "S", "Thr" -> "T", "Trp" -> "W", "Tyr" -> "Y", "Val" -> "V",
+    "Ter" -> "*")
+  private val Aa1 = "ARNDCQEGHILKMFPSTWYV"
+
+  /** Public fixture tables (the kg_mutations driver row and its oracle
+    * derive planted mentions from the SAME ordered lists). */
+  val AminoAcids3: Seq[String] = Aa3Names
+  val AminoAcids1: Seq[String] = Aa3Names.map(Aa3To1)
+
+  /** Normalize an amino-acid token (3-letter name, 1-letter code, Ter, *)
+    * to its one-letter code. */
+  private[ner] def to1(aa: String): String =
+    if (aa == null || aa.isEmpty) ""
+    else if (aa == "*") "*"
+    else Aa3To1.getOrElse(aa, aa)
+
+  /** Normalize a residue SEQUENCE (mixed 3-letter names / 1-letter codes /
+    * Ter) to one-letter codes, greedy 3-letter-first. */
+  private[ner] def seqTo1(seq: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < seq.length) {
+      val tri = if (i + 3 <= seq.length) seq.substring(i, i + 3) else ""
+      Aa3To1.get(tri) match {
+        case Some(one) => sb.append(one); i += 3
+        case None      => sb.append(seq.charAt(i)); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  // --- patterns ------------------------------------------------------------
+
+  private val G = """(?<![A-Za-z0-9.])""" // left boundary (also blocks x.y chains)
+  private val E = """(?![A-Za-z0-9])"""   // right boundary
+  private val B = "[ACGTU]"
+  private val Pos = """[*-]?\d+(?:[+-]\d+)?"""
+  private val Aa = "(?:" + Aa3Names.mkString("|") + "|Ter|[" + Aa1 + """*])"""
+
+  private val NucRe =
+    (G + """([cgmnr])\.(""" + Pos + """)(?:_(""" + Pos + """))?""" +
+      """(?:(""" + B + """)>(""" + B + """)""" +
+      """|delins(""" + B + """+)""" +
+      """|del(""" + B + """*)""" +
+      """|dup(""" + B + """*)""" +
+      """|ins(""" + B + """+)""" +
+      """|(inv))""" + E).r.pattern
+
+  private val ProtFsRe =
+    (G + """p\.(\(?)(""" + Aa + """)(\d+)(""" + Aa + """)?fs(?:(?:\*|Ter)(\d+))?(\)?)""" + E).r.pattern
+  private val ProtRangeRe =
+    (G + """p\.(\(?)(""" + Aa + """)(\d+)_(""" + Aa + """)(\d+)(?:delins((?:""" + Aa + """)+)|ins((?:""" + Aa + """)+)|(del)|(dup))(\)?)""" + E).r.pattern
+  private val ProtPointRe =
+    (G + """p\.(\(?)(""" + Aa + """)(\d+)(del|dup)(\)?)""" + E).r.pattern
+  private val ProtSubRe =
+    (G + """p\.(\(?)(""" + Aa + """)(\d+)(""" + Aa + """|=)(\)?)""" + E).r.pattern
+
+  private val Mf1Re =
+    (G + """([""" + Aa1 + """])(\d+)([""" + Aa1 + """])""" + E).r.pattern
+  private val Mf3Re =
+    (G + "(" + Aa3Names.mkString("|") + """)(\d+)(""" + Aa3Names.mkString("|") + """|Ter)""" + E).r.pattern
+  private val RsRe = (G + """rs(\d+)""" + E).r.pattern
+
+  // --- recognition ---------------------------------------------------------
+
+  private final case class Cand(priority: Int, m: MutationMention)
+
+  def findMutations(text: String): Seq[MutationMention] = {
+    val cands = scala.collection.mutable.ArrayBuffer.empty[Cand]
+
+    val nm = NucRe.matcher(text)
+    while (nm.find()) {
+      val (tpe, wt, mut) =
+        if (nm.group(4) != null) ("SUBSTITUTION", nm.group(4), nm.group(5))
+        else if (nm.group(6) != null) ("DELETION_INSERTION", "", nm.group(6))
+        else if (nm.group(7) != null) ("DELETION", nm.group(7), "")
+        else if (nm.group(8) != null) ("DUPLICATION", nm.group(8), "")
+        else if (nm.group(9) != null) ("INSERTION", "", nm.group(9))
+        else ("INVERSION", "", "")
+      // every prefix (c/g/m/n/r) reports as a nucleotide-level variant
+      cands += Cand(0, MutationMention(nm.start, nm.end, nm.group(),
+        hgvs = nm.group(), wtResidue = wt, mutResidue = mut,
+        mutationType = tpe, foundWith = "SETH",
+        proteinMutation = false, nucleotideMutation = true,
+        ambiguous = false))
+    }
+
+    def balanced(open: String, close: String): Boolean =
+      (open == "(") == (close == ")")
+
+    val fm = ProtFsRe.matcher(text)
+    while (fm.find()) if (balanced(fm.group(1), fm.group(6))) {
+      val wt = to1(fm.group(2))
+      val mut = to1(fm.group(4))
+      val term = Option(fm.group(5)).map("*" + _).getOrElse("")
+      cands += Cand(0, MutationMention(fm.start, fm.end, fm.group(),
+        hgvs = "p." + wt + fm.group(3) + "fs" + term,
+        wtResidue = wt, mutResidue = mut, mutationType = "FRAMESHIFT",
+        foundWith = "SETH", proteinMutation = true,
+        nucleotideMutation = false, ambiguous = false))
+    }
+
+    val rm = ProtRangeRe.matcher(text)
+    while (rm.find()) if (balanced(rm.group(1), rm.group(10))) {
+      val (tpe, op, seq) =
+        if (rm.group(6) != null) ("DELETION_INSERTION", "delins", seqTo1(rm.group(6)))
+        else if (rm.group(7) != null) ("INSERTION", "ins", seqTo1(rm.group(7)))
+        else if (rm.group(8) != null) ("DELETION", "del", "")
+        else ("DUPLICATION", "dup", "")
+      val wt = to1(rm.group(2))
+      cands += Cand(0, MutationMention(rm.start, rm.end, rm.group(),
+        hgvs = "p." + wt + rm.group(3) + "_" + to1(rm.group(4)) + rm.group(5) + op + seq,
+        wtResidue = wt, mutResidue = seq, mutationType = tpe,
+        foundWith = "SETH", proteinMutation = true,
+        nucleotideMutation = false, ambiguous = false))
+    }
+
+    val pm = ProtPointRe.matcher(text)
+    while (pm.find()) if (balanced(pm.group(1), pm.group(5))) {
+      val wt = to1(pm.group(2))
+      val tpe = if (pm.group(4) == "del") "DELETION" else "DUPLICATION"
+      cands += Cand(0, MutationMention(pm.start, pm.end, pm.group(),
+        hgvs = "p." + wt + pm.group(3) + pm.group(4),
+        wtResidue = wt, mutResidue = "", mutationType = tpe,
+        foundWith = "SETH", proteinMutation = true,
+        nucleotideMutation = false, ambiguous = false))
+    }
+
+    val sm = ProtSubRe.matcher(text)
+    while (sm.find()) if (balanced(sm.group(1), sm.group(5))) {
+      val wt = to1(sm.group(2))
+      val mutTok = sm.group(4)
+      val mut = if (mutTok == "=") wt else to1(mutTok)
+      val tpe = if (mutTok == "=" || mut == wt) "SILENT" else "SUBSTITUTION"
+      cands += Cand(0, MutationMention(sm.start, sm.end, sm.group(),
+        hgvs = "p." + wt + sm.group(3) + (if (mutTok == "=") "=" else mut),
+        wtResidue = wt, mutResidue = mut, mutationType = tpe,
+        foundWith = "SETH", proteinMutation = true,
+        nucleotideMutation = false, ambiguous = false))
+    }
+
+    val m1 = Mf1Re.matcher(text)
+    while (m1.find()) if (m1.group(1) != m1.group(3)) {
+      cands += Cand(1, MutationMention(m1.start, m1.end, m1.group(),
+        hgvs = "p." + m1.group(1) + m1.group(2) + m1.group(3),
+        wtResidue = m1.group(1), mutResidue = m1.group(3),
+        mutationType = "SUBSTITUTION", foundWith = "MUTATIONFINDER",
+        proteinMutation = true, nucleotideMutation = false,
+        ambiguous = true))
+    }
+
+    val m3 = Mf3Re.matcher(text)
+    while (m3.find()) if (to1(m3.group(1)) != to1(m3.group(3))) {
+      cands += Cand(1, MutationMention(m3.start, m3.end, m3.group(),
+        hgvs = "p." + to1(m3.group(1)) + m3.group(2) + to1(m3.group(3)),
+        wtResidue = to1(m3.group(1)), mutResidue = to1(m3.group(3)),
+        mutationType = "SUBSTITUTION", foundWith = "MUTATIONFINDER",
+        proteinMutation = true, nucleotideMutation = false,
+        ambiguous = false))
+    }
+
+    val rs = RsRe.matcher(text)
+    while (rs.find()) {
+      cands += Cand(2, MutationMention(rs.start, rs.end, rs.group(),
+        hgvs = "rs" + rs.group(1), wtResidue = "", mutResidue = "",
+        mutationType = "DBSNP", foundWith = "DBSNP",
+        proteinMutation = false, nucleotideMutation = false,
+        ambiguous = false))
+    }
+
+    // longest-match-wins, ties to the earlier plane, then left-to-right
+    val sorted = cands.sortBy(c => (c.m.start, -(c.m.end - c.m.start), c.priority))
+    val out = scala.collection.mutable.ArrayBuffer.empty[MutationMention]
+    var lastEnd = -1
+    sorted.foreach { c =>
+      if (c.m.start >= lastEnd) { out += c.m; lastEnd = c.m.end }
+    }
+    out.toSeq
+  }
+
+  // --- pipeline adapter ----------------------------------------------------
+
+  val Namespace = "MutationNer"
+
+  /** The SethStep entity shape (seth.py:107-133): every mention carries one
+    * PROBABLE mapping whose label/source/idx are all the configured entity
+    * class, and the full mutation record rides as metadata (here: in
+    * matchNorm we keep the normalized HGVS — the pipeline's normalized-form
+    * slot — since the reference stores it in entity metadata). */
+  def mentions(text: String, entityClass: String = "mutation"): Seq[Mention] =
+    findMutations(text).map { mm =>
+      Mention(
+        matchStr = mm.text,
+        entityClass = entityClass,
+        spans = Seq(CharSpan(mm.start, mm.end)),
+        namespace = Namespace,
+        mentionConfidence = graft.model.MentionConfidence.Probable,
+        matchNorm = mm.hgvs,
+        mappings = Seq(Mapping(
+          defaultLabel = entityClass,
+          source = entityClass,
+          parserName = "n/a",
+          idx = entityClass,
+          stringMatchStrategy = Namespace,
+          stringMatchConfidence = "PROBABLE",
+          disambiguationStrategy = None,
+          disambiguationConfidence = None)))
+    }
+}

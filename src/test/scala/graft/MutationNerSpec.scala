@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ner.MutationNer
+import graft.ner.MutationNer.MutationMention
+
+/** C9 fixtures. The headline sentence is the reference's own SethRunnerTest
+  * (kazu-jvm SethRunnerTest.scala:10-16: expects exactly 3 mentions); the
+  * rest are canonical examples from the HGVS nomenclature (den Dunnen et
+  * al. 2016) and the SETH / MutationFinder papers' pattern families.
+  */
+class MutationNerSpec extends AnyFunSuite {
+
+  private def find(t: String): Seq[MutationMention] =
+    MutationNer.findMutations(t)
+
+  test("reference SethRunnerTest sentence yields exactly 3 mentions") {
+    val text = "Causative GJB2 mutations were identified in 31 (15.2%) patients, " +
+      "and two common mutations, c.35delG and L90P (c.269T>C), accounted for " +
+      "72.1% and 9.8% of GJB2 disease alleles."
+    val ms = find(text)
+    assert(ms.size == 3)
+    val byText = ms.map(m => m.text -> m).toMap
+    val del = byText("c.35delG")
+    assert(del.mutationType == "DELETION" && del.wtResidue == "G" &&
+      del.nucleotideMutation && !del.proteinMutation && del.foundWith == "SETH")
+    val mf = byText("L90P")
+    assert(mf.mutationType == "SUBSTITUTION" && mf.foundWith == "MUTATIONFINDER" &&
+      mf.hgvs == "p.L90P" && mf.ambiguous && mf.proteinMutation)
+    val sub = byText("c.269T>C")
+    assert(sub.mutationType == "SUBSTITUTION" && sub.wtResidue == "T" &&
+      sub.mutResidue == "C" && sub.hgvs == "c.269T>C")
+    // offsets index the original text exactly
+    ms.foreach(m => assert(text.substring(m.start, m.end) == m.text))
+  }
+
+  test("nucleotide HGVS family") {
+    assert(find("g.3420A>G").head.mutationType == "SUBSTITUTION")
+    assert(find("the c.76_78del variant").head.mutationType == "DELETION")
+    val delSeq = find("c.76_78delTTC").head
+    assert(delSeq.mutationType == "DELETION" && delSeq.wtResidue == "TTC")
+    val ins = find("carrying c.76_77insT here").head
+    assert(ins.mutationType == "INSERTION" && ins.mutResidue == "T")
+    val dup = find("c.35dupG").head
+    assert(dup.mutationType == "DUPLICATION" && dup.wtResidue == "G")
+    val delins = find("c.112_117delinsTG").head
+    assert(delins.mutationType == "DELETION_INSERTION" && delins.mutResidue == "TG")
+    assert(find("c.203_506inv").head.mutationType == "INVERSION")
+    // UTR / intronic positions
+    assert(find("c.-12A>T").head.text == "c.-12A>T")
+    assert(find("c.88+2T>G").head.text == "c.88+2T>G")
+    assert(find("c.*46del").head.text == "c.*46del")
+    // m. / n. / r. prefixes are nucleotide-level
+    assert(find("m.8993T>G").head.nucleotideMutation)
+    assert(find("r.76a>u").isEmpty) // lowercase RNA bases are out of grammar
+  }
+
+  test("protein HGVS family normalizes to one-letter hgvs") {
+    val s3 = find("p.Leu90Pro").head
+    assert(s3.hgvs == "p.L90P" && s3.wtResidue == "L" && s3.mutResidue == "P")
+    val s1 = find("p.L90P").head
+    assert(s1.hgvs == "p.L90P" && s1.foundWith == "SETH")
+    val ter = find("p.Trp26Ter").head
+    assert(ter.hgvs == "p.W26*" && ter.mutationType == "SUBSTITUTION")
+    val star = find("p.*90Leu").head
+    assert(star.wtResidue == "*" && star.mutResidue == "L")
+    val paren = find("the p.(Trp26Ter) variant").head
+    assert(paren.text == "p.(Trp26Ter)" && paren.hgvs == "p.W26*")
+    val del = find("p.Leu90del").head
+    assert(del.mutationType == "DELETION" && del.hgvs == "p.L90del")
+    val dup = find("p.Ala3_Ser5dup").head
+    assert(dup.mutationType == "DUPLICATION" && dup.hgvs == "p.A3_S5dup")
+    val ins = find("p.Lys2_Gly3insGlnSer").head
+    assert(ins.mutationType == "INSERTION" && ins.mutResidue == "QS" &&
+      ins.hgvs == "p.K2_G3insQS")
+    val silent = find("p.Cys188=").head
+    assert(silent.mutationType == "SILENT" && silent.hgvs == "p.C188=")
+  }
+
+  test("frameshift family") {
+    val fs = find("p.Arg97fs").head
+    assert(fs.mutationType == "FRAMESHIFT" && fs.hgvs == "p.R97fs")
+    val fsLong = find("p.Arg97ProfsTer23").head
+    assert(fsLong.hgvs == "p.R97fs*23" && fsLong.mutResidue == "P")
+    val fsStar = find("p.Arg97fs*23").head
+    assert(fsStar.hgvs == "p.R97fs*23")
+  }
+
+  test("free-text and dbSNP planes") {
+    val e6v = find("the sickle mutation E6V in HBB").head
+    assert(e6v.foundWith == "MUTATIONFINDER" && e6v.hgvs == "p.E6V" && e6v.ambiguous)
+    val l3 = find("a Leu90Pro substitution").head
+    assert(l3.foundWith == "MUTATIONFINDER" && l3.hgvs == "p.L90P" && !l3.ambiguous)
+    val rs = find("associated with rs2306220 in SLC30A8").head
+    assert(rs.mutationType == "DBSNP" && rs.hgvs == "rs2306220" &&
+      !rs.proteinMutation && !rs.nucleotideMutation)
+  }
+
+  test("boundaries and non-matches") {
+    // T3A and E2F both fire the wNm pattern — E2F is the canonical
+    // MutationFinder false positive, which is exactly why one-letter
+    // matches carry ambiguous=true (the downstream filter's signal)
+    val wnm = find("T3A cells and E2F transcription factor")
+    assert(wnm.size == 2 && wnm.forall(_.ambiguous))
+    assert(find("E2E is silent-like and must not fire").isEmpty) // wt == mut
+    assert(find("XL90P").isEmpty)   // left boundary
+    assert(find("L90PX").isEmpty)   // right boundary
+    assert(find("vers1on c.1 numbers").isEmpty)
+    assert(find("rs12x34").isEmpty)
+    // unbalanced parenthesis: the grammar plane rejects, but the free-text
+    // plane still (correctly) reads the inner Leu90Pro
+    val unbal = find("p.(Leu90Pro")
+    assert(unbal.size == 1 && unbal.head.foundWith == "MUTATIONFINDER")
+    assert(find("the word dup alone").isEmpty)
+  }
+
+  test("overlap resolution prefers the grammar plane and longest match") {
+    // inside p.Leu90Pro the 3-letter MF pattern must not double-fire
+    assert(find("p.Leu90Pro").size == 1)
+    // adjacent mentions both survive
+    assert(find("c.35delG and L90P (c.269T>C)").size == 3)
+  }
+
+  test("pipeline adapter emits SethStep-shaped mentions") {
+    val ms = MutationNer.mentions("carrying c.269T>C today", "mutation")
+    assert(ms.size == 1)
+    val m = ms.head
+    assert(m.entityClass == "mutation" && m.namespace == "MutationNer")
+    assert(m.mappings.head.stringMatchConfidence == "PROBABLE")
+    assert(m.mappings.head.idx == "mutation" && m.mappings.head.parserName == "n/a")
+    assert(m.matchNorm == "c.269T>C")
+  }
+}
