@@ -183,6 +183,17 @@ object OracleSql {
   val kgTriples: String =
     kgTriplesDump("SELECT doc_id, text FROM documents", "")
 
+  /** The trie-only pipeline variant (withTransformerNer = false): without
+    * the transformer there are no multi-word unmapped spans to win
+    * overlap-merge over vocabulary RUNS, so EVERY gazetteer vocabulary word
+    * (window/sort/vector/stream; never model-only "customer") emits its own
+    * mention — `vocab_rows` becomes all of `vr` instead of winner+trail.
+    * Phrase/plain/residual semantics are transformer-independent and stay
+    * identical. This is the "previous crawl's pipeline" side of the
+    * corpus×corpus acceptance comparison. */
+  val kgTriplesTrieOnly: String =
+    kgTriplesDump("SELECT doc_id, text FROM documents", "", trieOnly = true)
+
   /** kg_classfilter oracle: the same full-dump derivation over the sliced +
     * suffixed corpus, minus the keys the planted rules drop. The suffix
     * plants one FP trigger token ("bogus" → drops every OP:FILTER mention
@@ -217,7 +228,8 @@ object OracleSql {
        |FROM present a JOIN present b ON a.url = b.url AND a.obj < b.obj
        |GROUP BY a.obj, b.obj ORDER BY obj_a, obj_b""".stripMargin
 
-  private def kgTriplesDump(docsSource: String, finalWhere: String): String =
+  private def kgTriplesDump(docsSource: String, finalWhere: String,
+      trieOnly: Boolean = false): String =
     s"""WITH docs AS ($docsSource),
       |tok AS (
       |  SELECT doc_id, idx, w,
@@ -311,7 +323,9 @@ object OracleSql {
       |         CASE w WHEN 'window' THEN 'OP:WINDOW' WHEN 'sort' THEN 'OP:SORT'
       |                WHEN 'vector' THEN 'SYS:VECTOR' WHEN 'stream' THEN 'SYS:STREAM'
       |         END AS obj
-      |  FROM (SELECT * FROM winner UNION ALL SELECT * FROM trail_rows)),
+      |  FROM (${
+        if (trieOnly) "SELECT doc_id, w, off FROM vr WHERE w != 'customer'"
+        else "SELECT * FROM winner UNION ALL SELECT * FROM trail_rows"})),
       |allrows AS (
       |  SELECT * FROM phrase UNION ALL SELECT * FROM plain
       |  UNION ALL SELECT * FROM resid UNION ALL SELECT * FROM vocab_rows)

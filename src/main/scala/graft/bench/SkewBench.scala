@@ -211,6 +211,62 @@ object SkewBench {
       else "naive-shape-did-not-skew(UNEXPECTED)")
     graft.tdp.Dedup.releaseCaches()
 
+    // ---- corpus×corpus acceptance (round 6) ---------------------------------
+    // both span sets corpus-sized; a "hot page" url carries 10^5 spans on
+    // EACH side — the worst (url, class) key for the overlap join. The
+    // bucketed rewrite scatters it over position buckets (width 64), so no
+    // single (url, class, bucket) key concentrates.
+    val nSpans = (500000 * scale).toInt
+    val hotSpanCopies = (100000 * scale).toInt
+    def spanSet(seed: Int): DataFrame = {
+      val tail = spark.range(nSpans).select(
+        concat(lit("https://graft.test/doc/"), ($"id" % 200000)).as("url"),
+        (($"id" * seed) % 5000).cast("int").as("start"),
+        ((($"id" * seed) % 5000) + 5).cast("int").as("end"),
+        when($"id" % 2 === 0, lit("operator")).otherwise(lit("component"))
+          .as("entity_class"))
+      val hot = spark.range(hotSpanCopies).select(
+        lit("https://graft.test/doc/hotpage").as("url"),
+        ($"id" * 7 % 1000000).cast("int").as("start"),
+        ($"id" * 7 % 1000000 + 5).cast("int").as("end"),
+        lit("operator").as("entity_class"))
+      tail.unionByName(hot)
+    }
+    spanSet(7919).write.mode("overwrite").parquet(s"$workDir/spans_pred")
+    spanSet(104729).write.mode("overwrite").parquet(s"$workDir/spans_gold")
+    val spansPred = spark.read.parquet(s"$workDir/spans_pred")
+    val spansGold = spark.read.parquet(s"$workDir/spans_gold")
+    results += measure(spark, "acceptance_bucketed_corpus") {
+      graft.eval.Acceptance.nerScoresBucketed(spark, spansPred, spansGold)
+        .write.mode("overwrite").parquet(s"$workDir/out_acceptance")
+      graft.util.CacheRegistry.releaseAll()
+      spark.read.parquet(s"$workDir/out_acceptance").count()
+    }(bounded)
+    val hotNaive = math.min(5000, hotSpanCopies)
+    results += measure(spark, "acceptance_theta_naive") {
+      // naive contrast at a REDUCED hot-span count (the full 10^5×10^5
+      // single-key probe would run for hours): the theta join sort-merges
+      // on (url, class) alone, so BOTH sides' hot-page spans meet on one
+      // reducer task
+      import spark.implicits._
+      def slim(df: DataFrame) = df.filter($"url" =!= "https://graft.test/doc/hotpage" ||
+        pmod(hash($"start"), lit(hotSpanCopies / hotNaive)) === 0)
+      val g = slim(spansGold).select($"url".as("g_url"), $"start".as("g_start"),
+        $"end".as("g_end"), $"entity_class".as("g_class"))
+      // merge hint: at THIS reduced size Catalyst would broadcast one side
+      // and hide the skew; at corpus scale neither side fits a broadcast,
+      // and the SMJ-on-(url, class) shape below is what actually runs
+      slim(spansPred).hint("merge").join(g,
+          $"url" === $"g_url" && $"entity_class" === $"g_class" &&
+          $"g_start" < $"end" && $"start" < $"g_end")
+        .write.mode("overwrite").format("noop").save()
+      -1L
+    }(r =>
+      // the skew signature: the hot (url, class) key's rows all shuffle to
+      // ONE sort-merge task
+      if (r.maxShuffleRead >= hotNaive) "SKEWED(hot page on one task, as expected)"
+      else "naive-shape-did-not-skew(UNEXPECTED)")
+
     // ---- triples aggregations ----------------------------------------------
     results += measure(spark, "graph_stats_salted") {
       graft.triples.GraphStats.saltedObjectCounts(spark, triples)

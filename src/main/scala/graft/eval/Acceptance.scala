@@ -174,6 +174,41 @@ object Acceptance {
       .distinct()
   }
 
+  /** [[nerScores]] computed through [[overlapJoinBucketed]] — the
+    * corpus×corpus path, where BOTH span sets are crawl-sized (P/R between
+    * two pipeline versions over a re-crawl) and the overlap match must ride
+    * an equi-keyed shuffle join on (url, class, bucket): shuffle-keyed,
+    * AQE-skew-splittable, no broadcast anywhere. Output is identical to
+    * [[nerScores]] (AcceptanceSpec equivalence at spec scale; the
+    * kg_acceptance_corpus driver row oracles it end-to-end). */
+  def nerScoresBucketed(spark: SparkSession, pred: DataFrame, gold: DataFrame,
+      bucketWidth: Int = 64): DataFrame = {
+    import spark.implicits._
+    def reg(df: DataFrame) = graft.util.CacheRegistry.register(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val p = reg(pred.select($"url", $"start", $"end", $"entity_class").distinct())
+    val g = reg(gold.select($"url", $"start", $"end", $"entity_class").distinct())
+    val ov = reg(overlapJoinBucketed(spark, p, g, bucketWidth))
+    val goldMatched = reg(ov.select($"p_url".as("url"), $"g_start".as("start"),
+      $"g_end".as("end"), $"p_class".as("entity_class")).distinct())
+    val tp = goldMatched.groupBy($"entity_class").agg(count(lit(1)).as("tp"))
+    val predMatched = ov.select($"p_url".as("url"), $"p_start".as("start"),
+      $"p_end".as("end"), $"p_class".as("entity_class")).distinct()
+    val fp = p.exceptAll(predMatched)
+      .groupBy($"entity_class").agg(count(lit(1)).as("fp"))
+    val fn = g.join(goldMatched,
+        Seq("url", "start", "end", "entity_class"), "left_anti")
+      .groupBy($"entity_class").agg(count(lit(1)).as("fn"))
+    tp.join(fp, Seq("entity_class"), "outer")
+      .join(fn, Seq("entity_class"), "outer")
+      .na.fill(0L)
+      .withColumn("precision",
+        when($"tp" + $"fp" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fp")))
+      .withColumn("recall",
+        when($"tp" + $"fn" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fn")))
+      .orderBy($"entity_class")
+  }
+
   /** Triple-level P/R: exact (subj, pred, obj) matching between an emitted
     * triple set and an expected (reference/gold) triple set — the
     * BASELINE P/R ≥ 0.95 gate. */

@@ -126,6 +126,25 @@ class OverlapJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(bucketed == theta)
     assert(theta.nonEmpty)
   }
+
+  test("nerScoresBucketed ≡ nerScores (random spans, both persist paths)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    def spans(n: Int) = (0 until n).map { _ =>
+      val url = s"u${rnd.nextInt(12)}"
+      val s = rnd.nextInt(500)
+      (url, s, s + 1 + rnd.nextInt(130), if (rnd.nextBoolean()) "a" else "b")
+    }
+    val p = spans(250).toDF("url", "start", "end", "entity_class")
+    val g = spans(250).toDF("url", "start", "end", "entity_class")
+    val plain = graft.eval.Acceptance.nerScores(spark, p, g)
+      .collect().map(_.toSeq).toList
+    val bucketed = graft.eval.Acceptance.nerScoresBucketed(spark, p, g)
+      .collect().map(_.toSeq).toList
+    graft.util.CacheRegistry.releaseAll()
+    assert(bucketed == plain)
+    assert(plain.nonEmpty)
+  }
 }
 
 class PartitioningInvarianceSpec extends AnyFunSuite with SparkTestBase {

@@ -71,6 +71,39 @@ compare("paragraph_dedup_salted", "out_para_dedup", f"""
          CAST(n_dup AS DOUBLE)/CAST(n_paras AS DOUBLE) <= 0.3 AS para_dedup_keep
   FROM perdoc""")
 
+# round 6: corpus×corpus bucketed acceptance — replay the interval join +
+# per-class P/R over the synthesized span sets (the bucketed rewrite is an
+# execution strategy; semantics replay as the plain theta join)
+compare("acceptance_bucketed_corpus", "out_acceptance", f"""
+  WITH pred AS (SELECT DISTINCT * FROM '{work}/spans_pred/*.parquet'),
+  gold AS (SELECT DISTINCT * FROM '{work}/spans_gold/*.parquet'),
+  ov AS (
+    SELECT p.url, p.start, p."end", p.entity_class,
+           g.start AS g_start, g."end" AS g_end
+    FROM pred p JOIN gold g
+      ON p.url = g.url AND p.entity_class = g.entity_class
+     AND g.start < p."end" AND p.start < g."end"),
+  tpc AS (SELECT entity_class, count(*) AS tp FROM (
+    SELECT DISTINCT url, g_start, g_end, entity_class FROM ov) GROUP BY entity_class),
+  fpc AS (SELECT entity_class, count(*) AS fp FROM (
+    SELECT url, start, "end", entity_class FROM pred
+    EXCEPT SELECT DISTINCT url, start, "end", entity_class FROM ov) GROUP BY entity_class),
+  fnc AS (SELECT entity_class, count(*) AS fn FROM (
+    SELECT url, start, "end", entity_class FROM gold
+    EXCEPT SELECT DISTINCT url, g_start, g_end, entity_class FROM ov) GROUP BY entity_class),
+  cls AS (SELECT DISTINCT entity_class FROM (
+    SELECT entity_class FROM pred UNION SELECT entity_class FROM gold))
+  SELECT entity_class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         CAST(fn AS BIGINT) AS fn,
+         CASE WHEN tp + fp = 0 THEN 0.0
+              ELSE CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE) END AS "precision",
+         CASE WHEN tp + fn = 0 THEN 0.0
+              ELSE CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE) END AS recall
+  FROM (SELECT c.entity_class, coalesce(t.tp, 0) AS tp, coalesce(f.fp, 0) AS fp,
+               coalesce(n.fn, 0) AS fn
+        FROM cls c LEFT JOIN tpc t USING (entity_class)
+        LEFT JOIN fpc f USING (entity_class) LEFT JOIN fnc n USING (entity_class))""")
+
 # round 5: substring-anchor dedup — reuse the COMMITTED oracle derivation
 # (the same SQL the driver gate runs) with `documents` viewed over the
 # hostile corpus
