@@ -43,7 +43,7 @@ object Bench {
       graft.util.CacheRegistry.releaseAll()
       if (ok) elapsed else -1.0
     }
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val ts = Seq.fill(runs)(once(fn))
       name -> (if (ts.exists(_ < 0)) Seq(-1.0) else ts.sorted)
@@ -51,8 +51,12 @@ object Bench {
     // locale-independent 3-decimal formatting (the f interpolator honors
     // the default locale; a comma decimal separator would corrupt the JSON)
     def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    // headline per-query value = the median; spread = min/median/max
-    def median(ts: Seq[Double]): Double = ts(ts.size / 2)
+    // headline per-query value = the true median (mean of the two middle
+    // elements for an even run count — upper-middle alone would bias the
+    // headline toward the WORSE run)
+    def median(ts: Seq[Double]): Double =
+      if (ts.size % 2 == 1) ts(ts.size / 2)
+      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
     val qs = results.map { case (k, ts) => s"\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts) =>

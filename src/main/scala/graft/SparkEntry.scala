@@ -92,10 +92,12 @@ object SparkEntry {
     }
   }
 
-  private def pipelineDocs(spark: SparkSession, sfDir: String) = {
-    // evict this session's entries when its application ends, so a
-    // long-lived process that creates many sessions doesn't strongly retain
-    // stopped sessions and their persisted datasets for the JVM lifetime
+  /** Evict a session's entries from EVERY memo cache when its application
+    * ends, so a long-lived process that creates many sessions doesn't
+    * strongly retain stopped sessions and their persisted datasets for the
+    * JVM lifetime. Installed by every memoized entry point (not just
+    * pipelineDocs) so no cache relies on another method having run first. */
+  private def ensureEvictionHook(spark: SparkSession): Unit =
     if (evictionHooked.add(spark))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
@@ -108,6 +110,9 @@ object SparkEntry {
             evictionHooked.remove(spark)
           }
       })
+
+  private def pipelineDocs(spark: SparkSession, sfDir: String) = {
+    ensureEvictionHook(spark)
     boundedMemo(docsCache, (spark, sfDir)) {
       val pages = Pages.fromDocuments(spark, sfDir)
       val (docs, _) = Pipeline.run(spark, pages, resources(spark))
@@ -129,7 +134,8 @@ object SparkEntry {
     * baseline for kg_acceptance_corpus. Much cheaper than the full
     * pipeline (no transformer inference) and read by every bench repeat of
     * the comparison row, so it persists exactly like [[pipelineTriples]]. */
-  private def trieOnlyTriples(spark: SparkSession, sfDir: String): DataFrame =
+  private def trieOnlyTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureEvictionHook(spark)
     boundedMemo(trieTriplesCache, (spark, sfDir)) {
       val pages = Pages.fromDocuments(spark, sfDir)
       val (docs, _) = Pipeline.run(spark, pages, resources(spark),
@@ -137,9 +143,35 @@ object SparkEntry {
       Triples.fromDocs(spark, docs).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+  }
 
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** The four planted URL surface forms per 4-doc logical page — ONE
+    * definition shared by url_canonical and dedup_url_text (the fixture
+    * must stay byte-identical across both rows and their oracle CASE
+    * tables). */
+  private def plantedUrl: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat(lit("https://"),
+      when(col("doc_id") % 5 === 0, lit("GRAFT.Test")).otherwise(lit("graft.test")),
+      lit("/doc/"), floor(col("doc_id") / 4).cast("long").cast("string"),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .when(col("doc_id") % 4 === 1, lit("?b=2&a=1#frag"))
+        .when(col("doc_id") % 4 === 2, lit(""))
+        .otherwise(lit("?a=1&utm_campaign=x")))
+  }
+
+  /** The synthesized eval corpus for the decontamination rows — ONE
+    * definition shared by decontaminate and decontaminate_sharded. */
+  private def decontaminationBench(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.filter(col("doc_id") % 50 === 0)
+      .select(slice(split(col("text"), " "), 5, 21).as("w"))
+      .filter(size(col("w")) === 21)
+      .select(concat_ws(" ", col("w")).as("bench_text"))
+  }
 
   /** 4×6-word boilerplate banner planted as a corpus-wide PARAGRAPH in the
     * multi-line corpus (the CCNet cookie-banner shape, now with real '\n'
@@ -904,14 +936,7 @@ object SparkEntry {
       // (tracking params, unsorted query, fragment, mixed-case host); the
       // oracle derives the EXPECTED canonical form independently from
       // doc_id, so any canonicalizer misstep mismatches
-      val urls = docsDf(s, dir).select($"doc_id",
-        concat(lit("https://"),
-          when($"doc_id" % 5 === 0, lit("GRAFT.Test")).otherwise(lit("graft.test")),
-          lit("/doc/"), floor($"doc_id" / 4).cast("long").cast("string"),
-          when($"doc_id" % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
-            .when($"doc_id" % 4 === 1, lit("?b=2&a=1#frag"))
-            .when($"doc_id" % 4 === 2, lit(""))
-            .otherwise(lit("?a=1&utm_campaign=x"))).as("url"))
+      val urls = docsDf(s, dir).select($"doc_id", plantedUrl.as("url"))
       graft.tdp.UrlCanonical.dedupByUrl(s, urls)
     }),
     "dedup_url_text" -> ((s, dir) => {
@@ -926,14 +951,7 @@ object SparkEntry {
       // already collapsed by URL.
       val src = docsDf(s, dir).select($"doc_id".as("src_id"), $"text")
       val base = docsDf(s, dir).select($"doc_id",
-        ($"doc_id" - $"doc_id" % 8).as("src_id"),
-        concat(lit("https://"),
-          when($"doc_id" % 5 === 0, lit("GRAFT.Test")).otherwise(lit("graft.test")),
-          lit("/doc/"), floor($"doc_id" / 4).cast("long").cast("string"),
-          when($"doc_id" % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
-            .when($"doc_id" % 4 === 1, lit("?b=2&a=1#frag"))
-            .when($"doc_id" % 4 === 2, lit(""))
-            .otherwise(lit("?a=1&utm_campaign=x"))).as("url"))
+        ($"doc_id" - $"doc_id" % 8).as("src_id"), plantedUrl.as("url"))
       val docs2 = base.join(src, "src_id").select($"doc_id", $"url", $"text")
       val canon = graft.tdp.UrlCanonical.dedupByUrl(s, docs2.select($"doc_id", $"url"))
       val reps = canon.filter($"doc_id" === $"canonical_doc")
@@ -1010,27 +1028,17 @@ object SparkEntry {
       // with them (exact/near duplicates) — must flag; the oracle recomputes
       // the distinct-overlap counts relationally
       val docs = docsDf(s, dir)
-      val bench = docs
-        .filter($"doc_id" % 50 === 0)
-        .select(slice(split($"text", " "), 5, 21).as("w"))
-        .filter(size($"w") === 21)
-        .select(concat_ws(" ", $"w").as("bench_text"))
-      graft.tdp.Decontaminate.flagContaminated(s, docs, bench)
+      graft.tdp.Decontaminate.flagContaminated(s, docs,
+        decontaminationBench(docs))
     }),
     "decontaminate_sharded" -> ((s, dir) => {
-      import s.implicits._
       // the SAME decontamination semantics forced down the sharded
       // equi-join fallback (broadcastNgramBound = 0): proves the
       // above-the-broadcast-ceiling path against the identical oracle —
       // the r5 spec equivalence test, promoted to a driver CORRECTNESS row
       val docs = docsDf(s, dir)
-      val bench = docs
-        .filter($"doc_id" % 50 === 0)
-        .select(slice(split($"text", " "), 5, 21).as("w"))
-        .filter(size($"w") === 21)
-        .select(concat_ws(" ", $"w").as("bench_text"))
-      graft.tdp.Decontaminate.flagContaminated(s, docs, bench,
-        broadcastNgramBound = 0L)
+      graft.tdp.Decontaminate.flagContaminated(s, docs,
+        decontaminationBench(docs), broadcastNgramBound = 0L)
     }),
     "dedup_stream" -> ((s, dir) =>
       // the stateful streaming exact-dedup surfaced as a driver row: the

@@ -152,17 +152,19 @@ object Acceptance {
       spark: SparkSession,
       pred: DataFrame, // (url, start, end, entity_class)
       gold: DataFrame,
-      bucketWidth: Int = 64
+      bucketWidth: Int = 64,
+      inputsDistinct: Boolean = false // callers that already distinct'd+persisted skip the re-shuffle
   ): DataFrame = {
     import spark.implicits._
-    def bucketize(df: DataFrame, prefix: String): DataFrame =
-      df.select($"url", $"start", $"end", $"entity_class")
-        .distinct()
+    def bucketize(df0: DataFrame, prefix: String): DataFrame = {
+      val df = df0.select($"url", $"start", $"end", $"entity_class")
+      (if (inputsDistinct) df else df.distinct())
         .withColumn("_b",
           explode(sequence(floor($"start" / bucketWidth),
             floor(($"end" - 1) / bucketWidth))))
         .toDF(s"${prefix}_url", s"${prefix}_start", s"${prefix}_end",
           s"${prefix}_class", "_b")
+    }
     val p = bucketize(pred, "p")
     val g = bucketize(gold, "g").withColumnRenamed("_b", "_gb")
     p.join(g,
@@ -188,7 +190,8 @@ object Acceptance {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val p = reg(pred.select($"url", $"start", $"end", $"entity_class").distinct())
     val g = reg(gold.select($"url", $"start", $"end", $"entity_class").distinct())
-    val ov = reg(overlapJoinBucketed(spark, p, g, bucketWidth))
+    val ov = reg(overlapJoinBucketed(spark, p, g, bucketWidth,
+      inputsDistinct = true))
     val goldMatched = reg(ov.select($"p_url".as("url"), $"g_start".as("start"),
       $"g_end".as("end"), $"p_class".as("entity_class")).distinct())
     val tp = goldMatched.groupBy($"entity_class").agg(count(lit(1)).as("tp"))

@@ -98,6 +98,8 @@ object StreamingPipeline {
     * row_number() per content hash ordered by (batch, url). The driver-side
     * collect feeds MemoryStream (a validation-harness API, driver-side by
     * design); production ingest uses [[pagesStream]]/Kafka. */
+  private val replaySinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def dedupStreamReplay(spark: SparkSession, docs: DataFrame,
       numBatches: Int = 4): DataFrame = {
     import spark.implicits._
@@ -105,8 +107,10 @@ object StreamingPipeline {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
     val bsz = math.max(1L, math.ceil(rows.length / numBatches.toDouble).toLong)
-    val sink = "dedup_stream_sink"
-    spark.catalog.dropTempView(sink)
+    // unique per invocation: a fixed name would collide across concurrent
+    // sessions sharing one context, and the view would pin the sink's rows
+    // in driver memory until session end
+    val sink = s"dedup_stream_sink_${replaySinkSeq.incrementAndGet()}"
     val in = MemoryStream[(String, String)]
     val q = dedupStream(spark, in.toDF().toDF("url", "text"))
       .writeStream.format("memory").queryName(sink)
@@ -116,9 +120,13 @@ object StreamingPipeline {
       q.processAllAvailable()
     }
     q.stop()
-    spark.table(sink)
-      .select($"url", $"textMd5".as("text_md5"),
-        $"isFirstSeen".as("is_first_seen"), $"nOccurrence".as("n_occurrence"))
+    // materialize off the sink, then drop the view so its buffered rows are
+    // released now rather than at session end
+    val out = spark.table(sink)
+      .select($"url", $"textMd5", $"isFirstSeen", $"nOccurrence")
+      .as[(String, String, Boolean, Long)].collect().toSeq
+    spark.catalog.dropTempView(sink)
+    out.toDF("url", "text_md5", "is_first_seen", "n_occurrence")
       .orderBy($"url")
   }
 
