@@ -1356,17 +1356,17 @@ object SparkEntry {
     // acceptance P/R: pred + gold both re-derived from the full-dump
     // derivation, tp/fp/fn via the soft-span overlap join
     "kg_acceptance" ->
-      s"""WITH spans AS (
+      s"""WITH spans AS MATERIALIZED (
          |  SELECT DISTINCT url, start, "end",
          |         replace(pred, 'mentions_', '') AS entity_class
          |  FROM (${OracleSql.kgTriples})),
-         |gold AS (
+         |gold AS MATERIALIZED (
          |  SELECT url, start, "end", entity_class FROM spans
          |  WHERE entity_class = 'operator'
          |  UNION
          |  SELECT DISTINCT url, 0, 5, 'component' FROM spans),
-         |pred AS (SELECT url, start, "end", entity_class FROM spans),
-         |ov AS (
+         |pred AS MATERIALIZED (SELECT url, start, "end", entity_class FROM spans),
+         |ov AS MATERIALIZED (
          |  SELECT p.url, p.start, p."end", p.entity_class,
          |         g.start AS g_start, g."end" AS g_end
          |  FROM pred p JOIN gold g
@@ -1406,15 +1406,15 @@ object SparkEntry {
     // derivations); bucketing is an execution rewrite with identical
     // semantics, so the oracle replays the plain interval join
     "kg_acceptance_corpus" ->
-      s"""WITH pred AS (
+      s"""WITH pred AS MATERIALIZED (
          |  SELECT DISTINCT url, start, "end",
          |         replace(pred, 'mentions_', '') AS entity_class
          |  FROM (${OracleSql.kgTriples})),
-         |gold AS (
+         |gold AS MATERIALIZED (
          |  SELECT DISTINCT url, start, "end",
          |         replace(pred, 'mentions_', '') AS entity_class
          |  FROM (${OracleSql.kgTriplesTrieOnly})),
-         |ov AS (
+         |ov AS MATERIALIZED (
          |  SELECT p.url, p.start, p."end", p.entity_class,
          |         g.start AS g_start, g."end" AS g_end
          |  FROM pred p JOIN gold g
@@ -1457,13 +1457,13 @@ object SparkEntry {
       val labelVals = CorpusOntology.rows.map(r => (r.idx, r.defaultLabel))
         .distinct.sorted.map { case (i, l) => s"('$i', '$l')" }.mkString(", ")
       s"""WITH labels(idx, default_label) AS (VALUES $labelVals),
-         |m AS (
+         |m AS MATERIALIZED (
          |  SELECT DISTINCT d.url, d.start, d."end",
          |         replace(d.pred, 'mentions_', '') AS entity_class,
          |         split_part(d.obj, ':', 1) AS source, l.default_label,
          |         d.obj AS idx
          |  FROM (${OracleSql.kgTriples}) d JOIN labels l ON l.idx = d.obj),
-         |g AS (
+         |g AS MATERIALIZED (
          |  SELECT url, start, "end", entity_class, source,
          |         CASE WHEN idx = 'OP:FILTER'
          |               AND CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) % 7 = 0
@@ -1477,19 +1477,19 @@ object SparkEntry {
          |pe AS (SELECT DISTINCT url, start, "end", entity_class FROM m),
          |ge AS (SELECT DISTINCT url, start AS g_start, "end" AS g_end,
          |              entity_class FROM g),
-         |ov AS (
+         |ov AS MATERIALIZED (
          |  SELECT DISTINCT p.url, e.g_start, e.g_end, p.entity_class,
          |         p.start, p."end"
          |  FROM pe p JOIN ge e
          |    ON p.url = e.url AND p.entity_class = e.entity_class
          |   AND e.g_start < p."end" AND p.start < e.g_end),
-         |tm AS (
+         |tm AS MATERIALIZED (
          |  SELECT DISTINCT o.url, o.g_start, o.g_end, o.entity_class,
          |         m.source, m.default_label, m.idx
          |  FROM ov o JOIN m ON m.url = o.url AND m.start = o.start
          |   AND m."end" = o."end" AND m.entity_class = o.entity_class),
          |gk AS (SELECT DISTINCT url, g_start, g_end, entity_class FROM ov),
-         |gm AS (
+         |gm AS MATERIALIZED (
          |  SELECT DISTINCT g.url, g.start AS g_start, g."end" AS g_end,
          |         g.entity_class, g.source, g.default_label, g.idx
          |  FROM g JOIN gk ON g.url = gk.url AND g.start = gk.g_start
