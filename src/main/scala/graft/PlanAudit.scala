@@ -89,6 +89,21 @@ object PlanAudit {
         "Window over the paragraph key.",
       mustContain = Seq("partial_count"),
       mustNotContain = Seq("Window", "CartesianProduct")),
+    Audit("kg_acceptance_corpus",
+      "corpus×corpus acceptance (re-crawl comparison): BOTH span sets are " +
+        "corpus-sized, so the overlap predicate rides the bucketed " +
+        "(url, class, bucket) equi-join — no broadcast dependence on " +
+        "either side, no nested-loop fallback; both sides' distinct span " +
+        "sets are persisted once for the tp/fp/fn consumers.",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    Audit("kg_mutations",
+      "mutation NER (C9) is a pure narrow flatMap over the document scan " +
+        "— the single exchange in the plan is the deterministic-output " +
+        "orderBy's range partitioning; no hash shuffle, no join, so at " +
+        "100 TB it runs at scan speed like the other per-doc planes.",
+      mustContain = Seq("rangepartitioning("),
+      mustNotContain = Seq("hashpartitioning(", "CartesianProduct")),
     Audit("multimodal_neardup",
       "identical-image clustering: per-hash counts group with map-side " +
         "partial aggregation and join back through the shared 16-way " +

@@ -146,7 +146,17 @@ object Scaling {
          |local[8]→local[32] lands at ~0.55 — intra-JVM allocation/GC
          |contention. Generated by `graft.Scaling`.
          |""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), report)
+    // Regenerate only the measured header; the round-history sections below
+    // the "Run-to-run variance" marker are kept (they carry the per-round
+    // efficiency history the header's single number can't).
+    val path = java.nio.file.Paths.get("BENCH.md")
+    val tail =
+      if (java.nio.file.Files.exists(path)) {
+        val old = java.nio.file.Files.readString(path)
+        val i = old.indexOf("Run-to-run variance")
+        if (i >= 0) "\n" + old.substring(i) else ""
+      } else ""
+    java.nio.file.Files.writeString(path, report + tail)
     println(s"""{"metric":"scaling_efficiency","value":$eff4,"eff_8core":$eff8,"docs_sec_1x4":$r1c4,"docs_sec_4x4":$r4c4,"docs_sec_1x8":$r1c8,"docs_sec_4x8":$r4c8,"executors":[1,4]}""")
   }
 }

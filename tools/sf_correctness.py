@@ -14,6 +14,22 @@ import pandas as pd
 outdir, sfdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
 only = sys.argv[4].split(',') if len(sys.argv) > 4 else None
 con = duckdb.connect()
+# Large-SF replays (sf10: ~36 GB RSS for the dump derivation) need an
+# explicit spill directory with tens of GB free and a bounded memory pool;
+# both default off so the driver-identical small-SF path is unchanged.
+import os
+if os.environ.get('DUCKDB_TMP'):
+    os.makedirs(os.environ['DUCKDB_TMP'], exist_ok=True)
+    con.execute(f"SET temp_directory='{os.environ['DUCKDB_TMP']}'")
+if os.environ.get('DUCKDB_MEMLIMIT'):
+    con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMLIMIT']}'")
+# DuckDB group-by builds one hash table per thread, so at 32 threads the
+# sf10 n-gram/minhash replays multiply their intermediates 32×; capping
+# threads trades wall time for fitting the pool. An OOM also poisons the
+# connection's buffer pool for every later query — batch runs at large SF
+# should run one query per process (the `only` arg exists for this).
+if os.environ.get('DUCKDB_THREADS'):
+    con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     try:
