@@ -89,6 +89,16 @@ object PlanAudit {
         "Window over the paragraph key.",
       mustContain = Seq("partial_count"),
       mustNotContain = Seq("Window", "CartesianProduct")),
+    Audit("kg_acceptance_linking",
+      "linking-level acceptance: the interval join is persisted and " +
+        "feeds both mapping re-keys once (InMemoryTableScan); the " +
+        "per-source tp/fp/fn set-compare is ONE full-outer SortMergeJoin " +
+        "on the 7-column mapping identity + one partial-aggregated " +
+        "group-by (not intersect + two excepts, which would shuffle both " +
+        "sides three times); no broadcast dependence on either " +
+        "corpus-derived side.",
+      mustContain = Seq("InMemoryTableScan", "FullOuter", "partial_"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     Audit("kg_acceptance_corpus",
       "corpus×corpus acceptance (re-crawl comparison): BOTH span sets are " +
         "corpus-sized, so the overlap predicate rides the bucketed " +

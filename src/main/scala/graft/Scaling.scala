@@ -154,7 +154,11 @@ object Scaling {
       if (java.nio.file.Files.exists(path)) {
         val old = java.nio.file.Files.readString(path)
         val i = old.indexOf("Run-to-run variance")
-        if (i >= 0) "\n" + old.substring(i) else ""
+        // the round-history sections exist ONLY in BENCH.md — a missing
+        // marker must fail loudly, not silently discard them
+        require(i >= 0, "BENCH.md lost its 'Run-to-run variance' marker — " +
+          "refusing to rewrite (the round-history tail would be deleted)")
+        "\n" + old.substring(i)
       } else ""
     java.nio.file.Files.writeString(path, report + tail)
     println(s"""{"metric":"scaling_efficiency","value":$eff4,"eff_8core":$eff8,"docs_sec_1x4":$r1c4,"docs_sec_4x4":$r4c4,"docs_sec_1x8":$r1c8,"docs_sec_4x8":$r4c8,"executors":[1,4]}""")

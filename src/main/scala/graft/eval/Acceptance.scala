@@ -87,8 +87,15 @@ object Acceptance {
     import spark.implicits._
     val mapCols = Seq("url", "g_start", "g_end", "entity_class", "source",
       "default_label", "idx")
-    val predEnts = pred.select($"url", $"start", $"end", $"entity_class").distinct()
-    val goldEnts = gold.select($"url", $"start".as("g_start"),
+    // each input feeds TWO consumers (its entity-span projection and its
+    // mapping re-key below) and is typically an expensive dump derivation —
+    // persist once per side, released by the caller via CacheRegistry
+    val p = graft.util.CacheRegistry.register(
+      pred.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val g = graft.util.CacheRegistry.register(
+      gold.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val predEnts = p.select($"url", $"start", $"end", $"entity_class").distinct()
+    val goldEnts = g.select($"url", $"start".as("g_start"),
       $"end".as("g_end"), $"entity_class").distinct()
     // soft span match: same doc + class, spans overlap (span equality is
     // subsumed for contiguous spans) — same predicate family as nerScores,
@@ -106,32 +113,31 @@ object Acceptance {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // test mappings re-keyed by the GOLD entity they soft-match (union
     // across all matched test entities, distinct per reference set algebra)
-    val testMap = ov.join(pred, Seq("url", "start", "end", "entity_class"))
+    val testMap = ov.join(p, Seq("url", "start", "end", "entity_class"))
       .select($"url", $"g_start", $"g_end", $"entity_class", $"source",
         $"default_label", $"idx")
       .distinct()
     val matchedGold = ov.select($"url", $"g_start", $"g_end", $"entity_class").distinct()
-    val goldMap0 = gold.select($"url", $"start".as("g_start"), $"end".as("g_end"),
+    val goldMap = g.select($"url", $"start".as("g_start"), $"end".as("g_end"),
         $"entity_class", $"source", $"default_label", $"idx")
       .join(matchedGold, Seq("url", "g_start", "g_end", "entity_class"))
       .select(mapCols.map(col): _*)
       .distinct()
-    // each side feeds THREE set ops (intersect + two excepts) — persist
-    // once, released by the caller via CacheRegistry
-    val goldMap = graft.util.CacheRegistry.register(
-      goldMap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val tm = graft.util.CacheRegistry.register(
-      testMap.select(mapCols.map(col): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val tp = goldMap.intersect(tm)
-      .groupBy($"source").agg(count(lit(1)).as("tp"))
-    val fn = goldMap.except(tm)
-      .groupBy($"source").agg(count(lit(1)).as("fn"))
-    val fp = tm.except(goldMap)
-      .groupBy($"source").agg(count(lit(1)).as("fp"))
-    tp.join(fp, Seq("source"), "outer")
-      .join(fn, Seq("source"), "outer")
-      .na.fill(0L)
+    // set-compare in ONE pass: both sides are distinct on the full mapping
+    // identity, so a full-outer join on mapCols IS exact set membership —
+    // tp = both sides, fn = gold-only, fp = test-only. This replaces the
+    // previous intersect + two excepts (each a full shuffle of BOTH
+    // persisted sides — six exchanges plus two result joins) with one join
+    // and one partial-aggregated groupBy, and lets each side stay
+    // single-consumer (no persist needed).
+    goldMap.withColumn("in_gold", lit(true))
+      .join(testMap.select(mapCols.map(col): _*).withColumn("in_test", lit(true)),
+        mapCols, "full_outer")
+      .groupBy($"source")
+      .agg(
+        sum(when($"in_gold".isNotNull && $"in_test".isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when($"in_test".isNotNull && $"in_gold".isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when($"in_gold".isNotNull && $"in_test".isNull, 1L).otherwise(0L)).as("fn"))
       .select($"source", $"tp", $"fp", $"fn")
       .withColumn("precision",
         when($"tp" + $"fp" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fp")))

@@ -145,6 +145,66 @@ class OverlapJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(bucketed == plain)
     assert(plain.nonEmpty)
   }
+
+  test("linkingScores full-outer set-compare ≡ intersect/except algebra (property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random per-mapping rows; sources skewed so some appear only in gold
+    // (pure-fn) or only in test (pure-fp) — the paths the old na.fill(0)
+    // covered
+    val rnd = new scala.util.Random(91)
+    def mappings(n: Int, sources: Seq[String]) = (0 until n).map { _ =>
+      val url = s"u${rnd.nextInt(8)}"
+      val s = rnd.nextInt(200)
+      (url, s, s + 1 + rnd.nextInt(60), if (rnd.nextBoolean()) "a" else "b",
+        sources(rnd.nextInt(sources.size)), s"lbl${rnd.nextInt(5)}",
+        s"idx${rnd.nextInt(9)}")
+    }
+    val pred = mappings(400, Seq("S1", "S2", "S3", "ONLYTEST"))
+      .toDF("url", "start", "end", "entity_class", "source", "default_label", "idx")
+    val gold = mappings(400, Seq("S1", "S2", "S3", "ONLYGOLD"))
+      .toDF("url", "start", "end", "entity_class", "source", "default_label", "idx")
+    val got = graft.eval.Acceptance.linkingScores(spark, pred, gold)
+      .collect().map(_.toSeq).toList
+    graft.util.CacheRegistry.releaseAll()
+    // reference formulation: re-derive testMap/goldMap and score with
+    // intersect + two excepts (the set algebra the reference's
+    // aggregate_linking_results computes with python sets)
+    val mapCols = Seq("url", "g_start", "g_end", "entity_class", "source",
+      "default_label", "idx")
+    val pe = pred.select($"url", $"start", $"end", $"entity_class").distinct()
+    val ge = gold.select($"url", $"start".as("g_start"), $"end".as("g_end"),
+      $"entity_class").distinct()
+    val ov = pe.join(ge,
+        pe("url") === ge("url") && pe("entity_class") === ge("entity_class") &&
+        $"g_start" < pe("end") && pe("start") < $"g_end")
+      .select(pe("url"), $"g_start", $"g_end", pe("entity_class"), pe("start"), pe("end"))
+      .distinct()
+    val tm = ov.join(pred, Seq("url", "start", "end", "entity_class"))
+      .select(mapCols.map(col): _*).distinct()
+    val gm = gold.select($"url", $"start".as("g_start"), $"end".as("g_end"),
+        $"entity_class", $"source", $"default_label", $"idx")
+      .join(ov.select($"url", $"g_start", $"g_end", $"entity_class").distinct(),
+        Seq("url", "g_start", "g_end", "entity_class"))
+      .select(mapCols.map(col): _*).distinct()
+    val tp = gm.intersect(tm).groupBy($"source").agg(count(lit(1)).as("tp"))
+    val fn = gm.except(tm).groupBy($"source").agg(count(lit(1)).as("fn"))
+    val fp = tm.except(gm).groupBy($"source").agg(count(lit(1)).as("fp"))
+    val expected = tp.join(fp, Seq("source"), "outer").join(fn, Seq("source"), "outer")
+      .na.fill(0L)
+      .select($"source", $"tp", $"fp", $"fn")
+      .withColumn("precision",
+        when($"tp" + $"fp" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fp")))
+      .withColumn("recall",
+        when($"tp" + $"fn" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fn")))
+      .orderBy($"source")
+      .collect().map(_.toSeq).toList
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the skewed sources exercised both single-membership paths
+    val bySource = got.map(r => r.head.toString -> r).toMap
+    assert(bySource.contains("ONLYGOLD") || bySource.contains("ONLYTEST"))
+  }
 }
 
 class PartitioningInvarianceSpec extends AnyFunSuite with SparkTestBase {

@@ -31,20 +31,44 @@ object VerifySubset {
       }
     })
 
+    // task-end events arrive on the async listener bus; poll until the
+    // counters are quiet for a full window (straggler events after a
+    // heavy query would otherwise be dropped from its row and credited
+    // to the NEXT query's reset counters)
+    def drainListener(): Unit = {
+      var prev = (memSpilled.get, diskSpilled.get, peakExec.get)
+      var waited = 0
+      var quiet = false
+      while (!quiet && waited < 10000) {
+        Thread.sleep(300); waited += 300
+        val cur = (memSpilled.get, diskSpilled.get, peakExec.get)
+        quiet = cur == prev
+        prev = cur
+      }
+    }
+
     names.split(",").foreach { n =>
       memSpilled.set(0); diskSpilled.set(0); peakExec.set(0)
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
-      catch { case e: Throwable => System.err.println(s"[subset] $n failed: $e"); e.printStackTrace() }
+      val err: Option[String] =
+        try { SparkEntry.queries(n)(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n"); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[subset] $n failed: $e"); e.printStackTrace()
+          Some(e.getClass.getSimpleName)
+        }
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // task-end events are async
+      // match the real driver's per-query cache regime (Verify releases
+      // registered persists after every query) so the published heap/spill
+      // numbers aren't cross-contaminated by prior queries' caches; the
+      // SHARED memoized docs/triples stay warm, as in Bench
+      graft.util.CacheRegistry.releaseAll()
+      drainListener()
       val rt = Runtime.getRuntime
       val heapUsed = rt.totalMemory() - rt.freeMemory()
-      println(f"""{"query":"$n","wall_sec":$wall%.1f,"mem_spilled_mb":${memSpilled.get / 1048576},"disk_spilled_mb":${diskSpilled.get / 1048576},"peak_task_exec_mem_mb":${peakExec.get / 1048576},"jvm_heap_used_mb":${heapUsed / 1048576}}""")
+      val errField = err.map(e => s""","err":${graft.util.Json.quote(e)}""").getOrElse("")
+      println(s"""{"query":"$n","wall_sec":${graft.util.Json.num(wall, 1)},"mem_spilled_mb":${memSpilled.get / 1048576},"disk_spilled_mb":${diskSpilled.get / 1048576},"peak_task_exec_mem_mb":${peakExec.get / 1048576},"jvm_heap_used_mb":${heapUsed / 1048576}$errField}""")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    import graft.util.Json.{quote => q}
     val json = SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -18,11 +18,13 @@ con = duckdb.connect()
 # explicit spill directory with tens of GB free and a bounded memory pool;
 # both default off so the driver-identical small-SF path is unchanged.
 import os
+def _sq(v):  # SET doesn't take bind parameters; escape quotes for the literal
+    return v.replace("'", "''")
 if os.environ.get('DUCKDB_TMP'):
     os.makedirs(os.environ['DUCKDB_TMP'], exist_ok=True)
-    con.execute(f"SET temp_directory='{os.environ['DUCKDB_TMP']}'")
+    con.execute(f"SET temp_directory='{_sq(os.environ['DUCKDB_TMP'])}'")
 if os.environ.get('DUCKDB_MEMLIMIT'):
-    con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMLIMIT']}'")
+    con.execute(f"SET memory_limit='{_sq(os.environ['DUCKDB_MEMLIMIT'])}'")
 # DuckDB group-by builds one hash table per thread, so at 32 threads the
 # sf10 n-gram/minhash replays multiply their intermediates 32×; capping
 # threads trades wall time for fitting the pool. An OOM also poisons the
