@@ -103,7 +103,6 @@ object StreamingPipeline {
   def dedupStreamReplay(spark: SparkSession, docs: DataFrame,
       numBatches: Int = 4): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
     val bsz = math.max(1L, math.ceil(rows.length / numBatches.toDouble).toLong)
@@ -111,48 +110,58 @@ object StreamingPipeline {
     // sessions sharing one context, and the view would pin the sink's rows
     // in driver memory until session end
     val sink = s"dedup_stream_sink_${replaySinkSeq.incrementAndGet()}"
-    val in = MemoryStream[(String, String)]
     // the replay's dominant cost is per-partition fixed overhead (one state
     // store open + delta commit + fsync per partition PER MICRO-BATCH), not
     // data: size the stateful shuffle to the replayed corpus instead of
     // inheriting the session default, and put the harness checkpoint on
     // tmpfs. Output is partition-count-invariant (each content-hash group is
-    // processed whole and sorted by url inside the state function), and the
-    // stateful-operator partitioning is pinned at query start, so the
-    // session conf is restored immediately after start(). Production
+    // processed whole and sorted by url inside the state function). The
+    // harness conf lives on a CLONED session (shared SparkContext, private
+    // SQLConf + catalog) so concurrent work on the caller's session never
+    // observes — or races with — the replay's partition setting. Production
     // streams keep the cluster default and a durable checkpoint.
     val stateParts = math.min(8L, math.max(1L, rows.length / 2000L)).toString
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", stateParts)
+    implicit val replayCtx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    val in = MemoryStream[(String, String)]
     val shmDir = new java.io.File("/dev/shm")
     val ckptBase = if (shmDir.isDirectory && shmDir.canWrite) shmDir.toPath
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, "graft-replay-ckpt")
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stateParts)
-    val q = try {
-      dedupStream(spark, in.toDF().toDF("url", "text"))
+    val out = try {
+      // explicit file: scheme — a schemeless path would resolve against
+      // fs.defaultFS and silently land the checkpoint off-box on a cluster
+      val q = dedupStream(sess, in.toDF().toDF("url", "text"))
         .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ckpt.toString)
+        .option("checkpointLocation", "file:" + ckpt)
         .outputMode(OutputMode.Append()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try {
-      rows.groupBy(_._1 / bsz).toSeq.sortBy(_._1).foreach { case (_, chunk) =>
-        in.addData(chunk.toSeq.map { case (id, t) => (id.toString, t) })
-        q.processAllAvailable()
+      try {
+        rows.groupBy(_._1 / bsz).toSeq.sortBy(_._1).foreach { case (_, chunk) =>
+          in.addData(chunk.toSeq.map { case (id, t) => (id.toString, t) })
+          q.processAllAvailable()
+        }
+      } finally {
+        try q.stop()
+        catch { case e: Throwable =>
+          System.err.println(s"[dedupStreamReplay] stop failed: $e") }
       }
+      // materialize off the sink, then drop the view so its buffered rows
+      // are released now rather than at session end
+      val collected = sess.table(sink)
+        .select($"url", $"textMd5", $"isFirstSeen", $"nOccurrence")
+        .as[(String, String, Boolean, Long)].collect().toSeq
+      sess.catalog.dropTempView(sink)
+      collected
     } finally {
-      q.stop()
-      // harness-only checkpoint: delete now, not at JVM exit
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
-      }
-      rm(ckpt.toFile)
+      // harness-only checkpoint: delete now, not at JVM exit. Hadoop FS
+      // recursive delete (not java.io.File walking — cluster-safe, and a
+      // single call whose failure is observable rather than silent)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        sess.sparkContext.hadoopConfiguration)
+      if (!fs.delete(new org.apache.hadoop.fs.Path(ckpt.toString), true))
+        System.err.println(s"[dedupStreamReplay] checkpoint not fully removed: $ckpt")
     }
-    // materialize off the sink, then drop the view so its buffered rows are
-    // released now rather than at session end
-    val out = spark.table(sink)
-      .select($"url", $"textMd5", $"isFirstSeen", $"nOccurrence")
-      .as[(String, String, Boolean, Long)].collect().toSeq
-    spark.catalog.dropTempView(sink)
     out.toDF("url", "text_md5", "is_first_seen", "n_occurrence")
       .orderBy($"url")
   }
