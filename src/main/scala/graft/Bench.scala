@@ -50,7 +50,7 @@ object Bench {
     }
     // locale-independent 3-decimal formatting (the f interpolator honors
     // the default locale; a comma decimal separator would corrupt the JSON)
-    def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    def fmt(v: Double): String = graft.util.Json.num(v, 3)
     // headline per-query value = the true median (mean of the two middle
     // elements for an even run count — upper-middle alone would bias the
     // headline toward the WORSE run)

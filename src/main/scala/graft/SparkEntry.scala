@@ -636,7 +636,8 @@ object SparkEntry {
       // C9 SETH mutation NER as a driver row: every doc gets a deterministic
       // suffix planting one mention of each asked family — nucleotide
       // substitution, deletion, insertion, protein substitution, frameshift,
-      // and a dbSNP id — with all variable parts (positions, bases, residue
+      // a dbSNP id, and a parenthesized "(p.X123Y)" literature form (close
+      // paren trimmed) — with all variable parts (positions, bases, residue
       // names) derived arithmetically from doc_id at FIXED widths, so the
       // oracle reconstructs every span offset and normalized HGVS without a
       // regex. The recognizer scans the full decorated text (the corpus part
@@ -653,7 +654,7 @@ object SparkEntry {
           val aa1 = aa3((n % 20).toInt); val aa2 = aa3(((n + 7) % 20).toInt)
           val suffix = s" variant c.$p1$b1>$b2 and c.${p2}del$b1 plus " +
             s"c.${p3}_${p3 + 1}ins$b2$b1 with p.$aa1$p4$aa2 frameshift " +
-            s"p.$aa1${p5}fs and rs$rsid found."
+            s"p.$aa1${p5}fs and rs$rsid found. also (p.$aa2$p4$aa1) noted."
           graft.ner.MutationNer.findMutations(t + suffix).map { m =>
             (n, m.start.toLong, m.end.toLong, m.text, m.hgvs, m.mutationType,
               m.wtResidue, m.mutResidue, m.foundWith, m.proteinMutation,
@@ -1350,7 +1351,13 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id, L+95, L+101,
          |    'rs' || rsid, 'rs' || rsid,
-         |    'DBSNP', '', '', 'DBSNP', false, false, false FROM v)
+         |    'DBSNP', '', '', 'DBSNP', false, false, false FROM v
+         |  UNION ALL
+         |  -- parenthesized literature form "(p.Aa2NNNAa1)": the recognizer
+         |  -- keeps the mention and trims the sentence's close paren
+         |  SELECT doc_id, L+115, L+126,
+         |    'p.' || aa2 || p4 || aa1, 'p.' || a2 || p4 || a1,
+         |    'SUBSTITUTION', a2, a1, 'SETH', true, false, false FROM v)
          |ORDER BY doc_id, start""".stripMargin
     },
     // acceptance P/R: pred + gold both re-derived from the full-dump

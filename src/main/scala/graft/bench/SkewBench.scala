@@ -242,7 +242,9 @@ object SkewBench {
       graft.util.CacheRegistry.releaseAll()
       spark.read.parquet(s"$workDir/out_acceptance").count()
     }(bounded)
-    val hotNaive = math.min(5000, hotSpanCopies)
+    // max(1, …): a sub-1e-5 SPARK_GRAFT_SKEW_SCALE smoke run truncates
+    // hotSpanCopies to 0, and the keep-1-in-N filter below divides by this
+    val hotNaive = math.max(1, math.min(5000, hotSpanCopies))
     results += measure(spark, "acceptance_theta_naive") {
       // naive contrast at a REDUCED hot-span count (the full 10^5×10^5
       // single-key probe would run for hours): the theta join sort-merges

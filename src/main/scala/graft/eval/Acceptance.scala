@@ -124,20 +124,26 @@ object Acceptance {
       .select(mapCols.map(col): _*)
       .distinct()
     // set-compare in ONE pass: both sides are distinct on the full mapping
-    // identity, so a full-outer join on mapCols IS exact set membership —
+    // identity, so per-key presence flags ARE exact set membership —
     // tp = both sides, fn = gold-only, fp = test-only. This replaces the
     // previous intersect + two excepts (each a full shuffle of BOTH
-    // persisted sides — six exchanges plus two result joins) with one join
-    // and one partial-aggregated groupBy, and lets each side stay
-    // single-consumer (no persist needed).
-    goldMap.withColumn("in_gold", lit(true))
-      .join(testMap.select(mapCols.map(col): _*).withColumn("in_test", lit(true)),
-        mapCols, "full_outer")
+    // persisted sides — six exchanges plus two result joins) with one
+    // union + grouped-flags pass, and lets each side stay single-consumer
+    // (no persist needed). Flags via GROUP BY rather than a full-outer
+    // join: SQL grouping treats NULL keys as equal (like the set ops this
+    // replaced), where join equality would split a NULL-keyed row present
+    // on both sides into a spurious fp+fn pair.
+    goldMap.select(mapCols.map(col): _*)
+      .withColumn("g", lit(1)).withColumn("t", lit(0))
+      .unionByName(testMap.select(mapCols.map(col): _*)
+        .withColumn("g", lit(0)).withColumn("t", lit(1)))
+      .groupBy(mapCols.map(col): _*)
+      .agg(max($"g").as("in_gold"), max($"t").as("in_test"))
       .groupBy($"source")
       .agg(
-        sum(when($"in_gold".isNotNull && $"in_test".isNotNull, 1L).otherwise(0L)).as("tp"),
-        sum(when($"in_test".isNotNull && $"in_gold".isNull, 1L).otherwise(0L)).as("fp"),
-        sum(when($"in_gold".isNotNull && $"in_test".isNull, 1L).otherwise(0L)).as("fn"))
+        sum(when($"in_gold" === 1 && $"in_test" === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when($"in_test" === 1 && $"in_gold" === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when($"in_gold" === 1 && $"in_test" === 0, 1L).otherwise(0L)).as("fn"))
       .select($"source", $"tp", $"fp", $"fn")
       .withColumn("precision",
         when($"tp" + $"fp" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fp")))

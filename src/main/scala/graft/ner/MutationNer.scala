@@ -148,15 +148,26 @@ object MutationNer {
         ambiguous = false))
     }
 
-    def balanced(open: String, close: String): Boolean =
-      (open == "(") == (close == ")")
+    // Paren handling for the protein planes: HGVS uncertain syntax
+    // `p.(Leu90Pro)` keeps both parens; the common literature form
+    // `... (p.Leu90Pro) ...` has the OPEN paren before `p.` (outside the
+    // match) while the sentence's close paren lands in the optional close
+    // group — the mention is real, the paren is not part of it, so trim it
+    // from the span instead of rejecting the match. An open without a close
+    // (`p.(Leu90Pro`) is genuinely malformed and stays rejected.
+    def span(open: String, close: String, start: Int, end: Int,
+        text: String): Option[(Int, Int, String)] =
+      if ((open == "(") == (close == ")")) Some((start, end, text))
+      else if (open.isEmpty && close == ")") Some((start, end - 1, text.dropRight(1)))
+      else None
 
     val fm = ProtFsRe.matcher(text)
-    while (fm.find()) if (balanced(fm.group(1), fm.group(6))) {
+    while (fm.find()) span(fm.group(1), fm.group(6), fm.start, fm.end,
+        fm.group()).foreach { case (ms, me, mt) =>
       val wt = to1(fm.group(2))
       val mut = to1(fm.group(4))
       val term = Option(fm.group(5)).map("*" + _).getOrElse("")
-      cands += Cand(0, MutationMention(fm.start, fm.end, fm.group(),
+      cands += Cand(0, MutationMention(ms, me, mt,
         hgvs = "p." + wt + fm.group(3) + "fs" + term,
         wtResidue = wt, mutResidue = mut, mutationType = "FRAMESHIFT",
         foundWith = "SETH", proteinMutation = true,
@@ -164,14 +175,15 @@ object MutationNer {
     }
 
     val rm = ProtRangeRe.matcher(text)
-    while (rm.find()) if (balanced(rm.group(1), rm.group(10))) {
+    while (rm.find()) span(rm.group(1), rm.group(10), rm.start, rm.end,
+        rm.group()).foreach { case (ms, me, mt) =>
       val (tpe, op, seq) =
         if (rm.group(6) != null) ("DELETION_INSERTION", "delins", seqTo1(rm.group(6)))
         else if (rm.group(7) != null) ("INSERTION", "ins", seqTo1(rm.group(7)))
         else if (rm.group(8) != null) ("DELETION", "del", "")
         else ("DUPLICATION", "dup", "")
       val wt = to1(rm.group(2))
-      cands += Cand(0, MutationMention(rm.start, rm.end, rm.group(),
+      cands += Cand(0, MutationMention(ms, me, mt,
         hgvs = "p." + wt + rm.group(3) + "_" + to1(rm.group(4)) + rm.group(5) + op + seq,
         wtResidue = wt, mutResidue = seq, mutationType = tpe,
         foundWith = "SETH", proteinMutation = true,
@@ -179,10 +191,11 @@ object MutationNer {
     }
 
     val pm = ProtPointRe.matcher(text)
-    while (pm.find()) if (balanced(pm.group(1), pm.group(5))) {
+    while (pm.find()) span(pm.group(1), pm.group(5), pm.start, pm.end,
+        pm.group()).foreach { case (ms, me, mt) =>
       val wt = to1(pm.group(2))
       val tpe = if (pm.group(4) == "del") "DELETION" else "DUPLICATION"
-      cands += Cand(0, MutationMention(pm.start, pm.end, pm.group(),
+      cands += Cand(0, MutationMention(ms, me, mt,
         hgvs = "p." + wt + pm.group(3) + pm.group(4),
         wtResidue = wt, mutResidue = "", mutationType = tpe,
         foundWith = "SETH", proteinMutation = true,
@@ -190,12 +203,13 @@ object MutationNer {
     }
 
     val sm = ProtSubRe.matcher(text)
-    while (sm.find()) if (balanced(sm.group(1), sm.group(5))) {
+    while (sm.find()) span(sm.group(1), sm.group(5), sm.start, sm.end,
+        sm.group()).foreach { case (ms, me, mt) =>
       val wt = to1(sm.group(2))
       val mutTok = sm.group(4)
       val mut = if (mutTok == "=") wt else to1(mutTok)
       val tpe = if (mutTok == "=" || mut == wt) "SILENT" else "SUBSTITUTION"
-      cands += Cand(0, MutationMention(sm.start, sm.end, sm.group(),
+      cands += Cand(0, MutationMention(ms, me, mt,
         hgvs = "p." + wt + sm.group(3) + (if (mutTok == "=") "=" else mut),
         wtResidue = wt, mutResidue = mut, mutationType = tpe,
         foundWith = "SETH", proteinMutation = true,

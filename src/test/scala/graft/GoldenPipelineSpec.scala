@@ -146,18 +146,22 @@ class OverlapJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(plain.nonEmpty)
   }
 
-  test("linkingScores full-outer set-compare ≡ intersect/except algebra (property)") {
+  test("linkingScores single-pass set-compare ≡ intersect/except algebra (property)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // random per-mapping rows; sources skewed so some appear only in gold
     // (pure-fn) or only in test (pure-fp) — the paths the old na.fill(0)
-    // covered
+    // covered. default_label is sometimes NULL: SQL set ops treat NULL
+    // keys as equal, so a NULL-labelled mapping present on both sides must
+    // count as tp — join-equality formulations get this wrong, which is
+    // why the implementation groups presence flags instead of joining.
     val rnd = new scala.util.Random(91)
     def mappings(n: Int, sources: Seq[String]) = (0 until n).map { _ =>
       val url = s"u${rnd.nextInt(8)}"
       val s = rnd.nextInt(200)
       (url, s, s + 1 + rnd.nextInt(60), if (rnd.nextBoolean()) "a" else "b",
-        sources(rnd.nextInt(sources.size)), s"lbl${rnd.nextInt(5)}",
+        sources(rnd.nextInt(sources.size)),
+        if (rnd.nextInt(6) == 0) null else s"lbl${rnd.nextInt(5)}",
         s"idx${rnd.nextInt(9)}")
     }
     val pred = mappings(400, Seq("S1", "S2", "S3", "ONLYTEST"))

@@ -114,6 +114,31 @@ class MutationNerSpec extends AnyFunSuite {
     assert(find("the word dup alone").isEmpty)
   }
 
+  test("parenthesized literature form keeps the mention, trims the paren") {
+    // "(p.Leu90Pro)": the open paren precedes `p.` (outside the match), the
+    // sentence's close paren lands in the optional close group — the mention
+    // must survive with the paren trimmed from its span (was: dropped whole)
+    val t = "the variant c.269T>C (p.Leu90Pro) was detected"
+    val prot = find(t).filter(_.proteinMutation)
+    assert(prot.size == 1)
+    val p = prot.head
+    assert(p.text == "p.Leu90Pro" && p.hgvs == "p.L90P" && p.foundWith == "SETH")
+    assert(t.substring(p.start, p.end) == "p.Leu90Pro")
+    // same for the other three protein families
+    val fs = find("a change (p.Arg83fs) here").filter(_.proteinMutation)
+    assert(fs.size == 1 && fs.head.text == "p.Arg83fs"
+      && fs.head.mutationType == "FRAMESHIFT")
+    val rng = find("seen (p.Gly4_Gln6dup) there").filter(_.proteinMutation)
+    assert(rng.size == 1 && rng.head.text == "p.Gly4_Gln6dup"
+      && rng.head.mutationType == "DUPLICATION")
+    val pt = find("and (p.Trp26del) too").filter(_.proteinMutation)
+    assert(pt.size == 1 && pt.head.text == "p.Trp26del"
+      && pt.head.mutationType == "DELETION")
+    // uncertain HGVS syntax with BOTH parens inside the match is unchanged
+    val both = find("the p.(Trp26Ter) variant").head
+    assert(both.text == "p.(Trp26Ter)")
+  }
+
   test("overlap resolution prefers the grammar plane and longest match") {
     // inside p.Leu90Pro the 3-letter MF pattern must not double-fire
     assert(find("p.Leu90Pro").size == 1)
