@@ -92,13 +92,15 @@ object PlanAudit {
     Audit("kg_acceptance_linking",
       "linking-level acceptance: the interval join is persisted and " +
         "feeds both mapping re-keys once (InMemoryTableScan); the " +
-        "per-source tp/fp/fn set-compare is ONE full-outer SortMergeJoin " +
-        "on the 7-column mapping identity + one partial-aggregated " +
-        "group-by (not intersect + two excepts, which would shuffle both " +
-        "sides three times); no broadcast dependence on either " +
-        "corpus-derived side.",
-      mustContain = Seq("InMemoryTableScan", "FullOuter", "partial_"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+        "per-source tp/fp/fn set-compare is ONE union + grouped presence " +
+        "flags on the 7-column mapping identity (null-safe, matching the " +
+        "reference's set algebra) + one partial-aggregated group-by — " +
+        "not a full-outer join (NULL keys would split) and not intersect " +
+        "+ two excepts (three shuffles of both sides); no broadcast " +
+        "dependence on either corpus-derived side.",
+      mustContain = Seq("InMemoryTableScan", "Union", "partial_"),
+      mustNotContain = Seq("FullOuter", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
     Audit("kg_acceptance_corpus",
       "corpus×corpus acceptance (re-crawl comparison): BOTH span sets are " +
         "corpus-sized, so the overlap predicate rides the bucketed " +
