@@ -265,8 +265,12 @@ object SkewBench {
       -1L
     }(r =>
       // the skew signature: the hot (url, class) key's rows all shuffle to
-      // ONE sort-merge task
-      if (r.maxShuffleRead >= hotNaive) "SKEWED(hot page on one task, as expected)"
+      // ONE sort-merge task. A smoke scale that truncates hotSpanCopies to
+      // 0 has no hot key at all — the threshold (>=1 row) would be
+      // trivially met by any task, so label the verdict inapplicable
+      // instead of reporting phantom skew
+      if (hotSpanCopies == 0) "no-hot-rows-at-this-scale(verdict n/a)"
+      else if (r.maxShuffleRead >= hotNaive) "SKEWED(hot page on one task, as expected)"
       else "naive-shape-did-not-skew(UNEXPECTED)")
 
     // ---- triples aggregations ----------------------------------------------

@@ -133,10 +133,8 @@ object Acceptance {
     // join: SQL grouping treats NULL keys as equal (like the set ops this
     // replaced), where join equality would split a NULL-keyed row present
     // on both sides into a spurious fp+fn pair.
-    goldMap.select(mapCols.map(col): _*)
-      .withColumn("g", lit(1)).withColumn("t", lit(0))
-      .unionByName(testMap.select(mapCols.map(col): _*)
-        .withColumn("g", lit(0)).withColumn("t", lit(1)))
+    goldMap.withColumn("g", lit(1)).withColumn("t", lit(0))
+      .unionByName(testMap.withColumn("g", lit(0)).withColumn("t", lit(1)))
       .groupBy(mapCols.map(col): _*)
       .agg(max($"g").as("in_gold"), max($"t").as("in_test"))
       .groupBy($"source")

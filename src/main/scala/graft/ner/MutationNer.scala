@@ -156,9 +156,9 @@ object MutationNer {
     // from the span instead of rejecting the match. An open without a close
     // (`p.(Leu90Pro`) is genuinely malformed and stays rejected.
     def span(open: String, close: String, start: Int, end: Int,
-        text: String): Option[(Int, Int, String)] =
-      if ((open == "(") == (close == ")")) Some((start, end, text))
-      else if (open.isEmpty && close == ")") Some((start, end - 1, text.dropRight(1)))
+        matched: String): Option[(Int, Int, String)] =
+      if ((open == "(") == (close == ")")) Some((start, end, matched))
+      else if (open.isEmpty && close == ")") Some((start, end - 1, matched.dropRight(1)))
       else None
 
     val fm = ProtFsRe.matcher(text)
