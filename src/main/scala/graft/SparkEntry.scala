@@ -269,6 +269,11 @@ object SparkEntry {
     * write-once/read-many cost separately from the queries that read it. */
   def materializeShared(spark: SparkSession, sfDir: String): Unit = {
     pipelineTriples(spark, sfDir).count()
+    // the trie-only comparison pipeline is also write-once/read-many
+    // (kg_acceptance_corpus's gold side): billing its one-time build to
+    // that query's first timed run would re-create exactly the
+    // materialization/per-query conflation materialize_sec exists to avoid
+    trieOnlyTriples(spark, sfDir).count()
     ()
   }
 
@@ -655,10 +660,17 @@ object SparkEntry {
           val suffix = s" variant c.$p1$b1>$b2 and c.${p2}del$b1 plus " +
             s"c.${p3}_${p3 + 1}ins$b2$b1 with p.$aa1$p4$aa2 frameshift " +
             s"p.$aa1${p5}fs and rs$rsid found. also (p.$aa2$p4$aa1) noted."
+          // emit CODE-POINT offsets: the oracle reconstructs spans as
+          // length(text)+k and DuckDB counts code points, while Java String
+          // indices are UTF-16 units — a non-BMP char in the corpus would
+          // silently shift every planted offset by one. All mentions live in
+          // the ASCII suffix (the corpus part is pattern-free), so shifting
+          // by the doc's surrogate-pair deficit is exact.
+          val cpBase = (t.codePointCount(0, t.length) - t.length).toLong
           graft.ner.MutationNer.findMutations(t + suffix).map { m =>
-            (n, m.start.toLong, m.end.toLong, m.text, m.hgvs, m.mutationType,
-              m.wtResidue, m.mutResidue, m.foundWith, m.proteinMutation,
-              m.nucleotideMutation, m.ambiguous)
+            (n, m.start + cpBase, m.end + cpBase, m.text, m.hgvs,
+              m.mutationType, m.wtResidue, m.mutResidue, m.foundWith,
+              m.proteinMutation, m.nucleotideMutation, m.ambiguous)
           }
         }
         .toDF("doc_id", "start", "end", "match", "hgvs", "mutation_type",

@@ -52,14 +52,29 @@ object Acceptance {
     val goldMatched = graft.util.CacheRegistry.register(
       overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val tp = goldMatched
-      .groupBy($"g_class".as("entity_class")).agg(count(lit(1)).as("tp"))
     val predMatched = overlap.select($"url", $"start", $"end", $"entity_class").distinct()
+    assembleNerScores(p,
+      g.toDF("url", "start", "end", "entity_class"),
+      goldMatched.toDF("url", "start", "end", "entity_class"),
+      predMatched)
+  }
+
+  /** tp/fp/fn + precision/recall assembly shared by the theta-join
+    * ([[nerScores]]) and bucketed ([[nerScoresBucketed]]) forms — the two
+    * are spec- and oracle-asserted equivalent, so the scoring algebra must
+    * have exactly one definition. All inputs carry the plain
+    * (url, start, end, entity_class) shape and are distinct on it;
+    * goldMatched/predMatched are the overlap join's two projections. */
+  private def assembleNerScores(p: DataFrame, g: DataFrame,
+      goldMatched: DataFrame, predMatched: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val tp = goldMatched.groupBy($"entity_class").agg(count(lit(1)).as("tp"))
     val fp = p.exceptAll(predMatched)
       .groupBy($"entity_class").agg(count(lit(1)).as("fp"))
     val fn = g.join(goldMatched,
-        Seq("g_url", "g_start", "g_end", "g_class"), "left_anti")
-      .groupBy($"g_class".as("entity_class")).agg(count(lit(1)).as("fn"))
+        Seq("url", "start", "end", "entity_class"), "left_anti")
+      .groupBy($"entity_class").agg(count(lit(1)).as("fn"))
     tp.join(fp, Seq("entity_class"), "outer")
       .join(fn, Seq("entity_class"), "outer")
       .na.fill(0L)
@@ -204,22 +219,9 @@ object Acceptance {
       inputsDistinct = true))
     val goldMatched = reg(ov.select($"p_url".as("url"), $"g_start".as("start"),
       $"g_end".as("end"), $"p_class".as("entity_class")).distinct())
-    val tp = goldMatched.groupBy($"entity_class").agg(count(lit(1)).as("tp"))
     val predMatched = ov.select($"p_url".as("url"), $"p_start".as("start"),
       $"p_end".as("end"), $"p_class".as("entity_class")).distinct()
-    val fp = p.exceptAll(predMatched)
-      .groupBy($"entity_class").agg(count(lit(1)).as("fp"))
-    val fn = g.join(goldMatched,
-        Seq("url", "start", "end", "entity_class"), "left_anti")
-      .groupBy($"entity_class").agg(count(lit(1)).as("fn"))
-    tp.join(fp, Seq("entity_class"), "outer")
-      .join(fn, Seq("entity_class"), "outer")
-      .na.fill(0L)
-      .withColumn("precision",
-        when($"tp" + $"fp" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fp")))
-      .withColumn("recall",
-        when($"tp" + $"fn" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fn")))
-      .orderBy($"entity_class")
+    assembleNerScores(p, g, goldMatched, predMatched)
   }
 
   /** Triple-level P/R: exact (subj, pred, obj) matching between an emitted

@@ -168,7 +168,10 @@ object MutationNer {
       val mut = to1(fm.group(4))
       val term = Option(fm.group(5)).map("*" + _).getOrElse("")
       cands += Cand(0, MutationMention(ms, me, mt,
-        hgvs = "p." + wt + fm.group(3) + "fs" + term,
+        // HGVS short form keeps the NEW residue when stated
+        // (p.Arg97ProfsTer23 → p.R97Pfs*23): dropping it would collapse
+        // distinct frameshift variants to one normalized key
+        hgvs = "p." + wt + fm.group(3) + mut + "fs" + term,
         wtResidue = wt, mutResidue = mut, mutationType = "FRAMESHIFT",
         foundWith = "SETH", proteinMutation = true,
         nucleotideMutation = false, ambiguous = false))

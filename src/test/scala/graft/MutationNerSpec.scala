@@ -81,7 +81,10 @@ class MutationNerSpec extends AnyFunSuite {
     val fs = find("p.Arg97fs").head
     assert(fs.mutationType == "FRAMESHIFT" && fs.hgvs == "p.R97fs")
     val fsLong = find("p.Arg97ProfsTer23").head
-    assert(fsLong.hgvs == "p.R97fs*23" && fsLong.mutResidue == "P")
+    // HGVS short form keeps the new residue: distinct frameshifts
+    // (ProfsTer23 vs SerfsTer23) must not collapse to one normalized key
+    assert(fsLong.hgvs == "p.R97Pfs*23" && fsLong.mutResidue == "P")
+    assert(find("p.Arg97SerfsTer23").head.hgvs == "p.R97Sfs*23")
     val fsStar = find("p.Arg97fs*23").head
     assert(fsStar.hgvs == "p.R97fs*23")
   }
