@@ -158,4 +158,65 @@ class MutationNerSpec extends AnyFunSuite {
     assert(m.mappings.head.idx == "mutation" && m.mappings.head.parserName == "n/a")
     assert(m.matchNorm == "c.269T>C")
   }
+
+  test("seeded generator fuzz: 500 grammar mentions round-trip with exact spans") {
+    // expectations are DERIVED FROM THE GENERATED PARTS, never from the
+    // code under test: each case constructs (surface, normalized hgvs,
+    // type, wt, mut) independently, embeds the surface in pattern-free
+    // filler, and asserts the recognizer returns exactly that mention
+    val aa3 = MutationNer.AminoAcids3
+    val aa1 = MutationNer.AminoAcids1
+    val bases = "ACGT"
+    val rnd = new scala.util.Random(20260817)
+    def pos() = 1 + rnd.nextInt(9999)
+    var checked = 0
+    (0 until 500).foreach { i =>
+      val kind = i % 10
+      val ai = rnd.nextInt(20); val bi = (ai + 1 + rnd.nextInt(19)) % 20
+      val p1 = pos(); val p2 = p1 + 1 + rnd.nextInt(50)
+      val b1 = bases(rnd.nextInt(4)); val b2l = bases.filterNot(_ == b1)
+      val b2 = b2l(rnd.nextInt(b2l.length))
+      val nucPrefix = "cgmnr".charAt(rnd.nextInt(5))
+      // (surface, hgvs, type, wt, mut, isProtein)
+      val (surface, hgvs, tpe, wt, mut, isProt) = kind match {
+        case 0 => (s"$nucPrefix.$p1$b1>$b2", s"$nucPrefix.$p1$b1>$b2",
+          "SUBSTITUTION", s"$b1", s"$b2", false)
+        case 1 => (s"$nucPrefix.${p1}del$b1", s"$nucPrefix.${p1}del$b1",
+          "DELETION", s"$b1", "", false)
+        case 2 => (s"$nucPrefix.${p1}_${p2}ins$b1$b2", s"$nucPrefix.${p1}_${p2}ins$b1$b2",
+          "INSERTION", "", s"$b1$b2", false)
+        case 3 => (s"$nucPrefix.${p1}dup$b2", s"$nucPrefix.${p1}dup$b2",
+          "DUPLICATION", s"$b2", "", false)
+        case 4 => (s"$nucPrefix.${p1}_${p2}delins$b2$b1", s"$nucPrefix.${p1}_${p2}delins$b2$b1",
+          "DELETION_INSERTION", "", s"$b2$b1", false)
+        case 5 => (s"p.${aa3(ai)}$p1${aa3(bi)}", s"p.${aa1(ai)}$p1${aa1(bi)}",
+          "SUBSTITUTION", aa1(ai), aa1(bi), true)
+        case 6 => (s"p.${aa1(ai)}$p1${aa1(bi)}", s"p.${aa1(ai)}$p1${aa1(bi)}",
+          "SUBSTITUTION", aa1(ai), aa1(bi), true)
+        case 7 => (s"p.${aa3(ai)}${p1}del", s"p.${aa1(ai)}${p1}del",
+          "DELETION", aa1(ai), "", true)
+        case 8 =>
+          val term = 1 + rnd.nextInt(99)
+          (s"p.${aa3(ai)}$p1${aa3(bi)}fsTer$term", s"p.${aa1(ai)}$p1${aa1(bi)}fs*$term",
+            "FRAMESHIFT", aa1(ai), aa1(bi), true)
+        case _ => (s"p.${aa3(ai)}${p1}_${aa3(bi)}${p2}dup",
+          s"p.${aa1(ai)}${p1}_${aa1(bi)}${p2}dup", "DUPLICATION", aa1(ai), "", true)
+      }
+      // pattern-free filler (lowercase words, no digits or dots), optional
+      // literature parens around the mention
+      val wrapped = if (rnd.nextBoolean()) s"($surface)" else surface
+      val text = s"the sample carried $wrapped in this gene"
+      val found = MutationNer.findMutations(text).filter(_.foundWith == "SETH")
+      assert(found.size == 1, s"case $i: $text -> $found")
+      val f = found.head
+      assert(f.text == surface, s"case $i: got '${f.text}' want '$surface'")
+      assert(text.substring(f.start, f.end) == surface, s"case $i span")
+      assert(f.hgvs == hgvs, s"case $i: hgvs '${f.hgvs}' want '$hgvs'")
+      assert(f.mutationType == tpe, s"case $i type")
+      assert(f.wtResidue == wt && f.mutResidue == mut, s"case $i residues")
+      assert(f.proteinMutation == isProt && f.nucleotideMutation == !isProt)
+      checked += 1
+    }
+    assert(checked == 500)
+  }
 }
