@@ -18,8 +18,25 @@ object Json {
 
   def fromJson(spark: SparkSession, lines: Dataset[String]): Dataset[KDoc] = {
     import spark.implicits._
-    lines.select(from_json($"value", schema).as("doc"))
-      .select("doc.*")
+    // a corrupt/truncated line makes PERMISSIVE from_json yield a null or
+    // all-null struct, which would decode to a KDoc with sections = null
+    // and NPE inside the first downstream stage — a task abort, violating
+    // the module contract that failures are ROWS. Surface it as a
+    // failed-doc row instead. Detection keys on the REQUIRED url field
+    // (every line toJson writes carries one); the corrupt line's own url is
+    // unrecoverable, so key the row by the line's content hash.
+    val corrupt = $"doc".isNull || $"doc.url".isNull
+    lines.select($"value", from_json($"value", schema).as("doc"))
+      .select(
+        when(corrupt, concat(lit("corrupt-json-"), md5($"value")))
+          .otherwise($"doc.url").as("url"),
+        coalesce($"doc.warcTs", lit(new java.sql.Timestamp(0L))).as("warcTs"),
+        coalesce($"doc.text", lit("")).as("text"),
+        coalesce($"doc.lang", lit("")).as("lang"),
+        coalesce($"doc.sections",
+          typedlit(Seq.empty[graft.model.Section])).as("sections"),
+        when(corrupt, lit("corrupt json line"))
+          .otherwise($"doc.error").as("error"))
       .as[KDoc]
   }
 

@@ -16,10 +16,31 @@ import graft.triples.Triples
   */
 object Main {
 
+  /** Valueless flags. Parsed positionally: a fixed-stride pairing would
+    * desynchronize on the first flag and silently drop every later option
+    * (e.g. `--resume --run-id x` losing the run id → a random UUID runId →
+    * broken lineage correlation). */
+  private val flagOpts = Set("resume")
+
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"unexpected argument: $a")
+      val k = a.drop(2)
+      if (flagOpts(k)) { m += k -> "true"; i += 1 }
+      else {
+        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+          s"--$k needs a value")
+        m += k -> args(i + 1); i += 2
+      }
+    }
+    m.toMap
+  }
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap ++ (if (args.contains("--resume")) Map("resume" -> "true") else Map.empty)
+    val opts = parseArgs(args)
 
     val stepGroup = opts.getOrElse("step-group", "full")
     val input = opts.getOrElse("input", "/root/testdata/sf0.001")
@@ -41,7 +62,10 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val pages = Pages.fromDocuments(spark, input)
+    // lazy: linking_only consumes a docs-JSON hand-off, not a pages table —
+    // an eager read here would fail on $input/documents.parquet before the
+    // branch ever ran
+    lazy val pages = Pages.fromDocuments(spark, input)
     val res = spark.sparkContext.broadcast(Resources.corpus)
     val cfg = Pipeline.Config(
       checkpointDir = opts.get("checkpoint"),
@@ -89,12 +113,20 @@ object Main {
         // those urls from scratch.
         val (docs, lineage, _) =
           Pipeline.runIncremental(spark, pages, res, cfg, output)
+        // docs is persisted by runIncremental (its triples staging write and
+        // this failures write are two actions over one inference-heavy
+        // lineage); released here, after the last consumer
         Pipeline.failures(spark, docs, runId).toDF()
           .write.mode("append").parquet(s"$output/failures")
+        docs.unpersist()
         if (lineage.nonEmpty)
           lineage.toDF().write.mode("append").parquet(s"$output/lineage")
       case "full" =>
-        val (docs, lineage) = Pipeline.run(spark, pages, res, cfg = cfg)
+        val (docs0, lineage) = Pipeline.run(spark, pages, res, cfg = cfg)
+        // two actions (triples, failures) over one transformer-inference-
+        // heavy lineage: without a persist the full pipeline executes twice
+        // in the default fused (no --checkpoint) mode
+        val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val triples = Triples.fromDocs(spark, docs)
         // graph table layout: partition by predicate (tiny, one per entity
         // class); url-bucketing inside each partition comes free from the
@@ -104,8 +136,13 @@ object Main {
           .partitionBy("pred").parquet(s"$output/triples")
         Pipeline.failures(spark, docs, runId).toDF()
           .write.mode("overwrite").parquet(s"$output/failures")
+        docs.unpersist()
+        // overwrite, matching triples/failures: a full run REPLACES the
+        // table, so its lineage must describe exactly the current data —
+        // appending would accumulate stale rows from replaced runs
+        // (incremental mode appends, because there the table accretes)
         if (lineage.nonEmpty)
-          lineage.toDF().write.mode("append").parquet(s"$output/lineage")
+          lineage.toDF().write.mode("overwrite").parquet(s"$output/lineage")
     }
     spark.stop()
   }

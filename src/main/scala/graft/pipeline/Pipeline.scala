@@ -72,18 +72,9 @@ object Pipeline {
             // count inside the write path: the parquet writer drains every
             // partition iterator fully, so the on-exhaustion accumulator
             // update always fires exactly once per task attempt
-            ds.mapPartitions { it =>
-              val pid = org.apache.spark.TaskContext.getPartitionId()
-              var n = 0L; var fails = 0L
-              it.map { d =>
-                n += 1; if (d.error.isDefined) fails += 1; d
-              } ++ { acc.add((pid, n, fails)); Iterator.empty }
-            }.write.mode("overwrite").parquet(vPath.toString)
-            // dedup by partition id (speculative/retried attempts of a
-            // deterministic stage produce identical counts; keep one)
-            import scala.jdk.CollectionConverters._
-            val counts = acc.value.asScala.toSeq
-              .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+            ds.mapPartitions(Pipeline.countedPartition(acc))
+              .write.mode("overwrite").parquet(vPath.toString)
+            val counts = Pipeline.dedupCounts(acc)
             val out = fs.create(sidecar, true)
             counts.foreach { case (pid, n, f) => out.write(s"$pid,$n,$f\n".getBytes("UTF-8")) }
             out.close()
@@ -122,8 +113,15 @@ object Pipeline {
     val table = new org.apache.hadoop.fs.Path(s"$checkpointDir/$stage")
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v =
-      if (version >= 0) version
-      else Snapshots.currentVersion(fs, table).getOrElse(
+      if (version >= 0) {
+        // explicit time travel must honor the same completeness gate as
+        // pointer resolution: a crashed staging attempt leaves part files
+        // without _SUCCESS, and reading them would silently truncate
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+            Snapshots.versionPath(table, version), "_SUCCESS")),
+          s"snapshot v=$version of $table is incomplete (no _SUCCESS)")
+        version
+      } else Snapshots.currentVersion(fs, table).getOrElse(
         sys.error(s"no published snapshot for $table"))
     spark.read.parquet(Snapshots.versionPath(table, v).toString).as[KDoc]
   }
@@ -213,6 +211,41 @@ object Pipeline {
     * extract → trie NER → transformer NER → dictionary linking → class
     * filter → mapping → abbreviation → cleanup → overlap merge.
     */
+  /** Wrap a partition's doc stream so (rows, failures) reach the lineage
+    * accumulator exactly once, on exhaustion — the ONE definition of the
+    * count-on-exhaustion contract, shared by the checkpointed stage writer
+    * and the fused path (previously two divergent hand-rolled copies). */
+  private[pipeline] def countedPartition(
+      acc: org.apache.spark.util.CollectionAccumulator[(Int, Long, Long)])(
+      it: Iterator[KDoc]): Iterator[KDoc] = {
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    var n = 0L; var fails = 0L
+    val mapped = it.map { d => n += 1; if (d.error.isDefined) fails += 1; d }
+    new Iterator[KDoc] {
+      private var emitted = false
+      def hasNext: Boolean = {
+        val h = mapped.hasNext
+        if (!h && !emitted) { emitted = true; acc.add((pid, n, fails)) }
+        h
+      }
+      def next(): KDoc = mapped.next()
+    }
+  }
+
+  /** Dedup accumulated per-partition counts by partition id: a retried or
+    * speculative attempt adds a second entry for the same pid; the stages
+    * are deterministic so completed attempts agree — keep the max, because
+    * an attempt killed mid-partition reports a PARTIAL count. */
+  private[pipeline] def dedupCounts(
+      acc: org.apache.spark.util.CollectionAccumulator[(Int, Long, Long)])
+      : Seq[(Int, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    acc.value.asScala.toSeq
+      .groupBy(_._1)
+      .map { case (_, es) => es.maxBy(e => (e._2, e._3)) }
+      .toSeq.sortBy(_._1)
+  }
+
   def run(
       spark: SparkSession,
       pages: org.apache.spark.sql.DataFrame,
@@ -250,41 +283,18 @@ object Pipeline {
       val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("graft-lineage")
       val resourceVersion = cfg.resourceVersion
       val out = Pages.toDocs(spark, pagesBalanced).mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var n = 0L; var fails = 0L
-        val mapped = fusedStages(resources.value, runner, classRules,
+        countedPartition(acc)(fusedStages(resources.value, runner, classRules,
           withTransformerNer, splitter, useExplosionMatcher, classDisambig,
-          xrefs)(it).map { d =>
-          n += 1; if (d.error.isDefined) fails += 1; d
-        }
-        new Iterator[KDoc] {
-          private var emitted = false
-          def hasNext: Boolean = {
-            val h = mapped.hasNext
-            if (!h && !emitted) { emitted = true; acc.add((pid, n, fails)) }
-            h
-          }
-          def next(): KDoc = mapped.next()
-        }
+          xrefs)(it))
       }
       // a view: materializes rows whenever accessed, so lineage read AFTER
       // an action reflects the executed partitions
       val lineageView: Seq[LineageRow] = new scala.collection.immutable.AbstractSeq[LineageRow] {
-        private def rows: Seq[LineageRow] = {
-          import scala.jdk.CollectionConverters._
-          // dedup by partition id: a retried/speculative task attempt adds a
-          // second entry for the same pid; the stage is deterministic, so
-          // attempts agree — keep one (the max, in case an earlier attempt
-          // was killed mid-partition and reported a partial count)
-          acc.value.asScala.toSeq
-            .groupBy(_._1)
-            .map { case (pid, es) => es.maxBy(e => (e._2, e._3)) }
-            .toSeq.sortBy(_._1)
-            .map { case (pid, n, fails) =>
-              LineageRow("fused_pipeline", pid, s"partition-$pid",
-                resourceVersion, cfg.modelVersion, n, n, fails, 0L, cfg.runId)
-            }
-        }
+        private def rows: Seq[LineageRow] =
+          dedupCounts(acc).map { case (pid, n, fails) =>
+            LineageRow("fused_pipeline", pid, s"partition-$pid",
+              resourceVersion, cfg.modelVersion, n, n, fails, 0L, cfg.runId)
+          }
         def apply(i: Int): LineageRow = rows(i)
         def length: Int = rows.length
         def iterator: Iterator[LineageRow] = rows.iterator
@@ -398,12 +408,24 @@ object Pipeline {
     val hasTable = fs.exists(triplesPath) &&
       fs.listStatus(triplesPath).exists(_.getPath.getName.startsWith("inc=")) &&
       hasParquet(triplesPath)
+    // single-writer contract (same as the snapshot pointer swap): staging
+    // dirs from crashed prior runs are invisible to readers but leak disk
+    // forever — each has a different runId, so no later run would ever
+    // overwrite them. Reclaim them before staging ours.
+    val outPath = new org.apache.hadoop.fs.Path(output)
+    if (fs.exists(outPath))
+      fs.listStatus(outPath)
+        .filter(_.getPath.getName.startsWith("_staging_triples_"))
+        .foreach(st => fs.delete(st.getPath, true))
     val newPages =
       if (!hasTable) pages
       else newPagesOnly(pages,
         spark.read.option("basePath", s"$output/triples")
           .parquet(s"$output/triples"))
-    val (docs, lineage) = run(spark, newPages, resources, cfg = cfg)
+    val (docs0, lineage) = run(spark, newPages, resources, cfg = cfg)
+    // persisted: the staging write below and the caller's failures write are
+    // two actions over one inference-heavy lineage; the CALLER unpersists
+    val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val staging = new org.apache.hadoop.fs.Path(s"$output/_staging_triples_${cfg.runId}")
     graft.triples.Triples.fromDocs(spark, docs).toDF().write.mode("overwrite")
       .partitionBy("pred").parquet(staging.toString)

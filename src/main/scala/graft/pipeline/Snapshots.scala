@@ -73,11 +73,19 @@ object Snapshots {
 
   /** Drop old snapshots, retaining `keep` snapshots IN TOTAL: the published
     * one plus the `keep − 1` most recent others. Never drops the published
-    * snapshot. `keep = 1` keeps only the published snapshot. */
+    * snapshot. `keep = 1` keeps only the published snapshot.
+    *
+    * With NO resolvable published snapshot (crash before the first publish,
+    * or a corrupt pointer), the newest COMPLETE snapshot takes the published
+    * one's protected role — otherwise `keep = 1` would delete every
+    * snapshot including the only recoverable one. */
   def expire(fs: FileSystem, table: Path, keep: Int = 1): Seq[Long] = {
-    val current = currentVersion(fs, table)
-    val candidates = allVersions(fs, table)
-      .filterNot(current.contains)
+    val all = allVersions(fs, table)
+    val protectedV = currentVersion(fs, table).orElse(
+      all.reverse.find(v =>
+        fs.exists(new Path(versionPath(table, v), "_SUCCESS"))))
+    val candidates = all
+      .filterNot(protectedV.contains)
       .dropRight(math.max(0, keep - 1))
     candidates.foreach(v => fs.delete(versionPath(table, v), true))
     candidates

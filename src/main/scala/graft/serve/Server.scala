@@ -184,18 +184,33 @@ object Server {
     ex.close()
   }
 
+  /** Client-payload parse failure: Jackson accepts the JSON but a field's
+    * VALUE is malformed (a non-numeric score, a non-boolean flag, an unknown
+    * enum name). Field coercion throws NumberFormat/IllegalArgument/
+    * NoSuchElement — none of which is a JacksonException, so without this
+    * wrapper they would fall to the generic arm and misreport the client's
+    * malformed payload as a 500 pipeline failure. */
+  private final class ClientParseError(cause: Throwable)
+    extends RuntimeException(cause)
+
   private def handler(
       service: Service,
       f: KDoc => KDoc,
       parse: (com.fasterxml.jackson.databind.JsonNode, String) => KDoc,
       requireArray: Boolean = false
-  ): HttpHandler =
+  ): HttpHandler = {
+    def parsed(node: com.fasterxml.jackson.databind.JsonNode, idx: String): KDoc =
+      try parse(node, idx)
+      catch {
+        case e @ (_: NumberFormatException | _: IllegalArgumentException |
+                  _: NoSuchElementException) => throw new ClientParseError(e)
+      }
     (ex: HttpExchange) =>
       try {
         val root = mapper.readTree(ex.getRequestBody)
         if (root.isArray) {
           val out = root.elements().asScala.zipWithIndex.map { case (node, i) =>
-            docToJsonNode(f(parse(node, s"doc-$i")))
+            docToJsonNode(f(parsed(node, s"doc-$i")))
           }.toSeq
           respond(ex, 200, mapper.writeValueAsString(out.asJava))
         } else if (requireArray) {
@@ -206,20 +221,25 @@ object Server {
             Map[String, Object]("error" -> "batch expects a JSON array of documents").asJava))
         } else {
           respond(ex, 200, mapper.writeValueAsString(
-            docToJsonNode(f(parse(root, "doc-0")))))
+            docToJsonNode(f(parsed(root, "doc-0")))))
         }
       } catch {
-        // malformed request JSON (parse / shape) is the client's fault;
-        // anything else is a pipeline-stage failure and must surface as 500
-        // so callers can tell the two apart (the linking_only route accepts
-        // rich document JSON where both genuinely occur)
+        // malformed request JSON (parse / shape / field coercion) is the
+        // client's fault; anything else is a pipeline-stage failure and must
+        // surface as 500 so callers can tell the two apart (the linking_only
+        // route accepts rich document JSON where both genuinely occur)
         case e: com.fasterxml.jackson.core.JacksonException =>
           respond(ex, 400, mapper.writeValueAsString(
             Map[String, Object]("error" -> s"${e.getClass.getSimpleName}: ${e.getMessage}").asJava))
+        case e: ClientParseError =>
+          respond(ex, 400, mapper.writeValueAsString(
+            Map[String, Object]("error" -> (s"malformed document field: " +
+              s"${e.getCause.getClass.getSimpleName}: ${e.getCause.getMessage}")).asJava))
         case e: Exception =>
           respond(ex, 500, mapper.writeValueAsString(
             Map[String, Object]("error" -> s"${e.getClass.getSimpleName}: ${e.getMessage}").asJava))
       }
+  }
 
   private def parseText(service: Service)(
       node: com.fasterxml.jackson.databind.JsonNode, idx: String): KDoc =

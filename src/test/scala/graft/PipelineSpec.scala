@@ -386,4 +386,70 @@ class FusedLineageSpec extends AnyFunSuite with SparkTestBase {
     assert(lineage.map(_.rowsIn).sum == n)
     assert(lineage.forall(_.stage == "fused_pipeline"))
   }
+
+  test("CLI arg parsing: valueless --resume does not desynchronize later options") {
+    val opts = graft.pipeline.Main.parseArgs(Array(
+      "--step-group", "incremental", "--checkpoint", "c",
+      "--resume", "--run-id", "myrun", "--input", "in", "--output", "out"))
+    assert(opts("resume") == "true" && opts("run-id") == "myrun")
+    assert(opts("input") == "in" && opts("output") == "out")
+    assert(opts("step-group") == "incremental" && opts("checkpoint") == "c")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Main.parseArgs(Array("--run-id")) // dangling value opt
+    }
+  }
+
+  test("expire with no published pointer protects the newest complete snapshot") {
+    import org.apache.hadoop.fs.Path
+    val local = java.nio.file.Files.createTempDirectory("graft-expire").toString
+    val table = new Path(s"file:$local/t")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v=0 complete, v=1 complete, v=2 crashed mid-stage (no _SUCCESS);
+    // the writer died before ever publishing a pointer
+    Seq(0L, 1L).foreach { v =>
+      fs.mkdirs(graft.pipeline.Snapshots.versionPath(table, v))
+      fs.create(new Path(graft.pipeline.Snapshots.versionPath(table, v), "_SUCCESS")).close()
+    }
+    fs.mkdirs(graft.pipeline.Snapshots.versionPath(table, 2L))
+    val dropped = graft.pipeline.Snapshots.expire(fs, table, keep = 1)
+    // the newest COMPLETE snapshot (v=1) must survive; v=0 and the crashed
+    // v=2 staging are reclaimed
+    assert(dropped.toSet == Set(0L, 2L))
+    assert(fs.exists(graft.pipeline.Snapshots.versionPath(table, 1L)))
+    assert(!fs.exists(graft.pipeline.Snapshots.versionPath(table, 0L)))
+  }
+
+  test("explicit-version time travel refuses an incomplete snapshot") {
+    import org.apache.hadoop.fs.Path
+    val local = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val dir = s"file:$local"
+    val table = new Path(s"$dir/extract")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(graft.pipeline.Snapshots.versionPath(table, 3L)) // no _SUCCESS
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.readStage(spark, dir, "extract", version = 3L)
+    }
+    assert(e.getMessage.contains("incomplete"))
+  }
+
+  test("corrupt JSON line becomes a failed-doc row, not a task abort") {
+    import spark.implicits._
+    val pages = Pages.fromDocuments(spark, "/root/testdata/sf0.001").limit(4)
+    val docs = Pages.toDocs(spark, pages)
+    val good = graft.pipeline.Json.toJson(docs).collect().toSeq
+    val lines = (good :+ """{"url": "https://x", "warcTs": 12, truncated""").toDS()
+    val back = graft.pipeline.Json.fromJson(spark, lines).collect()
+    assert(back.length == good.length + 1)
+    val bad = back.filter(_.error.isDefined)
+    assert(bad.length == 1 && bad.head.url.startsWith("corrupt-json-"))
+    assert(bad.head.sections != null && bad.head.sections.isEmpty)
+    // the failed row flows through the failure sink, and the linking stages
+    // skip it instead of NPEing (the module contract: failures are ROWS)
+    val res = spark.sparkContext.broadcast(Resources.corpus)
+    val linked = graft.pipeline.Json.fromJson(spark, lines)
+      .mapPartitions(Pipeline.linkingStages(res.value)).collect()
+    assert(linked.count(_.error.isDefined) == 1)
+    val roundTripped = back.filter(_.error.isEmpty).map(_.url).toSet
+    assert(roundTripped == docs.collect().map(_.url).toSet)
+  }
 }

@@ -65,6 +65,20 @@ class ServerSpec extends AnyFunSuite {
         .POST(HttpRequest.BodyPublishers.ofString("""{"text":"sort"}""")).build()
       assert(client.send(single, HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
 
+      // well-formed JSON whose FIELD VALUES are malformed (non-numeric
+      // score) is still the client's fault → 400, not a 500 pipeline error
+      val badField = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/api/kazu/linking_only"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"url":"u","warcTs":0,"text":"t","lang":"en","sections":[
+            |{"text":"t","offset":0,"entities":[{"match":"t","entity_class":"c",
+            |"spans":[{"start":0,"end":1}],"namespace":"n","mention_confidence":"PROBABLE",
+            |"candidates":[{"parser_name":"p","synonym_norm":"s","search_score":"0.9x"}],
+            |"mappings":[]}]}]}""".stripMargin.replace("\n", ""))).build()
+      val badFieldResp = client.send(badField, HttpResponse.BodyHandlers.ofString())
+      assert(badFieldResp.statusCode() == 400, badFieldResp.body())
+      assert(badFieldResp.body().contains("malformed document field"))
+
       // step-group composability over HTTP: ner_only's response piped
       // through linking_only equals the one-shot full route
       val text = """{"text":"the filter runs in spark with a merge join"}"""
