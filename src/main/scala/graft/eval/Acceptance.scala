@@ -229,8 +229,13 @@ object Acceptance {
     * BASELINE P/R ≥ 0.95 gate. */
   def tripleScores(spark: SparkSession, emitted: DataFrame, expected: DataFrame): (Double, Double) = {
     import spark.implicits._
-    val e = emitted.select($"subj", $"pred", $"obj").distinct().cache()
-    val x = expected.select($"subj", $"pred", $"obj").distinct().cache()
+    // registered like every other scoring persist in this file — a bare
+    // .cache() would pin both corpus-derived frames until session end,
+    // invisible to the caller's CacheRegistry.releaseAll()
+    def reg(df: DataFrame) = graft.util.CacheRegistry.register(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val e = reg(emitted.select($"subj", $"pred", $"obj").distinct())
+    val x = reg(expected.select($"subj", $"pred", $"obj").distinct())
     val tp = e.intersect(x).count().toDouble
     val nPred = e.count().toDouble
     val nGold = x.count().toDouble

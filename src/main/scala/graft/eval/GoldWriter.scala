@@ -48,9 +48,15 @@ object GoldWriter {
       span <- e.spans // LS represents non-contiguous regions as several spans
     } yield {
       val m = e.mappings.headOption
-      s"""{"value":{"start":${base + span.start},"end":${base + span.end},""" +
+      // clamp the WHOLE span, not just the substring's end: emitting an
+      // unclamped offset with a clamped text would ship a gold annotation
+      // whose offsets and text disagree, and a start beyond the text would
+      // throw and kill the write task
+      val s0 = math.min(math.max(0, span.start), section.text.length)
+      val e0 = math.min(math.max(s0, span.end), section.text.length)
+      s"""{"value":{"start":${base + s0},"end":${base + e0},""" +
         s""""labels":["${esc(e.entityClass)}"],""" +
-        s""""text":"${esc(section.text.substring(span.start, math.min(span.end, section.text.length)))}"},""" +
+        s""""text":"${esc(section.text.substring(s0, e0))}"},""" +
         s""""meta":{"mapping_id":${m.map(mm => "\"" + esc(mm.idx) + "\"").getOrElse("null")},""" +
         s""""source":${m.map(mm => "\"" + esc(mm.source) + "\"").getOrElse("null")}}}"""
     }

@@ -52,7 +52,15 @@ object Curation {
                   }
                 }
                 .toSeq.sortBy(_.text)
-              group.head.copy(synonyms = syns)
+              // behaviour tie (no DROP in the group): the more-enabling
+              // ADD_FOR_NER_AND_LINKING wins, deterministically — group.head
+              // would let the curation FILE ORDER decide whether a synonym
+              // is NER-active
+              val behaviour =
+                if (group.exists(_.behaviour == Behaviour.AddForNerAndLinking))
+                  Behaviour.AddForNerAndLinking
+                else group.map(_.behaviour).minBy(_.toString)
+              group.head.copy(synonyms = syns, behaviour = behaviour)
             }
           }
         (p, sn) -> resolved

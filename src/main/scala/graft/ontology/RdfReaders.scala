@@ -83,8 +83,10 @@ object Rdf {
     */
   object Turtle {
 
-    def parseFile(path: String): Graph =
-      parse(scala.io.Source.fromFile(path, "UTF-8").mkString)
+    def parseFile(path: String): Graph = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try parse(src.mkString) finally src.close()
+    }
 
     def parse(text: String): Graph = {
       val toks = tokenize(text)
@@ -182,7 +184,16 @@ object Rdf {
               while (j < n && !closed) {
                 val ch = text.charAt(j)
                 if (ch == '\\' && j + 1 < n) {
-                  sb.append(unescape(text.charAt(j + 1))); j += 2
+                  // \uXXXX / \UXXXXXXXX numeric escapes (Turtle §6.4) consume
+                  // their hex digits — appending only the char after the
+                  // backslash would leave them as literal text ("u03B2…")
+                  val esc = text.charAt(j + 1)
+                  if ((esc == 'u' || esc == 'U') && j + 2 + (if (esc == 'u') 4 else 8) <= n) {
+                    val width = if (esc == 'u') 4 else 8
+                    val hex = text.substring(j + 2, j + 2 + width)
+                    sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+                    j += 2 + width
+                  } else { sb.append(unescape(esc)); j += 2 }
                 } else if (ch == '"') closed = true
                 else { sb.append(ch); j += 1 }
               }

@@ -70,11 +70,30 @@ object OntologyReaders {
   }
 
   /** The default-label rows must also exist as synonym rows
-    * (ref base.py behaviour): ensure by unioning them in. */
+    * (ref base.py behaviour): ensure by unioning them in. When the default
+    * label ALREADY exists as an explicit synonym row, the explicit row's
+    * mappingType wins — resolved with a deterministic aggregate, not
+    * dropDuplicates (which keeps an arbitrary row per partition order and
+    * would make the surviving mappingType, hence LinkingCandidate
+    * mappingTypes, nondeterministic run-to-run). */
   def withDefaultLabelSynonyms(ontologyRaw: DataFrame): DataFrame =
     ontologyRaw.unionByName(
       ontologyRaw.select(col("parserName"), col("entityClass"), col("idx"),
         col("defaultLabel"), col("defaultLabel").as("syn"),
         lit("defaultLabel").as("mappingType")).distinct()
-    ).dropDuplicates("parserName", "idx", "syn")
+    ).groupBy("parserName", "idx", "syn")
+      .agg(
+        // functionally dependent on (parserName, idx) — min only for full
+        // determinism (first() is order-dependent)
+        min(col("entityClass")).as("entityClass"),
+        min(col("defaultLabel")).as("defaultLabel"),
+        // explicit synonym rows sort before the planted "defaultLabel"
+        // tag only by accident of name — order explicitly: prefer any
+        // NON-planted type, then break remaining ties lexicographically
+        min(when(col("mappingType") =!= "defaultLabel", col("mappingType")))
+          .as("explicitType"),
+        min(col("mappingType")).as("anyType"))
+      .select(col("parserName"), col("entityClass"), col("idx"),
+        col("defaultLabel"), col("syn"),
+        coalesce(col("explicitType"), col("anyType")).as("mappingType"))
 }

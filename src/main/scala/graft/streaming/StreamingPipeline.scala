@@ -49,10 +49,16 @@ object StreamingPipeline {
       watermark: String = "2 minutes"
   ): DataFrame = {
     import spark.implicits._
-    val triples = triplesStream(spark, pages, resources)
-    // event time = page crawl timestamp, carried on the subject url
-    triples
-      .join(pages.select($"url", $"warc_ts"), Seq("url"))
+    // event time = the page crawl timestamp, which the doc itself carries
+    // (KDoc.warcTs) — pairing it per document avoids a stream-stream join
+    // back to the page stream, whose state is UNBOUNDED unless both sides
+    // are watermarked with a time-range join condition (neither held here:
+    // every page and triple ever seen would be retained)
+    val docs = graft.pipeline.Pages.toDocs(spark, pages)
+      .mapPartitions(Pipeline.fusedStages(resources, Ladders.default,
+        ClassFilter.Rules(), withTransformerNer = true))
+    docs.flatMap(d => graft.triples.Triples.fromDoc(d).map(t => (t.pred, d.warcTs)))
+      .toDF("pred", "warc_ts")
       .withWatermark("warc_ts", watermark)
       .groupBy(window($"warc_ts", window_), $"pred")
       .agg(count(lit(1)).as("n_mentions"))
@@ -240,7 +246,11 @@ object StreamingPipeline {
           // deterministic in-batch order (as dedupStream)
           val out = rows.toSeq.sortBy(_._2).flatMap { case (_, url, sig) =>
             val hits = bucketHits(stored, url, sig, threshold)
-            stored = ((url, sig) :: stored).take(maxBucket)
+            // replace, don't accumulate, a re-crawled url: repeated arrivals
+            // of one url would otherwise fill the bucket with copies of
+            // itself (self-matches emit nothing) and evict every OTHER
+            // stored signature — genuine near-dups silently missed
+            stored = ((url, sig) :: stored.filterNot(_._1 == url)).take(maxBucket)
             hits
           }
           state.update(stored)
@@ -308,7 +318,10 @@ object StreamingPipeline {
                 stored = stored.filter(_._3 >= ts - ttlMs) // TTL eviction
                 val hits =
                   bucketHits(stored.map(e => (e._1, e._2)), url, sig, threshold)
-                stored = ((url, sig, ts) :: stored).take(maxBucket)
+                // replace a re-crawled url rather than accumulate copies
+                // (same guard as the non-TTL variant)
+                stored = ((url, sig, ts) :: stored.filterNot(_._1 == url))
+                  .take(maxBucket)
                 hits
               }
             state.update(stored)

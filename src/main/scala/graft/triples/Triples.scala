@@ -40,7 +40,14 @@ object Triples {
 
   def fromDocs(spark: SparkSession, docs: Dataset[KDoc]): Dataset[Triple] = {
     import spark.implicits._
-    docs.flatMap { doc =>
+    docs.flatMap(fromDoc _)
+  }
+
+  /** Per-document triple rows — the flatMap kernel of [[fromDocs]], exposed
+    * so streaming consumers can pair triples with doc-level fields (e.g.
+    * event time) WITHOUT a stream-stream join back to the page stream. */
+  def fromDoc(doc: KDoc): Iterator[Triple] = {
+    {
       if (doc.error.isDefined) Iterator.empty
       else
         for {
@@ -60,6 +67,6 @@ object Triples {
           end = e.end,
           url = doc.url
         )
-    }
+    }.iterator
   }
 }

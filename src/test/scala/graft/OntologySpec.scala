@@ -78,3 +78,32 @@ class OntologySpec extends AnyFunSuite {
       _.mentionConfidence == MentionConfidence.Possible))
   }
 }
+
+/** Spark-backed reader behavior (OntologySpec proper is session-free). */
+class ReadersSparkSpec extends AnyFunSuite with SparkTestBase {
+
+  test("withDefaultLabelSynonyms: explicit synonym's mappingType wins, deterministically") {
+    import org.apache.spark.sql.functions.col
+    val raw = OntologyReaders.fromRows(spark, Seq(
+      // the default label ALSO exists as an explicit synonym row — the
+      // planted "defaultLabel" union row must never displace its
+      // mappingType (dropDuplicates kept an arbitrary one per partition
+      // order, breaking run-to-run determinism)
+      OntologyRow("T", "c", "OP:SORT", "sort", "sort", "exactSyn"),
+      OntologyRow("T", "c", "OP:SORT", "sort", "ordering", "exactSyn"),
+      OntologyRow("T", "c", "OP:MERGE", "merge", "combine", "exactSyn")))
+    (1 to 3).foreach { _ =>
+      val out = OntologyReaders.withDefaultLabelSynonyms(raw)
+        .orderBy(col("idx"), col("syn"))
+        .collect()
+        .map(r => (r.getString(r.fieldIndex("idx")),
+          r.getString(r.fieldIndex("syn")),
+          r.getString(r.fieldIndex("mappingType")))).toSeq
+      assert(out == Seq(
+        ("OP:MERGE", "combine", "exactSyn"),
+        ("OP:MERGE", "merge", "defaultLabel"), // planted: label had no explicit row
+        ("OP:SORT", "ordering", "exactSyn"),
+        ("OP:SORT", "sort", "exactSyn")))      // explicit row wins over planted
+    }
+  }
+}

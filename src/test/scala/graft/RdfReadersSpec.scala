@@ -81,4 +81,21 @@ class RdfReadersSpec extends AnyFunSuite {
     assert(mentions.map(m => (m.matchStr, m.entityClass)).toSet ==
       Set(("running", "status"), ("inactive", "status")))
   }
+
+  test("turtle \\uXXXX / \\UXXXXXXXX escapes decode to their code points") {
+    // exported OBO/SKOS dumps commonly unicode-escape non-ASCII labels; a
+    // tokenizer that keeps the hex digits as text would plant garbage
+    // synonyms ("u03B2-blocker") into the gazetteer with no error
+    // built by concatenation so the Scala lexer cannot pre-process the
+    // \u sequence — the PARSER must see the raw backslash-u-hex bytes
+    val bs = "\\"
+    val g = graft.ontology.Rdf.Turtle.parse(
+      s"""<http://x/1> <http://www.w3.org/2000/01/rdf-schema#label> "${bs}u03B2-blocker" .
+        |<http://x/2> <http://www.w3.org/2000/01/rdf-schema#label> "${bs}U0001F9EA lab" .
+        |<http://x/3> <http://www.w3.org/2000/01/rdf-schema#label> "tab${bs}there" .""".stripMargin)
+    val labels = g.triples.map(t => t.subj -> t.obj.value).toMap
+    assert(labels("http://x/1") == "β-blocker")
+    assert(labels("http://x/2") == new String(Character.toChars(0x1F9EA)) + " lab")
+    assert(labels("http://x/3") == "tab\there") // single-char escapes intact
+  }
 }

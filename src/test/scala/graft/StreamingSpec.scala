@@ -333,4 +333,35 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._2 == "a" && p._1 != "d"),
       s"a must be forgotten after TTL: $pairs")
   }
+
+  test("re-crawled url replaces its bucket entry instead of evicting neighbors") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearV = base.replace("token7", "tokenX")
+    val nearB = base.replace("token9", "tokenY")
+    val input = MemoryStream[(String, String)]
+    val pages = input.toDF().toDF("url", "text")
+    // tiny bucket cap: 3 re-crawls of one url would overflow it if arrivals
+    // ACCUMULATED (self-matches emit nothing, so the copies would silently
+    // evict every other signature sharing the bucket)
+    val q = graft.streaming.StreamingPipeline
+      .nearDupStream(spark, pages, maxBucket = 2)
+      .writeStream.format("memory").queryName("neardup_recrawl")
+      .outputMode("append").start()
+    input.addData(("v", nearV)) // the neighbor that must survive
+    q.processAllAvailable()
+    // the same url re-crawled repeatedly (boilerplate page re-fetched)
+    (1 to 4).foreach { _ => input.addData(("a", base)); q.processAllAvailable() }
+    // a genuine near-dup of v arrives AFTER the re-crawl burst
+    input.addData(("b", nearB))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT DISTINCT url, matchedUrl FROM neardup_recrawl")
+      .as[(String, String)].collect().toSet
+    assert(pairs.contains(("b", "v")),
+      s"v was evicted by re-crawl copies of a: $pairs")
+    assert(pairs.contains(("b", "a")), pairs)
+  }
 }
