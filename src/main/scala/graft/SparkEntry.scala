@@ -1164,7 +1164,7 @@ object SparkEntry {
         .select($"id_a", $"id_b", $"emb_a", $"emb_b")
         .as[(Long, Long, Seq[Float], Seq[Float])]
         .map { case (x, y, va, vb) =>
-          (x, y, math.rint(Ann.cosine(va, vb) * 10000) / 10000)
+          (x, y, Ann.round4(Ann.cosine(va, vb)))
         }
         .toDF("id_a", "id_b", "cos_sim")
         .filter($"cos_sim" >= 0.4)
@@ -1740,7 +1740,8 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(text, '$email', '[EMAIL]', 'g'), '$phone')) AS BIGINT) AS n_phones,
          |  CAST(len(regexp_extract_all(
          |    regexp_replace(regexp_replace(text, '$email', '[EMAIL]', 'g'),
          |                   '$phone', '[PHONE]', 'g'), '$ip')) AS BIGINT) AS n_ips,

@@ -82,11 +82,24 @@ object Cleanup {
       clearCandidates: Boolean = true
   ) extends Serializable
 
-  /** Ref StripMappingURIsAction._strip_uri (cleanup.py:139-157). */
+  /** Ref StripMappingURIsAction._strip_uri (cleanup.py:139-157): urlparse,
+    * then the PATH's last '/'-segment — the query and fragment are dropped
+    * first, exactly as urlparse separates them (".../onto.owl#GO_0005634"
+    * → "onto.owl", ".../a?q=1" → "a", authority-only → ""). Deliberate
+    * deviation, documented: the reference's scheme test on modern Python
+    * treats a CURIE prefix as a scheme ("MONDO:0004979" → scheme "mondo",
+    * stripped to "0004979"), contradicting its own docstring's intent; we
+    * require "://" so CURIE ids pass through unchanged. */
   def stripUri(idx: String): String = {
     val scheme = idx.indexOf("://")
     if (scheme < 0) idx
-    else idx.substring(idx.lastIndexOf('/') + 1)
+    else {
+      val afterScheme = idx.substring(scheme + 3)
+      val path0 = afterScheme.takeWhile(_ != '#').takeWhile(_ != '?')
+      val slash = path0.indexOf('/')
+      if (slash < 0) "" // authority only: urlparse path is empty
+      else path0.substring(path0.lastIndexOf('/') + 1)
+    }
   }
 
   def processDoc(cfg: Config)(doc: KDoc): KDoc = {

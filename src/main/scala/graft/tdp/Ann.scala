@@ -118,12 +118,21 @@ object Ann {
     val pairs = base
       .joinWith(broadcast(queries), lit(true), "cross")
       .map { case ((id, vec), (qid, qvec)) =>
-        (qid, id, math.rint(cosine(qvec, vec) * 10000) / 10000)
+        (qid, id, round4(cosine(qvec, vec)))
       }
       .toDF("q_vec_id", "neighbor_vec_id", "cos_sim")
       .filter($"q_vec_id" =!= $"neighbor_vec_id")
     topK(pairs, k)
   }
+
+  /** Round to 4 decimals HALF-AWAY-FROM-ZERO — DuckDB's round().
+    * math.rint is half-to-even: at an exactly-representable tie
+    * (cosine 0.03125 -> 312.5) the two disagree by 1 ulp of the 4th
+    * decimal, which can also flip a top-k rank ordered on the rounded
+    * value. Ties away from zero on BOTH engines keeps the ann_* oracles
+    * exact on any input. */
+  def round4(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 10000 + 0.5) / 10000
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
@@ -180,8 +189,14 @@ object Ann {
   ): DataFrame = {
     import spark.implicits._
     val resolved = Option(cfg).getOrElse(LshConfig.forCorpus(embeddings.count()))
+    // sign the tiny query set from a filtered SCAN, not from the
+    // full-corpus signature stream: the typed signature flatMap blocks
+    // filter pushdown, so deriving queries from `sigs` would sign the
+    // whole corpus once under the broadcast exchange and AGAIN on the
+    // probe side — 2x the dominant hyperplane-dot-product cost
     val sigs = lshSignatures(spark, embeddings, resolved)
-    val queries = sigs.filter($"vec_id" < numQueries)
+    val queries = lshSignatures(spark,
+        embeddings.filter(col("vec_id") < numQueries), resolved)
       .select($"vec_id".as("q_vec_id"), $"embedding".as("q_embedding"),
         $"table", $"bucket")
     val cands = sigs.join(broadcast(queries), Seq("table", "bucket"))
@@ -191,7 +206,7 @@ object Ann {
       .observe("ann_lsh_stats", count(lit(1)).as("n_candidates"))
       .as[(Long, Seq[Float], Long, Seq[Float])]
       .map { case (qid, qv, id, v) =>
-        (qid, id, math.rint(cosine(qv, v) * 10000) / 10000)
+        (qid, id, round4(cosine(qv, v)))
       }
       .toDF("q_vec_id", "neighbor_vec_id", "cos_sim")
     topK(cands, k)
@@ -294,7 +309,13 @@ object Ann {
     val sample = base.filter($"vec_id" % 7 === 0)
       .orderBy($"vec_id").limit(2048)
       .collect().map(_._2.toArray).toSeq
-    val centroids = trainCentroids(sample, cellCount, kmeansIters)
+    // an id space with no multiple of 7 (filtered subsets, offset ids)
+    // yields an empty stride sample — fall back to the first vectors
+    // rather than failing trainCentroids' nonEmpty requirement
+    val sampleOrAll =
+      if (sample.nonEmpty) sample
+      else base.orderBy($"vec_id").limit(2048).collect().map(_._2.toArray).toSeq
+    val centroids = trainCentroids(sampleOrAll, cellCount, kmeansIters)
     val bc = spark.sparkContext.broadcast(centroids)
     val cells = base.map { case (id, v) =>
       (id, v, nearestCentroid(v.toArray, bc.value))
@@ -312,7 +333,7 @@ object Ann {
       .distinct()
       .as[(Long, Seq[Float], Long, Seq[Float])]
       .map { case (qid, qv, id, v) =>
-        (qid, id, math.rint(cosine(qv, v) * 10000) / 10000)
+        (qid, id, round4(cosine(qv, v)))
       }
       .toDF("q_vec_id", "neighbor_vec_id", "cos_sim")
     topK(cands, k)

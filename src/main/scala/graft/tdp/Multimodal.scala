@@ -177,7 +177,14 @@ object Multimodal {
     */
   def perceptualNearDup(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val hashes = frameHashRows(spark, media).toDF()
+    // persist: the hash rows feed TWO different exchanges (the cluster
+    // aggregate and the salted join-back) — without it the full PNG decode
+    // of every frame (the dominant cost, by design) executes twice; same
+    // two-branch shape ParagraphDedup persists for. Released by the caller
+    // via CacheRegistry.
+    val hashes = graft.util.CacheRegistry.register(
+      frameHashRows(spark, media).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val clusters = hashes.groupBy($"phash")
       .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("cluster_size"))
     Dedup.saltedJoinBack(hashes, clusters, "phash", "doc_id")

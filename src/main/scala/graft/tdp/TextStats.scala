@@ -26,7 +26,11 @@ object TextStats {
     docs.select(
         $"doc_id",
         regexp_count($"text", lit(EmailRe)).cast("long").as("n_emails"),
-        regexp_count($"text", lit(PhoneRe)).cast("long").as("n_phones"),
+        // count phones on the EMAIL-scrubbED text: a phone-shaped run inside
+        // an email local part is scrubbed as [EMAIL], so counting it as a
+        // phone would disagree with the [PHONE] replacements in scrubbed_md5
+        regexp_count(regexp_replace($"text", EmailRe, "[EMAIL]"),
+          lit(PhoneRe)).cast("long").as("n_phones"),
         // count IPs on the phone-scrubbed text so a phone number is never
         // double-counted as an IP-like digit run
         regexp_count(regexp_replace(regexp_replace($"text", EmailRe, "[EMAIL]"),
@@ -104,8 +108,13 @@ object TextStats {
   /** n-gram-heuristic language ID (stopword-profile voting with an ASCII
     * prior). Pure function per row. */
   def predictLang(text: String): (String, Double) = {
-    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
-    if (words.isEmpty) return ("und", 0.0)
+    // limit -1 keeps trailing empty tokens, matching the oracle's
+    // regexp_split_to_array bit-for-bit on leading/trailing-whitespace and
+    // empty text (Java's default drops trailing empties — a latent
+    // cross-engine divergence in the denominator); empty tokens match no
+    // profile, so they only enter the word count, as in the oracle
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1).toSeq
+    if (words.isEmpty) return ("und", 0.0) // unreachable: split(-1) ≥ 1 token
     val scores = LangProfiles.map { case (lang, profile) =>
       lang -> words.count(profile.contains).toDouble / words.size
     }

@@ -120,6 +120,20 @@ class CleanupSpec extends AnyFunSuite {
     assert(ents.head.mappings.size == 1)          // ambiguous dropped
     assert(ents.head.mappings.head.idx == "MONDO_1") // URI stripped
   }
+
+  test("stripUri follows urlparse path semantics: fragment/query dropped, CURIEs kept") {
+    // reference _strip_uri keeps only the PATH's last segment — urlparse
+    // separates the fragment and query BEFORE the path split
+    assert(Cleanup.stripUri("http://purl.obolibrary.org/obo/MONDO_1") == "MONDO_1")
+    assert(Cleanup.stripUri("http://example.org/onto.owl#GO_0005634") == "onto.owl")
+    assert(Cleanup.stripUri("http://x/a?q=1") == "a")
+    assert(Cleanup.stripUri("http://x/a/b/") == "")  // trailing slash: empty segment
+    assert(Cleanup.stripUri("http://example.org") == "") // authority only: empty path
+    // documented deviation from the reference's urlparse-on-CURIE behavior:
+    // a CURIE prefix is NOT a scheme here, ids pass through unchanged
+    assert(Cleanup.stripUri("MONDO:0004979") == "MONDO:0004979")
+    assert(Cleanup.stripUri("plain_id") == "plain_id")
+  }
 }
 
 class MultiSectionSpec extends AnyFunSuite {

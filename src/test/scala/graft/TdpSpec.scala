@@ -86,6 +86,16 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round4 rounds half AWAY FROM ZERO, like the DuckDB oracle's round()") {
+    // math.rint is half-to-even: at an exactly-representable tie
+    // (0.03125 * 10000 = 312.5) the engines would disagree by 1 ulp of the
+    // 4th decimal and could flip a rank ordered on the rounded value
+    assert(graft.tdp.Ann.round4(0.03125) == 0.0313)
+    assert(graft.tdp.Ann.round4(-0.03125) == -0.0313)
+    assert(graft.tdp.Ann.round4(0.12344) == 0.1234)
+    assert(graft.tdp.Ann.round4(0.0) == 0.0)
+  }
+
   test("brute top-k returns same-cluster neighbours, ranked") {
     import spark.implicits._
     val df = vectors.toDF("vec_id", "embedding")
@@ -319,6 +329,24 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
   test("language id picks profile languages") {
     assert(TextStats.predictLang("the cat and the dog is in that house it was")._1 == "en")
     assert(TextStats.predictLang("der Hund und die Katze ist nicht da und das")._1 == "de")
+    // oracle-tokenization parity: trailing whitespace adds an empty token
+    // to the denominator exactly as regexp_split_to_array does
+    assert(TextStats.predictLang("the cat ")._2 == 1.0 / 3)
+    assert(TextStats.predictLang("the cat")._2 == 0.5)
+    // whitespace-only / empty text: one or more empty tokens, score 0,
+    // alphabetical argmax — never a crash or a special-cased label
+    assert(TextStats.predictLang("   ") == ("de", 0.0))
+    assert(TextStats.predictLang("") == ("de", 0.0))
+  }
+
+  test("phone-shaped run inside an email local part is not double-counted") {
+    import spark.implicits._
+    val docs = Seq((1L, "call 555-123-4567@mail.com today")).toDF("doc_id", "text")
+    val r = graft.tdp.TextStats.scrubPii(spark, docs).collect()(0)
+    // the whole address scrubs as [EMAIL]; counting the embedded digits as
+    // a phone would disagree with the replacements in scrubbed_md5
+    assert(r.getAs[Long]("n_emails") == 1)
+    assert(r.getAs[Long]("n_phones") == 0)
   }
 
   test("fingerprints: identical docs share prints, shifted docs overlap") {
