@@ -9,12 +9,17 @@ package graft.model
   * (SURVEY.md §7.4 risk 7).
   */
 
-/** Half-open character interval [start, end). Ref: kazu/data/__init__.py:102-135. */
+/** Half-open character interval [start, end). Ref: kazu/data/__init__.py:102-135.
+  * The overlap helpers replicate the reference's INCLUSIVE comparisons
+  * exactly — is_partially_overlapped counts adjacent spans ([0,5) vs
+  * [5,10)) as overlapping, so a strict half-open test here would silently
+  * diverge from any ported overlap-resolution logic. */
 final case class CharSpan(start: Int, end: Int) {
   def isCompletelyOverlapped(other: CharSpan): Boolean =
-    other.start <= start && end <= other.end
+    start >= other.start && end <= other.end
   def isPartiallyOverlapped(other: CharSpan): Boolean =
-    start < other.end && other.start < end
+    (other.start <= start && start <= other.end) ||
+      (other.start <= end && end <= other.end)
   def length: Int = end - start
 }
 
@@ -60,8 +65,14 @@ object DisambiguationConfidence {
   * equality inside Spark rows.
   */
 final case class EquivalentIdSet(ids: Seq[IdAndSource]) {
-  def canonical: EquivalentIdSet =
-    EquivalentIdSet(ids.distinct.sortBy(i => (i.idx, i.source)))
+  // UTF-8 byte order, like every other cross-engine tie-break in the repo:
+  // default String ordering is UTF-16 code-unit order, which disagrees
+  // with binary VARCHAR collation for non-BMP ids
+  def canonical: EquivalentIdSet = EquivalentIdSet(
+    ids.distinct.sortWith { (a, b) =>
+      val c = graft.util.Utf8Order.compare(a.idx, b.idx)
+      if (c != 0) c < 0 else graft.util.Utf8Order.less(a.source, b.source)
+    })
   def idxs: Seq[String] = ids.map(_.idx)
 }
 

@@ -69,13 +69,28 @@ object Html {
   def wrap(title: String, text: String): String =
     s"<html><head><title>${escape(title)}</title></head><body><p>${escape(text)}</p></body></html>"
 
+  /** Case-insensitive tag search WITHOUT a toLowerCase copy: toLowerCase
+    * can CHANGE STRING LENGTH (U+0130 'İ' → "i̇"), so indexes found in
+    * a lowercased copy misalign against the original — silently corrupting
+    * extracted text on e.g. Turkish pages, and throwing out-of-bounds when
+    * the shift pushes an index past the end (a task abort). regionMatches
+    * compares in place, per char, length-stable. The needle is ASCII. */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val last = s.length - needle.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   private def dropBetween(s: String, openTag: String, closeTag: String): String = {
     val sb = new StringBuilder(s.length)
-    val lower = s.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     while (i < s.length) {
-      if (lower.startsWith(openTag, i)) {
-        val close = lower.indexOf(closeTag, i)
+      if (s.regionMatches(true, i, openTag, 0, openTag.length)) {
+        val close = indexOfIgnoreCase(s, closeTag, i)
         i = if (close < 0) s.length else close + closeTag.length
       } else { sb.append(s.charAt(i)); i += 1 }
     }
@@ -85,12 +100,11 @@ object Html {
   /** Boilerplate-stripped text of an HTML page (pure, versioned). */
   def extract(html: String): String = {
     // body-only if a body element exists
-    val lower = html.toLowerCase(java.util.Locale.ROOT)
-    val bodyStart = lower.indexOf("<body")
+    val bodyStart = indexOfIgnoreCase(html, "<body", 0)
     val scoped =
       if (bodyStart >= 0) {
         val open = html.indexOf('>', bodyStart)
-        val close = lower.indexOf("</body", open + 1)
+        val close = indexOfIgnoreCase(html, "</body", open + 1)
         if (open >= 0 && close > open) html.substring(open + 1, close)
         else if (open >= 0) html.substring(open + 1)
         else html

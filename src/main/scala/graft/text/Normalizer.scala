@@ -80,14 +80,16 @@ object Normalizer {
     private val reSubs: Seq[(Pattern, String)] = Seq(
       Pattern.compile("(?<!\\()-(?!\\))")      -> " ",
       Pattern.compile("(?<!\\()‐(?!\\))") -> " ",
-      Pattern.compile("\\sI\\s|\\sI$")         -> " 1 ",
-      Pattern.compile("\\sV\\s|\\sV$")         -> " 5 "
+      // (?U): the reference's python \s and \d are Unicode-aware (NBSP is
+      // reachable via Html.unescape &#160;); Java defaults to ASCII classes
+      Pattern.compile("(?U)\\sI\\s|\\sI$")     -> " 1 ",
+      Pattern.compile("(?U)\\sV\\s|\\sV$")     -> " 5 "
     )
     private val reSubs2: Seq[(Pattern, String)] = Seq(
-      Pattern.compile("\\sA\\s|\\sA$|^A\\s") -> " ALPHA ",
-      Pattern.compile("\\sB\\s|\\sB$|^B\\s") -> " BETA "
+      Pattern.compile("(?U)\\sA\\s|\\sA$|^A\\s") -> " ALPHA ",
+      Pattern.compile("(?U)\\sB\\s|\\sB$|^B\\s") -> " BETA "
     )
-    private val numberSplit = Pattern.compile("(\\d+)")
+    private val numberSplit = Pattern.compile("(?U)(\\d+)")
 
     /** Upper/lower + numeric/alpha ratio heuristic
       * (string_normalizer.py:80-120). */
@@ -153,7 +155,8 @@ object Normalizer {
         last = m.end()
       }
       parts += s.substring(last)
-      parts.map(_.trim).mkString(" ")
+      // python str.strip() strips Unicode whitespace; Java trim only <= U+0020
+      parts.map(_.replaceAll("(?U)^\\s+|\\s+$", "")).mkString(" ")
     }
 
     def replaceSubstrings(s: String): String = {

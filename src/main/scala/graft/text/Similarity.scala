@@ -28,7 +28,11 @@ object Similarity {
 
   /** All "TYPE n" phrases in reference are present (≥count) in query. */
   object EntitySubtype extends Scorer {
-    private val phrases = Pattern.compile("TYPE (?:I|[0-9]+)")
+    // boundary after the alternatives: without it "TYPE II" extracts as
+    // the phrase "TYPE I" (and "TYPE 23" vs "TYPE 2" similarly), making
+    // distinct subtypes score compatible; roman numerals beyond a bare I
+    // reach here only pre-digit-substitution, so I+ covers them
+    private val phrases = Pattern.compile("(?<![A-Z])TYPE (?:I+|[0-9]+)(?![I0-9])")
     private def counts(s: String): Map[String, Int] = {
       val m = phrases.matcher(s)
       val out = scala.collection.mutable.HashMap.empty[String, Int]

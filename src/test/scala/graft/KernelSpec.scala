@@ -48,6 +48,17 @@ class HtmlSpec extends AnyFunSuite {
 <body><style>p{}</style><p>Hello &amp; goodbye</p><!-- note --></body></html>"""
     assert(Html.extract(html) == "Hello & goodbye")
   }
+
+  test("length-changing case folds (Turkish dotted I) do not corrupt offsets") {
+    // U+0130 lowercases to TWO chars ("i" + combining dot): the old
+    // lowered-copy index search shifted every span by one per occurrence
+    // and threw StringIndexOutOfBounds past the end (a Spark task abort)
+    val payload = "\u0130stanbul \u0130\u0130\u0130\u0130\u0130\u0130\u0130\u0130\u0130x"
+    assert(Html.extract(s"<body>$payload</body>") == payload)
+    assert(Html.extract(s"<BODY><P>$payload</P></BODY>") == payload)
+    assert(Html.extract(
+      s"<body><script>var a;</script>$payload<!-- \u0130 --></body>") == payload)
+  }
 }
 
 class AhoCorasickSpec extends AnyFunSuite {
@@ -96,6 +107,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.EntitySubtype.matches("DIABETES", "DIABETES TYPE 2"))
     assert(Similarity.EntitySubtype.matches("DIABETES TYPE 2", "DIABETES TYPE 2"))
     assert(!Similarity.EntitySubtype.matches("DIABETES TYPE 2", "DIABETES"))
+    // boundary: TYPE II must not extract as the phrase "TYPE I" (which made
+    // distinct roman-numeral subtypes mutually compatible), and an embedded
+    // "...TYPE n" (PROTOTYPE 2) is not a subtype phrase
+    assert(!Similarity.EntitySubtype.matches("DIABETES TYPE I", "DIABETES TYPE II"))
+    assert(!Similarity.EntitySubtype.matches("X TYPE 23", "X TYPE 2"))
+    assert(Similarity.EntitySubtype.matches("X TYPE II", "Y TYPE II"))
+    assert(Similarity.EntitySubtype.matches("PROTOTYPE 2", "ANYTHING"))
   }
 
   test("ratio behaves like an indel similarity") {
