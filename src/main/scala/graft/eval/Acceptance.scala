@@ -24,7 +24,7 @@ object Acceptance {
     */
   def nerScores(spark: SparkSession, pred: DataFrame, gold: DataFrame): DataFrame = {
     import spark.implicits._
-    // each side feeds the interval join AND a set-op (exceptAll / left_anti)
+    // each side feeds the interval join AND the one-pass set-compare union
     // — persist the distinct'd span sets so the upstream pipeline + distinct
     // shuffle run once per side
     val p = graft.util.CacheRegistry.register(
@@ -40,19 +40,22 @@ object Acceptance {
     // pipeline-vs-pipeline comparison) must be free to sort-merge — a
     // forced broadcast would balloon with the corpus. Corpus×corpus at
     // cluster scale uses [[overlapJoinBucketed]] for the equi-keyed form.
-    // the interval join feeds THREE consumers (tp, fp via predMatched, fn)
-    // — without a persist the theta-join over the full span sets executes
-    // three times per run. Persist the join output AND its two distinct
-    // projections (each a shuffle); caller releases via CacheRegistry.
+    // the interval join feeds TWO consumers (its gold- and pred-side
+    // matched projections) — without a persist the theta-join over the
+    // full span sets executes twice per run. The projections themselves
+    // are single-consumer now (they only feed the one-pass union below),
+    // so they carry no persist of their own.
     val overlap = graft.util.CacheRegistry.register(
       p.join(g,
         $"url" === $"g_url" && $"entity_class" === $"g_class" &&
           $"g_start" < $"end" && $"start" < $"g_end")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val goldMatched = graft.util.CacheRegistry.register(
-      overlap.select($"g_url", $"g_start", $"g_end", $"g_class").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val predMatched = overlap.select($"url", $"start", $"end", $"entity_class").distinct()
+    // no .distinct() on the projections: the one-pass union's grouped-flags
+    // aggregation (max over presence bits) absorbs duplicate matched spans,
+    // so a distinct here would only add a full extra shuffle per side
+    val goldMatched =
+      overlap.select($"g_url", $"g_start", $"g_end", $"g_class")
+    val predMatched = overlap.select($"url", $"start", $"end", $"entity_class")
     assembleNerScores(p,
       g.toDF("url", "start", "end", "entity_class"),
       goldMatched.toDF("url", "start", "end", "entity_class"),
@@ -69,15 +72,31 @@ object Acceptance {
       goldMatched: DataFrame, predMatched: DataFrame): DataFrame = {
     val spark = p.sparkSession
     import spark.implicits._
-    val tp = goldMatched.groupBy($"entity_class").agg(count(lit(1)).as("tp"))
-    val fp = p.exceptAll(predMatched)
-      .groupBy($"entity_class").agg(count(lit(1)).as("fp"))
-    val fn = g.join(goldMatched,
-        Seq("url", "start", "end", "entity_class"), "left_anti")
-      .groupBy($"entity_class").agg(count(lit(1)).as("fn"))
-    tp.join(fp, Seq("entity_class"), "outer")
-      .join(fn, Seq("entity_class"), "outer")
-      .na.fill(0L)
+    // set-compare in ONE pass, the union+grouped-flags form proven in
+    // linkingScores: all four inputs are distinct on the span identity, so
+    // per-(side, span) presence flags ARE exact set membership —
+    // tp = matched gold span, fp = pred span never matched, fn = gold span
+    // never matched. This replaces exceptAll + left_anti (two extra
+    // shuffles of the full span sets per score) with one union + two
+    // aggregations, and — as in linkingScores — GROUP BY treats NULL keys
+    // as equal exactly like the set ops it replaces, where join equality
+    // would split a NULL-keyed row into a spurious fp+fn pair.
+    val spanCols = Seq("url", "start", "end", "entity_class")
+    def tag(df: DataFrame, side: String, base: Int, m: Int): DataFrame =
+      df.select(spanCols.map(col): _*)
+        .withColumn("side", lit(side))
+        .withColumn("base", lit(base)).withColumn("m", lit(m))
+    tag(p, "p", 1, 0)
+      .unionByName(tag(predMatched, "p", 0, 1))
+      .unionByName(tag(g, "g", 1, 0))
+      .unionByName(tag(goldMatched, "g", 0, 1))
+      .groupBy(($"side" +: spanCols.map(col)): _*)
+      .agg(max($"base").as("base"), max($"m").as("m"))
+      .groupBy($"entity_class")
+      .agg(
+        sum(when($"side" === "g" && $"m" === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when($"side" === "p" && $"base" === 1 && $"m" === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when($"side" === "g" && $"base" === 1 && $"m" === 0, 1L).otherwise(0L)).as("fn"))
       .withColumn("precision",
         when($"tp" + $"fp" === 0, 0.0).otherwise($"tp" / ($"tp" + $"fp")))
       .withColumn("recall",
@@ -217,10 +236,12 @@ object Acceptance {
     val g = reg(gold.select($"url", $"start", $"end", $"entity_class").distinct())
     val ov = reg(overlapJoinBucketed(spark, p, g, bucketWidth,
       inputsDistinct = true))
-    val goldMatched = reg(ov.select($"p_url".as("url"), $"g_start".as("start"),
-      $"g_end".as("end"), $"p_class".as("entity_class")).distinct())
+    // projections stay un-distinct'd for the same reason as in nerScores:
+    // assembleNerScores' grouped-flags pass absorbs duplicates
+    val goldMatched = ov.select($"p_url".as("url"), $"g_start".as("start"),
+      $"g_end".as("end"), $"p_class".as("entity_class"))
     val predMatched = ov.select($"p_url".as("url"), $"p_start".as("start"),
-      $"p_end".as("end"), $"p_class".as("entity_class")).distinct()
+      $"p_end".as("end"), $"p_class".as("entity_class"))
     assembleNerScores(p, g, goldMatched, predMatched)
   }
 

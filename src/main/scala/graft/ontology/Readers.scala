@@ -83,17 +83,20 @@ object OntologyReaders {
         lit("defaultLabel").as("mappingType")).distinct()
     ).groupBy("parserName", "idx", "syn")
       .agg(
-        // functionally dependent on (parserName, idx) — min only for full
-        // determinism (first() is order-dependent)
-        min(col("entityClass")).as("entityClass"),
-        min(col("defaultLabel")).as("defaultLabel"),
+        // entityClass/defaultLabel are functionally dependent on
+        // (parserName, idx) in a well-formed ontology, but independent
+        // min() aggregates would CHIMERA a malformed one (entityClass from
+        // one source row, defaultLabel from another) — aggregate them as
+        // one struct so the surviving pair always comes from a single row,
+        // while staying deterministic (min over the struct ordering)
+        min(struct(col("entityClass"), col("defaultLabel"))).as("_row"),
         // explicit synonym rows sort before the planted "defaultLabel"
         // tag only by accident of name — order explicitly: prefer any
         // NON-planted type, then break remaining ties lexicographically
         min(when(col("mappingType") =!= "defaultLabel", col("mappingType")))
           .as("explicitType"),
         min(col("mappingType")).as("anyType"))
-      .select(col("parserName"), col("entityClass"), col("idx"),
-        col("defaultLabel"), col("syn"),
+      .select(col("parserName"), col("_row.entityClass").as("entityClass"),
+        col("idx"), col("_row.defaultLabel").as("defaultLabel"), col("syn"),
         coalesce(col("explicitType"), col("anyType")).as("mappingType"))
 }

@@ -22,18 +22,36 @@ object Main {
     * broken lineage correlation). */
   private val flagOpts = Set("resume")
 
+  private val valueOpts =
+    Set("step-group", "input", "output", "run-id", "checkpoint", "resume")
+
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
       val a = args(i)
       require(a.startsWith("--"), s"unexpected argument: $a")
-      val k = a.drop(2)
-      if (flagOpts(k)) { m += k -> "true"; i += 1 }
+      // --key=value is the escape hatch for values that themselves start
+      // with "--" (a path, a flag-looking run-id); split on the FIRST '='
+      // so values containing '=' survive
+      val eq = a.indexOf('=')
+      if (eq >= 0) { m += a.substring(2, eq) -> a.substring(eq + 1); i += 1 }
       else {
-        require(i + 1 < args.length && !args(i + 1).startsWith("--"),
-          s"--$k needs a value")
-        m += k -> args(i + 1); i += 2
+        val k = a.drop(2)
+        if (flagOpts(k)) { m += k -> "true"; i += 1 }
+        else {
+          // the next token is "a missing value" only when it is itself a
+          // KNOWN option name — an unknown --token is accepted verbatim
+          // (legitimate values may look flag-like)
+          val nextIsOption = i + 1 < args.length &&
+            args(i + 1).startsWith("--") && {
+              val n = args(i + 1).drop(2)
+              val key = { val e = n.indexOf('='); if (e >= 0) n.substring(0, e) else n }
+              valueOpts(key) || flagOpts(key)
+            }
+          require(i + 1 < args.length && !nextIsOption, s"--$k needs a value")
+          m += k -> args(i + 1); i += 2
+        }
       }
     }
     m.toMap

@@ -30,9 +30,11 @@ object Similarity {
   object EntitySubtype extends Scorer {
     // boundary after the alternatives: without it "TYPE II" extracts as
     // the phrase "TYPE I" (and "TYPE 23" vs "TYPE 2" similarly), making
-    // distinct subtypes score compatible; roman numerals beyond a bare I
-    // reach here only pre-digit-substitution, so I+ covers them
-    private val phrases = Pattern.compile("(?<![A-Z])TYPE (?:I+|[0-9]+)(?![I0-9])")
+    // distinct subtypes score compatible. The lookahead must block EVERY
+    // roman-numeral continuation, not just I: in un-normalized input
+    // "TYPE IV" the I+ alternative matches the bare "TYPE I" unless V/X
+    // also terminate the match.
+    private val phrases = Pattern.compile("(?<![A-Z])TYPE (?:I+|[0-9]+)(?![IVX0-9])")
     private def counts(s: String): Map[String, Int] = {
       val m = phrases.matcher(s)
       val out = scala.collection.mutable.HashMap.empty[String, Int]

@@ -22,6 +22,11 @@ object Json {
   /** Locale-independent fixed-point number (the f"" interpolator honors
     * the default locale; a comma decimal separator corrupts the JSON). */
   def num(v: Double, decimals: Int = 3): String = {
+    // a non-finite input means the measurement itself is broken
+    // (zero-rate division in Scaling/Bench): fail loudly rather than
+    // publish NaN as "0.0" / ±Infinity as ±9.2e15 — plausible-looking
+    // numbers that would silently corrupt the round artifact
+    require(v.isFinite, s"non-finite value fed to Json.num: $v")
     val p = math.pow(10, decimals)
     (math.round(v * p) / p).toString
   }
