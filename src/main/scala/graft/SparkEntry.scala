@@ -19,8 +19,22 @@ object SparkEntry {
 
   // ---- shared helpers -----------------------------------------------------
 
+  /** Broadcast memo per (application, resource version): resources are
+    * write-once/read-many, so re-broadcasting the bundle (trie + payloads +
+    * synonym/metadata maps, the reference's model-pack analogue) on every
+    * query call would re-serialize and re-ship megabytes per run — on a
+    * 1000-executor cluster that is a full fleet re-distribution per query,
+    * and in the bench it was the prime suspect for a phantom per-run
+    * regression. Keyed by applicationId so a fresh session never reuses a
+    * dead context's broadcast. */
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.broadcast.Broadcast[Resources]]()
+  private[graft] def broadcastResources(spark: SparkSession, res: Resources) =
+    bcCache.computeIfAbsent((spark.sparkContext.applicationId, res.version),
+      _ => spark.sparkContext.broadcast(res))
+
   private def resources(spark: SparkSession) =
-    spark.sparkContext.broadcast(Resources.corpus)
+    broadcastResources(spark, Resources.corpus)
 
   /** Full KG pipeline docs for a scale-factor dir (no checkpointing in
     * driver-run queries; checkpoint/resume is exercised by PipelineSpec and
@@ -322,7 +336,7 @@ object SparkEntry {
       $"text", $"lang")
     // E17 xref expansion rides Pipeline.run's mapping post-processing
     // (selectable step, as the reference's CrossReferenceManager is)
-    val (docs0, _) = Pipeline.run(s, withHtml, s.sparkContext.broadcast(res),
+    val (docs0, _) = Pipeline.run(s, withHtml, broadcastResources(s, res),
       runner = runner, withTransformerNer = false,
       classDisambig = classDisambig, xrefs = xrefs)
     // per-call persist (each strategy row runs its own sliced pipeline);
@@ -409,6 +423,20 @@ object SparkEntry {
         graft.model.DisambiguationConfidence.Possible)))
     case m => sys.error(s"unknown planted mode $m")
   }
+
+  /** C9-chemistry planted IUPAC names — ONE definition shared by the
+    * kg_opsin query and its oracle CASE table. Index = doc_id % 5;
+    * (name, expected SMILES in [[graft.ner.OpsinNer.MiniIupacResolver]]'s
+    * normal form). The last entry is deliberately OUTSIDE the resolver
+    * grammar (the reference's own unparseable example family) → no row.
+    * "Cyclohexane" exercises case-insensitivity, "butan-3-amine" the
+    * mirror-locant canonicalization (≡ butan-2-amine). */
+  private[graft] val opsinPlantedNames: Vector[(String, String)] = Vector(
+    ("methane", "C"),
+    ("Cyclohexane", "C1CCCCC1"),
+    ("propan-1-ol", "C(O)CC"),
+    ("butan-3-amine", "CC(N)CC"),
+    ("dianhydro-glucitol", ""))
 
   /** E17 planted xref map — the kg_xref oracle row AND the reference-code
     * parity replay (tools/xref_parity.py) share this one definition. One
@@ -676,6 +704,63 @@ object SparkEntry {
         .toDF("doc_id", "start", "end", "match", "hgvs", "mutation_type",
           "wt", "mut", "found_with", "is_protein", "is_nucleotide", "ambiguous")
         .orderBy($"doc_id", $"start")
+    }),
+    "kg_opsin" -> ((s, dir) => {
+      import s.implicits._
+      // C9 chemistry half (OpsinStep): every doc plants a deterministic
+      // IUPAC name in a " chem: NAME yes ok." suffix plus THREE entities
+      // mimicking the reference scenarios — a transformer-TRUNCATED
+      // unmapped drug entity over the name's first 4 chars (the step must
+      // re-extend through hyphens, try "NAME yes ok." / "NAME yes" / "NAME"
+      // longest-first, and resolve NAME via the pluggable resolver), a
+      // wrong-class entity on the same span (never touched, opsin.py:296),
+      // and an ALREADY-MAPPED drug entity on "yes" (skipped by the
+      // zero-mappings gate, opsin.py:298). Docs with residue 4 plant an
+      // unresolvable name → the parse-failure path, no row. The oracle
+      // reconstructs every surviving (span, match, smiles) from doc_id.
+      val names = SparkEntry.opsinPlantedNames
+      val prefixLen = 4 // " chem: " is 7 chars; entity covers name[0:4)
+      val docs: org.apache.spark.sql.Dataset[graft.model.KDoc] =
+        docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+          .map { case (n, t) =>
+            import graft.model._
+            val (name, _) = names(((n % 5) + 5).toInt % 5)
+            val text = t + " chem: " + name + " yes ok."
+            val ns = t.length + 7 // name start (UTF-16 units, Java side)
+            val truncated = Mention(
+              matchStr = name.substring(0, prefixLen), entityClass = "drug",
+              spans = Seq(CharSpan(ns, ns + prefixLen)), namespace = "test",
+              mentionConfidence = MentionConfidence.Probable,
+              matchNorm = graft.text.Normalizer.normalize(name.substring(0, prefixLen), "drug"))
+            val wrongClass = truncated.copy(entityClass = "component",
+              matchNorm = graft.text.Normalizer.normalize(name.substring(0, prefixLen), "component"))
+            val ys = ns + name.length + 1 // "yes"
+            val preMapped = Mention(
+              matchStr = "yes", entityClass = "drug",
+              spans = Seq(CharSpan(ys, ys + 3)), namespace = "test",
+              mentionConfidence = MentionConfidence.Probable,
+              matchNorm = graft.text.Normalizer.normalize("yes", "drug"),
+              mappings = Seq(Mapping("yes", "TEST", "test_parser", "TEST:1",
+                "TestStep", StringMatchConfidence.HighlyLikely, None, None)))
+            KDoc(s"doc://$n", new java.sql.Timestamp(0L), text, "en",
+              Seq(Section("body", text,
+                Seq(truncated, wrongClass, preMapped))))
+          }
+      graft.ner.OpsinNer.annotate(s, docs,
+          () => graft.ner.OpsinNer.MiniIupacResolver,
+          graft.ner.OpsinNer.Config(entityClass = "drug",
+            requiredEntityClasses = Some(Set("drug"))))
+        .flatMap { d =>
+          // code-point offsets for the oracle (DuckDB length() counts code
+          // points; Java spans are UTF-16 units — same shift as kg_mutations)
+          val t = d.sections.head.text
+          val cpBase = (t.codePointCount(0, t.length) - t.length).toLong
+          val n = d.url.stripPrefix("doc://").toLong
+          d.entities.flatMap(e => e.mappings.filter(_.source == "Opsin")
+            .map(m => (n, e.start + cpBase, e.end + cpBase, e.matchStr, m.idx)))
+        }
+        .toDF("doc_id", "start", "end", "match", "smiles")
+        .orderBy($"doc_id")
     }),
     "kg_acceptance" -> ((s, dir) => {
       import s.implicits._
@@ -1371,6 +1456,25 @@ object SparkEntry {
          |    'p.' || aa2 || p4 || aa1, 'p.' || a2 || p4 || a1,
          |    'SUBSTITUTION', a2, a1, 'SETH', true, false, false FROM v)
          |ORDER BY doc_id, start""".stripMargin
+    },
+    // OPSIN chemistry resolution: the oracle reconstructs the repaired
+    // entity (full-name span + SMILES) per doc from doc_id; residue-4 docs
+    // plant an unresolvable name → filtered out (parse-failure path)
+    "kg_opsin" -> {
+      val nameCase = opsinPlantedNames.take(4).zipWithIndex
+        .map { case ((n, _), i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+      val lenCase = opsinPlantedNames.take(4).zipWithIndex
+        .map { case ((n, _), i) => s"WHEN $i THEN ${n.length}" }.mkString(" ")
+      val smilesCase = opsinPlantedNames.take(4).zipWithIndex
+        .map { case ((_, s), i) => s"WHEN $i THEN '$s'" }.mkString(" ")
+      s"""SELECT doc_id,
+         |  length(text) + 7 AS start,
+         |  length(text) + 7 + (CASE doc_id % 5 $lenCase END) AS "end",
+         |  CASE doc_id % 5 $nameCase END AS match,
+         |  CASE doc_id % 5 $smilesCase END AS smiles
+         |FROM documents
+         |WHERE doc_id % 5 <> 4
+         |ORDER BY doc_id""".stripMargin
     },
     // acceptance P/R: pred + gold both re-derived from the full-dump
     // derivation, tp/fp/fn via the soft-span overlap join
