@@ -11,12 +11,28 @@ import graft.text.Normalizer
   * pure string rule and is ported EXACTLY, including the reference's
   * trailing-digit scan and span-offset accounting. The conjunction pattern
   * ("skin, lung and breast cancer") uses scispacy noun chunks in the
-  * reference; no dependency parser exists in this container, so a
-  * comma/coordinator segmentation with a last-word anchor reproduces the
-  * reference's behavior on NP coordination (its own four test cases pass
-  * bit-for-bit — see entity_splitter_cases.tsv); nested/clausal
-  * coordination where the anchor is not the final token is a documented
-  * divergence (SURVEY.md C4).
+  * reference; no dependency parser exists in this container, so the rule is
+  * re-derived structurally as a dependency-free base-NP approximation:
+  *
+  *  - conjunct segments = comma/coordinator segmentation — on NP
+  *    coordination this IS the spaCy noun_chunks sequence (the reference's
+  *    own test cases require "skin, lung and breast cancer" to chunk as
+  *    three NPs, not one shared-head NP);
+  *  - the anchor token (the reference's `dep_ == "conj"` token inside
+  *    `noun_chunks[-1]`) = the HEAD of the final segment's base NP — its
+  *    last word, since spaCy base NPs are head-final;
+  *  - base-NP discipline: spaCy noun chunks exclude post-head modifiers, so
+  *    when the final segment carries a PP / relative clause ("cancer of the
+  *    lung"), `noun_chunks[-1]` is the modifier's OBJECT NP ("the lung"),
+  *    which contains no conj token → the reference's anchor comes up None
+  *    and NOTHING is split. The pre-round-7 last-word heuristic fabricated
+  *    "skin lung" here; this rule returns empty, matching the reference
+  *    algorithm's anchor-None path.
+  *
+  * All reference-executed cases in entity_splitter_cases.tsv pass; the
+  * residual approximation (earlier conjunct segments are emitted whole,
+  * i.e. assumed to be base NPs in the anchor's conjunct set) is exact for
+  * flat NP coordination, the shape NER mentions take.
   */
 object EntitySplitter {
 
@@ -28,6 +44,17 @@ object EntitySplitter {
       conjunctionClasses: Set[String] = Set.empty
   ) extends Serializable {
     def isEmpty: Boolean = numericalClasses.isEmpty && conjunctionClasses.isEmpty
+  }
+
+  object Config {
+    /** The reference's DEFAULT entity_conditions (conf/
+      * TransformersModelForTokenClassificationNerStep/default.yaml:8-15):
+      * numerical + conjunction for gene, conjunction for disease. Classes
+      * outside a document's entity set are inert, so this default is safe
+      * to wire unconditionally into the pipeline. */
+    val default: Config = Config(
+      numericalClasses = Set("gene"),
+      conjunctionClasses = Set("gene", "disease"))
   }
 
   private def withSpans(e: Mention, spans: Seq[CharSpan], text: String,
@@ -77,12 +104,27 @@ object EntitySplitter {
 
   private val Coordinators = Seq(" and ", " or ", " nor ")
 
-  /** Conjunction splitting without a parser: segment the match on commas
-    * and coordinators; the LAST segment is the anchor noun phrase (emitted
-    * whole, contiguous), its last word is the anchor token, and every
-    * earlier segment pairs with the anchor token as a non-contiguous
-    * mention — "skin, lung and triple negative breast cancer" →
-    * [triple negative breast cancer, skin cancer, lung cancer]. */
+  /** Prepositions after the head noun open a PP whose OBJECT becomes its
+    * own base NP in a spaCy chunking — the final segment's conj head then
+    * does not live in `noun_chunks[-1]` and the reference's anchor
+    * detection returns None (no split). */
+  private val Prepositions = Set(
+    "of", "in", "on", "for", "with", "to", "from", "by", "at")
+
+  /** Relative markers open a post-head CLAUSE; its verb is not an NP, so
+    * `noun_chunks[-1]` is still the pre-marker base NP — the anchor NP ends
+    * at the marker but the split proceeds. */
+  private val RelativeMarkers = Set("that", "which", "who")
+
+  /** Conjunction splitting without a parser (see object scaladoc): segment
+    * the match on commas and coordinators; the LAST segment is the anchor
+    * noun phrase (emitted whole, contiguous), the head of its base NP (its
+    * last word, unless a post-head modifier follows — then no split at all)
+    * is the anchor token, and every earlier segment pairs with the anchor
+    * token as a non-contiguous mention — "skin, lung and triple negative
+    * breast cancer" → [triple negative breast cancer, skin cancer,
+    * lung cancer]; "skin cancer and cancer of the lung" → [] (anchor NP is
+    * the PP object, no conj token → reference anchor-None path). */
   def splitConjunction(e: Mention, text: String): Seq[Mention] = {
     val m = e.matchStr
     if (!Coordinators.exists(m.contains)) return Seq.empty
@@ -97,9 +139,30 @@ object EntitySplitter {
     if (pos < m.length) chunks += ((pos, m.length))
     if (chunks.length < 2) return Seq.empty
     val start = e.start
-    val (as, ae) = chunks.last
+    val (as, segEnd) = chunks.last
+    val segText = m.substring(as, segEnd)
+    // base-NP discipline over the final segment's words: a PREPOSITION
+    // means noun_chunks[-1] is the PP's object (no conj token → reference
+    // anchor None → nothing split); a RELATIVE MARKER merely ends the
+    // anchor base NP (the clause's verb is not an NP), so the anchor chunk
+    // is the pre-marker prefix and the split proceeds
+    val segWords = segText.split(' ')
+    var npWords = segWords.length
+    var i = 0
+    while (i < segWords.length) {
+      val w = segWords(i).toLowerCase(java.util.Locale.ROOT)
+      // a preposition ANYWHERE in the segment (incl. inside a relative
+      // clause, "cancer that grows in mice") puts an NP after the anchor —
+      // noun_chunks[-1] is that object, anchor None, no split
+      if (Prepositions(w)) return Seq.empty
+      if (RelativeMarkers(w) && i < npWords) npWords = i
+      i += 1
+    }
+    if (npWords == 0) return Seq.empty // segment STARTS with a marker
+    val ae = as + segWords.take(npWords).map(_.length).sum + (npWords - 1)
     val anchorText = m.substring(as, ae)
-    // anchor token = last whitespace word of the anchor phrase
+    // anchor token = head of the final base NP = its last word (base NPs
+    // are head-final once post-head modifiers are excluded above)
     val lastSpace = anchorText.lastIndexOf(' ')
     val (ts, te) = (as + lastSpace + 1, ae)
     val out = scala.collection.mutable.ArrayBuffer.empty[Mention]

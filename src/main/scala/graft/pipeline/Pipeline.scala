@@ -140,7 +140,7 @@ object Pipeline {
       runner: StrategyRunner,
       classRules: ClassFilter.Rules,
       withTransformerNer: Boolean,
-      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config(),
+      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config.default,
       useExplosionMatcher: Boolean = false,
       classDisambig: EntityClassDisambiguation.Config =
         EntityClassDisambiguation.Config(Map.empty),
@@ -254,7 +254,7 @@ object Pipeline {
       cfg: Config = Config(),
       classRules: ClassFilter.Rules = ClassFilter.Rules(),
       withTransformerNer: Boolean = true,
-      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config(),
+      splitter: graft.ner.EntitySplitter.Config = graft.ner.EntitySplitter.Config.default,
       useExplosionMatcher: Boolean = false,
       classDisambig: EntityClassDisambiguation.Config =
         EntityClassDisambiguation.Config(Map.empty),

@@ -151,11 +151,11 @@ class EntitySplitterSpec extends AnyFunSuite {
     assert(EntitySplitter.split(cfg)(m(text, 0, 13, "disease"), text).isEmpty)
   }
 
-  test("reference fixture table: ported cases pass; divergences are recorded") {
+  test("reference fixture table: every row passes (no divergences remain)") {
     // entity_splitter_cases.tsv ports the reference's own test inputs
-    // (test_entity_post_processing.py) plus a documented heuristic
-    // divergence — every row is executed and asserted against its
-    // recorded expectation and status
+    // (test_entity_post_processing.py) plus structurally re-derived
+    // base-NP coordination shapes (round 7) — every row is executed and
+    // asserted against its recorded expectation
     val lines = scala.io.Source.fromFile(
       "src/test/resources/entity_splitter_cases.tsv")("UTF-8")
       .getLines().drop(1).filter(_.nonEmpty).toSeq
@@ -165,19 +165,24 @@ class EntitySplitterSpec extends AnyFunSuite {
       val cols = line.split("\t")
       val (rule, cls, text) = (cols(1), cols(2), cols(3))
       val (s, e) = (cols(4).toInt, cols(5).toInt)
-      val expected = cols(6).split("\\|").toSet
       val status = cols(7)
       val ent = m(text, s, e, cls)
       val got = EntitySplitter.split(cfg)(ent, text).map(_.matchStr).toSet
-      assert(expected.subsetOf(got + ent.matchStr),
-        s"${cols(0)} [$status]: expected $expected ⊄ $got")
+      if (cols(6) == "(none)") {
+        // anchor-None rows: the reference emits NOTHING — so must we
+        assert(got.isEmpty, s"${cols(0)} [$status]: expected no split, got $got")
+      } else {
+        val expected = cols(6).split("\\|").toSet
+        assert(expected.subsetOf(got + ent.matchStr),
+          s"${cols(0)} [$status]: expected $expected ⊄ $got")
+      }
       got.foreach { g =>
         val sp = EntitySplitter.split(cfg)(ent, text).find(_.matchStr == g).get.spans
         sp.foreach(cs => assert(text.substring(cs.start, cs.end).nonEmpty))
       }
       if (status == "pass") passCount += 1
     }
-    assert(passCount >= 4, "all four reference-ported cases must pass")
+    assert(passCount >= 7, "every fixture row must pass (no recorded divergences remain)")
   }
 
   test("splitter is reachable from Pipeline.run via config") {
