@@ -16,7 +16,12 @@ import org.apache.spark.sql.SparkSession
 object PlanAudit {
 
   private case class Audit(name: String, note: String,
-      mustContain: Seq[String] = Seq.empty, mustNotContain: Seq[String] = Seq.empty)
+      mustContain: Seq[String] = Seq.empty, mustNotContain: Seq[String] = Seq.empty,
+      /** (substring, n): must occur EXACTLY n times in the plan TREE
+        * (details section excluded) — how single-materialization is
+        * asserted: a pipeline double-compute would show the cached chain's
+        * nodes a second time outside the one InMemoryRelation. */
+      exactInTree: Seq[(String, Int)] = Seq.empty)
 
   private val audits = Seq(
     Audit("q1_agg",
@@ -71,10 +76,14 @@ object PlanAudit {
         "nested-loop join — and NO forced broadcast hint (the gold side " +
         "is corpus-derived here; Catalyst stays free to sort-merge at " +
         "scale). The join output and both distinct span sets are " +
-        "persisted (InMemoryTableScan) so the theta-join executes once " +
-        "for its three consumers (tp / fp / fn).",
-      mustContain = Seq("InMemoryTableScan"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+        "persisted (InMemoryTableScan) so the theta-join executes once, " +
+        "and tp/fp/fn come from ONE union + grouped presence flags over " +
+        "(side, span) + one aggregation — the round-6 exceptAll + " +
+        "left_anti two-pass (two extra full shuffles per score) is gone " +
+        "and must stay gone.",
+      mustContain = Seq("InMemoryTableScan", "Union", "partial_"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "Except", "LeftAnti")),
     Audit("dedup_substring",
       "substring-anchored dedup: winnowed fingerprint postings are " +
         "persisted once (InMemoryTableScan); mega-postings leave via a " +
@@ -106,9 +115,11 @@ object PlanAudit {
         "corpus-sized, so the overlap predicate rides the bucketed " +
         "(url, class, bucket) equi-join — no broadcast dependence on " +
         "either side, no nested-loop fallback; both sides' distinct span " +
-        "sets are persisted once for the tp/fp/fn consumers.",
-      mustContain = Seq("InMemoryTableScan"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+        "sets are persisted once for the tp/fp/fn consumers, which read " +
+        "them through the same one-pass union+flags form as kg_acceptance.",
+      mustContain = Seq("InMemoryTableScan", "Union"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "Except", "LeftAnti")),
     Audit("kg_mutations",
       "mutation NER (C9) is a pure narrow flatMap over the document scan " +
         "— the single exchange in the plan is the deterministic-output " +
@@ -116,6 +127,60 @@ object PlanAudit {
         "100 TB it runs at scan speed like the other per-doc planes.",
       mustContain = Seq("rangepartitioning("),
       mustNotContain = Seq("hashpartitioning(", "CartesianProduct")),
+    // ---- suffixed-pipeline rows (round-7 directive: the one query family
+    // previously without an audit — a regression to a second transformer
+    // pass or an unpersisted pipeline double-compute would hide here). The
+    // shared shape: the sliced+suffixed pipeline is materialized EXACTLY
+    // once (one InMemoryRelation; the pipeline's fused MapPartitions chain
+    // appears once inside it and once for the downstream triples pass),
+    // and the only other parquet read is the cheap narrow lens projection
+    // joined back for suffix-region filtering.
+    Audit("kg_abbrev",
+      "Schwartz–Hearst e2e row: ONE pipeline materialization (persisted " +
+        "docs), the original-length lens is a separate narrow scan joined " +
+        "back; no second pipeline chain outside the cache.",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      exactInTree = Seq("InMemoryRelation" -> 1)),
+    Audit("kg_disambig",
+      "disambiguation-ladder row: same single-materialization contract as " +
+        "kg_abbrev — exactly one cached sliced pipeline.",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      exactInTree = Seq("InMemoryRelation" -> 1)),
+    Audit("kg_gilda_disambig",
+      "per-strategy (E10) row: one cached sliced pipeline, no duplicate " +
+        "inference pass.",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      exactInTree = Seq("InMemoryRelation" -> 1)),
+    Audit("kg_annotation_prior",
+      "per-strategy (E11) row — where the round-6 phantom regression was " +
+        "suspected to hide: one cached sliced pipeline; resources ride the " +
+        "per-(app, version) broadcast memo, re-shipped never, so repeat " +
+        "runs add no fleet re-distribution.",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      exactInTree = Seq("InMemoryRelation" -> 1)),
+    Audit("kg_embed_default_label",
+      "per-strategy (E13) row: one cached sliced pipeline.",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      exactInTree = Seq("InMemoryRelation" -> 1)),
+    Audit("kg_xref",
+      "E17 xref fan-out row: one cached sliced pipeline; the multi-target " +
+        "expansion happens inside the fused per-doc chain, not as a join.",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      exactInTree = Seq("InMemoryRelation" -> 1)),
+    Audit("kg_opsin",
+      "OPSIN (C9 chemistry) row: pure narrow per-doc plane — construct " +
+        "docs, annotate via one mapPartitions, flatMap mappings; the only " +
+        "exchange is the deterministic-output orderBy's range " +
+        "partitioning. No persist needed (single consumer), no join.",
+      mustContain = Seq("rangepartitioning("),
+      mustNotContain = Seq("hashpartitioning(", "CartesianProduct",
+        "InMemoryTableScan")),
     Audit("multimodal_neardup",
       "identical-image clustering: per-hash counts group with map-side " +
         "partial aggregation and join back through the shared 16-way " +
@@ -149,6 +214,18 @@ object PlanAudit {
         s"${a.name}: expected plan to contain '$s'"))
       a.mustNotContain.foreach(s => require(!plan.contains(s),
         s"${a.name}: plan regression — contains '$s'"))
+      if (a.exactInTree.nonEmpty) {
+        // tree section = everything before the first node-detail block
+        val tree = plan.split("\n\\(1\\) ", 2)(0)
+        a.exactInTree.foreach { case (s, n) =>
+          val c = s.r.findAllIn(tree).size
+          require(c == n,
+            s"${a.name}: expected '$s' x$n in plan tree, found x$c")
+        }
+      }
+      // release per-query persists so successive audited queries don't
+      // stack cached pipelines
+      graft.util.CacheRegistry.releaseAll()
       sb.append(s"\n## ${a.name}\n\n${a.note}\n\n```\n")
       // keep the operator tree + the details of scan/aggregate/join nodes;
       // cap at a readable size
