@@ -101,6 +101,13 @@ object Bench {
     // paying for the full suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail loudly on unknown names: an all-typo filter would otherwise
+    // publish an empty-but-legitimate-looking artifact (total 0.0)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {

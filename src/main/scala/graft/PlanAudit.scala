@@ -218,7 +218,9 @@ object PlanAudit {
         // tree section = everything before the first node-detail block
         val tree = plan.split("\n\\(1\\) ", 2)(0)
         a.exactInTree.foreach { case (s, n) =>
-          val c = s.r.findAllIn(tree).size
+          // literal substring count — needles like "rangepartitioning("
+          // are not valid regexes
+          val c = tree.sliding(s.length).count(_ == s)
           require(c == n,
             s"${a.name}: expected '$s' x$n in plan tree, found x$c")
         }

@@ -28,10 +28,37 @@ object SparkEntry {
     * regression. Keyed by applicationId so a fresh session never reuses a
     * dead context's broadcast. */
   private val bcCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), org.apache.spark.broadcast.Broadcast[Resources]]()
-  private[graft] def broadcastResources(spark: SparkSession, res: Resources) =
-    bcCache.computeIfAbsent((spark.sparkContext.applicationId, res.version),
-      _ => spark.sparkContext.broadcast(res))
+    (String, String),
+    (org.apache.spark.broadcast.Broadcast[Resources], Resources)]()
+  private val bcEvictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def broadcastResources(spark: SparkSession, res: Resources) = {
+    val appId = spark.sparkContext.applicationId
+    // evict this application's entries when it ends — a long-lived JVM
+    // cycling sessions must not accumulate dead Broadcast handles (each
+    // pins trie + payload megabytes), mirroring ensureEvictionHook below
+    if (bcEvictionHooked.add(appId))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          bcCache.keySet.removeIf(_._1 == appId)
+          bcEvictionHooked.remove(appId)
+        }
+      })
+    val (bc, cachedRes) =
+      bcCache.computeIfAbsent((appId, res.version), _ => (spark.sparkContext.broadcast(res), res))
+    // the version string is the cache identity: a DIFFERENT bundle arriving
+    // under an already-cached version (e.g. Resources.build left at its
+    // default version) would silently execute against the cached bundle —
+    // fail loudly instead of returning wrong results. Fast path: all
+    // production bundles are lazy-val singletons (eq); the structural
+    // compare only runs for rebuilt bundles.
+    require((cachedRes eq res) ||
+        (cachedRes.synonyms == res.synonyms && cachedRes.metadata == res.metadata),
+      s"broadcastResources: version '${res.version}' already cached for a " +
+        "DIFFERENT Resources bundle — give each distinct bundle a distinct version")
+    bc
+  }
 
   private def resources(spark: SparkSession) =
     broadcastResources(spark, Resources.corpus)

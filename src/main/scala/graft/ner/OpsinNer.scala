@@ -148,17 +148,20 @@ object OpsinNer {
     if (!condOk) return doc
     val sections = doc.sections.map { sec =>
       var replacedAny = false
-      val replaced = scala.collection.mutable.LinkedHashMap.empty[Mention, Mention]
-      sec.entities.foreach { ent =>
-        if (ent.entityClass == cfg.entityClass && ent.mappings.isEmpty &&
-            !replaced.contains(ent)) {
+      // keyed by POSITION, not value: the reference keys its replacement
+      // dict on Entity object identity, so two value-equal mentions (same
+      // span from two NER sources) are each processed and each replaced —
+      // value keying would remove both originals but append only one
+      val replaced = scala.collection.mutable.LinkedHashMap.empty[Int, Mention]
+      sec.entities.zipWithIndex.foreach { case (ent, entIdx) =>
+        if (ent.entityClass == cfg.entityClass && ent.mappings.isEmpty) {
           val it = extendString(ent.start, ent.end, sec.text, cfg.spaces).iterator
           var done = false
           while (!done && it.hasNext) {
             val (cand, s, e) = it.next()
             resolver.nameToStructure(cand) match {
               case Right(sm) =>
-                replaced(ent) = ent.copy(
+                replaced(entIdx) = ent.copy(
                   matchStr = cand,
                   spans = Seq(CharSpan(s, e)),
                   matchNorm = Normalizer.normalize(cand, ent.entityClass),
@@ -180,7 +183,9 @@ object OpsinNer {
       }
       if (!replacedAny) sec
       else sec.copy(entities =
-        sec.entities.filterNot(replaced.contains) ++ replaced.values)
+        sec.entities.zipWithIndex.collect {
+          case (ent, i) if !replaced.contains(i) => ent
+        } ++ replaced.values)
     }
     doc.copy(sections = sections)
   }

@@ -22,9 +22,6 @@ object Main {
     * broken lineage correlation). */
   private val flagOpts = Set("resume")
 
-  private val valueOpts =
-    Set("step-group", "input", "output", "run-id", "checkpoint", "resume")
-
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -40,16 +37,12 @@ object Main {
         val k = a.drop(2)
         if (flagOpts(k)) { m += k -> "true"; i += 1 }
         else {
-          // the next token is "a missing value" only when it is itself a
-          // KNOWN option name — an unknown --token is accepted verbatim
-          // (legitimate values may look flag-like)
-          val nextIsOption = i + 1 < args.length &&
-            args(i + 1).startsWith("--") && {
-              val n = args(i + 1).drop(2)
-              val key = { val e = n.indexOf('='); if (e >= 0) n.substring(0, e) else n }
-              valueOpts(key) || flagOpts(key)
-            }
-          require(i + 1 < args.length && !nextIsOption, s"--$k needs a value")
+          // positional values must not look like options — silently
+          // consuming a typo'd "--restume" as the previous option's value
+          // would run with the wrong config; flag-looking VALUES go
+          // through the --key=value escape hatch above
+          require(i + 1 < args.length && !args(i + 1).startsWith("--"),
+            s"--$k needs a value (use --$k=value for values starting with '--')")
           m += k -> args(i + 1); i += 2
         }
       }

@@ -189,6 +189,19 @@ class OpsinNerSpec extends AnyFunSuite with SparkTestBase {
     assert(out.sections.head.entities.head.candidates == Seq(cand))
   }
 
+  test("two value-equal eligible mentions each get their own replacement") {
+    // the reference keys replacements on Entity OBJECT identity, so two
+    // equal mentions (same span from two NER sources) both survive as two
+    // replaced entities — position keying reproduces that; value keying
+    // would shrink the list from 2 to 1
+    val text = "x methane y"
+    val e = drugEnt(text, "meth")
+    val out = OpsinNer.processDoc(Config(), MiniIupacResolver)(doc(text, e, e))
+    val ents = out.sections.head.entities
+    assert(ents.size == 2 && ents.forall(_.matchStr == "methane"))
+    assert(ents.forall(_.mappings.head.idx == "C"))
+  }
+
   test("dataset plane: narrow mapPartitions over KDocs") {
     import spark.implicits._
     val texts = Seq("a methane b", "c dianhydro-glucitol d")
