@@ -57,7 +57,7 @@ object Bench {
   /** Prior-round medians {query → sec}; absent file (or a query new this
     * round) simply disables the guard for it. The flat {"name":sec} shape
     * needs no JSON library — a pair regex is exact for it. */
-  private def loadPrior(path: String): Map[String, Double] =
+  private[graft] def loadPrior(path: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
