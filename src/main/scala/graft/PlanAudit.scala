@@ -181,6 +181,21 @@ object PlanAudit {
       mustContain = Seq("rangepartitioning("),
       mustNotContain = Seq("hashpartitioning(", "CartesianProduct",
         "InMemoryTableScan")),
+    Audit("kg_spacy_ner",
+      "spaCy-step (C8) row: pure narrow per-doc plane — construct docs, " +
+        "ruler-annotate via one mapPartitions, flatMap entity rows; the " +
+        "only exchange is the deterministic-output orderBy's range " +
+        "partitioning. No persist (single consumer), no join.",
+      mustContain = Seq("rangepartitioning("),
+      mustNotContain = Seq("hashpartitioning(", "CartesianProduct",
+        "InMemoryTableScan")),
+    Audit("kg_stanza_sentences",
+      "stanza-step (C10) row: same narrow per-doc shape as kg_spacy_ner — " +
+        "segment via one mapPartitions, flatMap span/error rows, " +
+        "range-partitioned sink sort only.",
+      mustContain = Seq("rangepartitioning("),
+      mustNotContain = Seq("hashpartitioning(", "CartesianProduct",
+        "InMemoryTableScan")),
     Audit("multimodal_neardup",
       "identical-image clustering: per-hash counts group with map-side " +
         "partial aggregation and join back through the shared 16-way " +

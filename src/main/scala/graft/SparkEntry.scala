@@ -465,6 +465,29 @@ object SparkEntry {
     ("butan-3-amine", "CC(N)CC"),
     ("dianhydro-glucitol", ""))
 
+  /** C8 planted ruler sentences — ONE definition shared by the
+    * kg_spacy_ner query (both the appended text and the EntityRuler
+    * patterns) and its oracle CASE table. Index = doc_id % 3;
+    * (sentence body, gazetteer phrase at body offset 0, UPPERCASE label —
+    * the step must lowercase it). Docs append ". " + body, so the body
+    * always starts a fresh sentence at code-point length(text) + 2. */
+  private[graft] val spacyPlantedSents: Vector[(String, String, String)] = Vector(
+    ("zzqaspirin helps.", "zzqaspirin", "DRUG"),
+    ("zzqbreast zzqcancer ward.", "zzqbreast zzqcancer", "DISEASE"),
+    ("zzqEGFR rose fast.", "zzqEGFR", "GENE"))
+
+  /** C10 planted tails — ONE definition shared by kg_stanza_sentences and
+    * its oracle CASE table. Index = doc_id % 3: residues 0/1 append
+    * ". " + tail and emit the token-derived span of every sentence fully
+    * inside the tail (tail 1 is UNTERMINATED with trailing spaces — the
+    * stanza span ends at its last TOKEN, which is the semantics the oracle
+    * pins); residue 2 instead PRE-SETS sentence spans, so the write-once
+    * setter contract routes the doc to the failure path → an error row. */
+  private[graft] val stanzaPlantedTails: Vector[String] = Vector(
+    "Zq alpha. Beta gamma!  ",
+    "Zz one two three  ",
+    "")
+
   /** E17 planted xref map — the kg_xref oracle row AND the reference-code
     * parity replay (tools/xref_parity.py) share this one definition. One
     * metadata parser per target SOURCE, as the reference's
@@ -788,6 +811,83 @@ object SparkEntry {
         }
         .toDF("doc_id", "start", "end", "match", "smiles")
         .orderBy($"doc_id")
+    }),
+    "kg_spacy_ner" -> ((s, dir) => {
+      import s.implicits._
+      // C8 (SpacyNerStep): every doc appends ". " + a planted ruler
+      // sentence (doc_id % 3 selects it); the step's EntityRuler stand-in
+      // must find the gazetteer phrase on token boundaries, LOWERCASE the
+      // uppercase label, and (addSentenceSpans) set token-derived sentence
+      // spans — the output row carries the entity plus its containing
+      // sentence span, all CASE-reconstructable from doc_id and
+      // length(text). zzq-prefixed phrases are corpus-impossible, so the
+      // full-text scan can only hit the planted tail.
+      val planted = SparkEntry.spacyPlantedSents
+      val docs: org.apache.spark.sql.Dataset[graft.model.KDoc] =
+        docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+          .map { case (n, t) =>
+            import graft.model._
+            val (body, _, _) = planted(((n % 3) + 3).toInt % 3)
+            val text = t + ". " + body
+            KDoc(s"doc://$n", new java.sql.Timestamp(0L), text, "en",
+              Seq(Section("body", text)))
+          }
+      val patterns = planted.map { case (_, phrase, label) => phrase -> label }.toMap
+      graft.ner.SpacyNer.annotate(s, docs,
+          () => new graft.ner.SpacyNer.RulerPipeline(patterns))
+        .flatMap { d =>
+          val sec = d.sections.head
+          val t = sec.text
+          val cpBase = (t.codePointCount(0, t.length) - t.length).toLong
+          val n = d.url.stripPrefix("doc://").toLong
+          sec.entities.filter(_.namespace == graft.ner.SpacyNer.Namespace).map { e =>
+            val sent = sec.sentenceSpans
+              .find(sp => sp.start <= e.start && e.end <= sp.end)
+              .getOrElse(sys.error(s"entity outside any sentence: $e"))
+            (n, e.start + cpBase, e.end + cpBase, e.matchStr, e.entityClass,
+              sent.start + cpBase, sent.end + cpBase)
+          }
+        }
+        .toDF("doc_id", "start", "end", "match", "entity_class",
+          "sent_start", "sent_end")
+        .orderBy($"doc_id")
+    }),
+    "kg_stanza_sentences" -> ((s, dir) => {
+      import s.implicits._
+      // C10 (StanzaStep): residues 0/1 append ". " + a planted tail and
+      // emit the token-derived span of every sentence starting inside the
+      // tail (tail 1 is unterminated — its span must end at the last TOKEN,
+      // not the text end); residue 2 arrives with sentence spans PRE-SET,
+      // so the write-once setter contract yields an error row instead.
+      val tails = SparkEntry.stanzaPlantedTails
+      val docs: org.apache.spark.sql.Dataset[graft.model.KDoc] =
+        docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+          .map { case (n, t) =>
+            import graft.model._
+            val r = ((n % 3) + 3).toInt % 3
+            val text = if (r == 2) t else t + ". " + tails(r)
+            val preSet = if (r == 2) Seq(CharSpan(0, 1)) else Seq.empty
+            KDoc(s"doc://$n", new java.sql.Timestamp(0L), text, "en",
+              Seq(Section("body", text, sentenceSpans = preSet)))
+          }
+      graft.ner.StanzaSentencer.annotate(s, docs)
+        .flatMap { d =>
+          val n = d.url.stripPrefix("doc://").toLong
+          val sec = d.sections.head
+          val t = sec.text
+          val cpBase = (t.codePointCount(0, t.length) - t.length).toLong
+          d.error match {
+            case Some(msg) => Seq((n, None: Option[Long], None: Option[Long], msg))
+            case None =>
+              // tail starts at UTF-16 baseLen + 2; baseLen = len - tailLen - 2
+              val r = ((n % 3) + 3).toInt % 3
+              val tailStart = t.length - tails(r).length
+              sec.sentenceSpans.filter(_.start >= tailStart)
+                .map(sp => (n, Some(sp.start + cpBase), Some(sp.end + cpBase), ""))
+          }
+        }
+        .toDF("doc_id", "sent_start", "sent_end", "error")
+        .orderBy($"doc_id", $"sent_start")
     }),
     "kg_acceptance" -> ((s, dir) => {
       import s.implicits._
@@ -1502,6 +1602,54 @@ object SparkEntry {
          |FROM documents
          |WHERE doc_id % 5 <> 4
          |ORDER BY doc_id""".stripMargin
+    },
+    // spaCy-step NER: one planted ruler entity per doc — the oracle
+    // reconstructs the entity (token-boundary phrase match, LOWERCASED
+    // label) and its containing token-derived sentence span from doc_id
+    "kg_spacy_ner" -> {
+      val phraseCase = spacyPlantedSents.zipWithIndex
+        .map { case ((_, p, _), i) => s"WHEN $i THEN '$p'" }.mkString(" ")
+      val phraseLenCase = spacyPlantedSents.zipWithIndex
+        .map { case ((_, p, _), i) => s"WHEN $i THEN ${p.length}" }.mkString(" ")
+      val classCase = spacyPlantedSents.zipWithIndex
+        .map { case ((_, _, l), i) =>
+          s"WHEN $i THEN '${l.toLowerCase(java.util.Locale.ROOT)}'" }.mkString(" ")
+      val bodyLenCase = spacyPlantedSents.zipWithIndex
+        .map { case ((b, _, _), i) => s"WHEN $i THEN ${b.length}" }.mkString(" ")
+      s"""SELECT doc_id,
+         |  length(text) + 2 AS start,
+         |  length(text) + 2 + (CASE doc_id % 3 $phraseLenCase END) AS "end",
+         |  CASE doc_id % 3 $phraseCase END AS match,
+         |  CASE doc_id % 3 $classCase END AS entity_class,
+         |  length(text) + 2 AS sent_start,
+         |  length(text) + 2 + (CASE doc_id % 3 $bodyLenCase END) AS sent_end
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
+    // stanza-step sentence segmentation: the oracle re-derives the
+    // token-derived tail sentence spans (computed here by the SAME
+    // stand-in pipeline the query runs — the tail is position-independent
+    // because ". " always closes the preceding sentence) and the
+    // write-once failure rows for residue-2 docs
+    "kg_stanza_sentences" -> {
+      val relSpans: Vector[Seq[(Int, Int)]] =
+        stanzaPlantedTails.take(2).map { tail =>
+          graft.ner.StanzaSentencer.MiniGeniaPipeline.sentenceTokens(". " + tail)
+            .map(tk => (tk.head._1, tk.last._2)).filter(_._1 >= 2)
+        }
+      val okRows = relSpans.zipWithIndex.flatMap { case (spans, r) =>
+        spans.map { case (a, b) =>
+          s"""SELECT doc_id, length(text) + $a AS sent_start,
+             |  length(text) + $b AS sent_end, '' AS error
+             |FROM documents WHERE doc_id % 3 = $r""".stripMargin
+        }
+      }
+      val errRow =
+        s"""SELECT doc_id, CAST(NULL AS BIGINT) AS sent_start,
+           |  CAST(NULL AS BIGINT) AS sent_end,
+           |  '${graft.ner.StanzaSentencer.Namespace}: Immutable sentence_spans is already set' AS error
+           |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+      (okRows :+ errRow).mkString("", "\nUNION ALL\n", "\nORDER BY doc_id, sent_start")
     },
     // acceptance P/R: pred + gold both re-derived from the full-dump
     // derivation, tp/fp/fn via the soft-span overlap join
