@@ -482,11 +482,17 @@ object SparkEntry {
     * inside the tail (tail 1 is UNTERMINATED with trailing spaces — the
     * stanza span ends at its last TOKEN, which is the semantics the oracle
     * pins); residue 2 instead PRE-SETS sentence spans, so the write-once
-    * setter contract routes the doc to the failure path → an error row. */
-  private[graft] val stanzaPlantedTails: Vector[String] = Vector(
-    "Zq alpha. Beta gamma!  ",
-    "Zz one two three  ",
-    "")
+    * setter contract routes the doc to the failure path → an error row.
+    * The expected spans (relative to the ". " + tail string) are LITERAL
+    * hand-derived constants, deliberately NOT computed by the stand-in
+    * pipeline — the oracle must stay independent of the tokenizer so a
+    * segmentation regression fails the driver gate instead of shifting
+    * both sides in lockstep; StanzaSpec asserts the pipeline reproduces
+    * exactly these literals. */
+  private[graft] val stanzaPlantedTails: Vector[(String, Seq[(Int, Int)])] = Vector(
+    ("Zq alpha. Beta gamma!  ", Seq((2, 11), (12, 23))),
+    ("Zz one two three  ", Seq((2, 18))),
+    ("", Seq.empty))
 
   /** E17 planted xref map — the kg_xref oracle row AND the reference-code
     * parity replay (tools/xref_parity.py) share this one definition. One
@@ -865,7 +871,7 @@ object SparkEntry {
           .map { case (n, t) =>
             import graft.model._
             val r = ((n % 3) + 3).toInt % 3
-            val text = if (r == 2) t else t + ". " + tails(r)
+            val text = if (r == 2) t else t + ". " + tails(r)._1
             val preSet = if (r == 2) Seq(CharSpan(0, 1)) else Seq.empty
             KDoc(s"doc://$n", new java.sql.Timestamp(0L), text, "en",
               Seq(Section("body", text, sentenceSpans = preSet)))
@@ -881,7 +887,7 @@ object SparkEntry {
             case None =>
               // tail starts at UTF-16 baseLen + 2; baseLen = len - tailLen - 2
               val r = ((n % 3) + 3).toInt % 3
-              val tailStart = t.length - tails(r).length
+              val tailStart = t.length - tails(r)._1.length
               sec.sentenceSpans.filter(_.start >= tailStart)
                 .map(sp => (n, Some(sp.start + cpBase), Some(sp.end + cpBase), ""))
           }
@@ -1627,22 +1633,19 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
     // stanza-step sentence segmentation: the oracle re-derives the
-    // token-derived tail sentence spans (computed here by the SAME
-    // stand-in pipeline the query runs — the tail is position-independent
-    // because ". " always closes the preceding sentence) and the
-    // write-once failure rows for residue-2 docs
+    // token-derived tail sentence spans from the LITERAL constants in
+    // stanzaPlantedTails (hand-derived, pipeline-independent — a
+    // tokenizer regression fails here instead of shifting both sides;
+    // the tail is position-independent because ". " always closes the
+    // preceding sentence) and the write-once failure rows for residue-2
     "kg_stanza_sentences" -> {
-      val relSpans: Vector[Seq[(Int, Int)]] =
-        stanzaPlantedTails.take(2).map { tail =>
-          graft.ner.StanzaSentencer.MiniGeniaPipeline.sentenceTokens(". " + tail)
-            .map(tk => (tk.head._1, tk.last._2)).filter(_._1 >= 2)
-        }
-      val okRows = relSpans.zipWithIndex.flatMap { case (spans, r) =>
-        spans.map { case (a, b) =>
-          s"""SELECT doc_id, length(text) + $a AS sent_start,
-             |  length(text) + $b AS sent_end, '' AS error
-             |FROM documents WHERE doc_id % 3 = $r""".stripMargin
-        }
+      val okRows = stanzaPlantedTails.take(2).zipWithIndex.flatMap {
+        case ((_, spans), r) =>
+          spans.map { case (a, b) =>
+            s"""SELECT doc_id, length(text) + $a AS sent_start,
+               |  length(text) + $b AS sent_end, '' AS error
+               |FROM documents WHERE doc_id % 3 = $r""".stripMargin
+          }
       }
       val errRow =
         s"""SELECT doc_id, CAST(NULL AS BIGINT) AS sent_start,

@@ -77,7 +77,7 @@ class SpacyNerSpec extends AnyFunSuite with SparkTestBase {
     assert(out.sections.head.sentenceSpans == Seq(CharSpan(0, 8)))
   }
 
-  test("ruler is the PhraseMatcher contract: token boundaries, leftmost-longest, non-overlapping") {
+  test("ruler is the PhraseMatcher contract: token boundaries, filter_spans, non-overlapping") {
     // "aspiriner" must NOT match "aspirin" (token boundary)
     assert(SpacyNer.processDoc(ruler)(doc("aspiriner")).entities.isEmpty)
     // multi-token wins over any single-token prefix pattern at the same start
@@ -85,10 +85,53 @@ class SpacyNerSpec extends AnyFunSuite with SparkTestBase {
     val out = SpacyNer.processDoc(p2)(doc("breast cancer ward"))
     assert(out.entities.map(e => (e.matchStr, e.entityClass)) ==
       Seq(("breast cancer", "disease")))
-    // consumed tokens can't re-match (non-overlapping ents)
+    // equal length → earlier start wins, overlap dropped
     val p3 = new RulerPipeline(Map("a b" -> "X", "b c" -> "Y"))
     val out3 = SpacyNer.processDoc(p3)(doc("a b c"))
     assert(out3.entities.map(_.matchStr) == Seq("a b"))
+  }
+
+  test("filter_spans: the LONGEST span wins even when it starts later (spacy.util.filter_spans)") {
+    // greedy left-to-right would emit "a b"; filter_spans keeps "b c c"
+    val p = new RulerPipeline(Map("a b" -> "X", "b c c" -> "Y"))
+    val out = SpacyNer.processDoc(p)(doc("a b c c"))
+    assert(out.entities.map(e => (e.matchStr, e.entityClass)) == Seq(("b c c", "y")))
+  }
+
+  test("identical token sequences tie-break deterministically (lexicographic phrase)") {
+    // "breast cancer" and "breast  cancer" tokenize identically; the
+    // lexicographically smaller phrase ("breast  cancer", double space)
+    // wins regardless of Map hash order
+    val p = new RulerPipeline(Map(
+      "breast cancer" -> "DISEASE", "breast  cancer" -> "TISSUE"))
+    val out = SpacyNer.processDoc(p)(doc("breast cancer ward"))
+    assert(out.entities.map(_.entityClass) == Seq("tissue"))
+  }
+
+  test("duplicate sentence spans from a pipeline route to the failure path (reference assert)") {
+    val dup = new SpacyLikePipeline {
+      def processSingle(text: String): SpacyDoc =
+        SpacyDoc(Seq.empty, Seq((0, 4), (0, 4)))
+    }
+    val out = SpacyNer.processDoc(dup)(doc("text"))
+    assert(out.error.contains(
+      s"${SpacyNer.Namespace}: There are duplicate sentence spans"))
+  }
+
+  test("partial work survives a mid-document failure (in-place mutation fidelity)") {
+    // section 0 processes fully; section 1 has pre-set spans → the doc
+    // fails, but keeps section 0's appended entity + spans AND section 1's
+    // entities appended before the setter raised (spacy_ner.py order)
+    val d = KDoc("doc://t", new java.sql.Timestamp(0L), "x", "en", Seq(
+      Section("s0", "aspirin works."),
+      Section("s1", "aspirin again.", sentenceSpans = Seq(CharSpan(0, 3)))))
+    val out = SpacyNer.processDoc(ruler)(d)
+    assert(out.error.exists(_.contains("Immutable sentence_spans is already set")))
+    val Seq(s0, s1) = out.sections
+    assert(s0.entities.map(_.matchStr) == Seq("aspirin") &&
+      s0.sentenceSpans == Seq(CharSpan(0, 14)))
+    assert(s1.entities.map(_.matchStr) == Seq("aspirin") && // appended pre-raise
+      s1.sentenceSpans == Seq(CharSpan(0, 3)))              // untouched
   }
 
   test("dataset plane: narrow mapPartitions, per-partition pipeline") {

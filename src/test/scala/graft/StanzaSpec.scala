@@ -60,6 +60,38 @@ class StanzaSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  test("MiniGeniaPipeline reproduces the LITERAL oracle constants (oracle independence)") {
+    // the kg_stanza_sentences oracle pins hand-derived span literals; this
+    // is the spec-side half of that independence — a tokenizer/sentencizer
+    // regression breaks THIS assertion and the driver gate, not neither
+    SparkEntry.stanzaPlantedTails.take(2).foreach { case (tail, expected) =>
+      val got = MiniGeniaPipeline.sentenceSpans(". " + tail).filter(_._1 >= 2)
+      assert(got == expected, s"tail '$tail'")
+    }
+  }
+
+  test("duplicate sentence spans route to the failure path with the reference assert text") {
+    val dup = new StanzaLikePipeline {
+      def sentenceSpans(text: String): Seq[(Int, Int)] = Seq((0, 3), (0, 3))
+    }
+    val out = StanzaSentencer.processDoc(dup)(doc("abc"))
+    assert(out.error.contains(
+      s"${StanzaSentencer.Namespace}: There are duplicate sentence spans"))
+  }
+
+  test("partial work survives a mid-document failure (in-place mutation fidelity)") {
+    val d = KDoc("doc://t", new java.sql.Timestamp(0L), "x", "en", Seq(
+      Section("s0", "One two."),
+      Section("s1", "Bad.", sentenceSpans = Seq(CharSpan(0, 4))),
+      Section("s2", "Never reached.")))
+    val out = StanzaSentencer.processDoc(MiniGeniaPipeline)(d)
+    assert(out.error.isDefined)
+    val Seq(s0, s1, s2) = out.sections
+    assert(s0.sentenceSpans == Seq(CharSpan(0, 8)))  // kept: set before raise
+    assert(s1.sentenceSpans == Seq(CharSpan(0, 4)))  // untouched
+    assert(s2.sentenceSpans.isEmpty)                 // never reached
+  }
+
   test("entities and existing section fields pass through untouched") {
     val m = Mention("One", "gene", Seq(CharSpan(0, 3)), "other",
       MentionConfidence.Possible, graft.text.Normalizer.normalize("One", "gene"))
