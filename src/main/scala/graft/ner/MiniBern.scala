@@ -63,7 +63,13 @@ object MiniBern {
       maxWordPieces: Int = 16, // relative-position / word-shape table size
       scale: Float = 10f,
       threshold: Float = 0.88f, // calibrated: MiniBernSpec asserts margin
-      seed: Long = 0x67726166745f6eL
+      seed: Long = 0x67726166745f6eL,
+      // Opt-in int8 dynamic quantization of the linear layers — the
+      // reference's quantization plane (kazu/quantization/
+      // int8_x86_quantizer.py; opt-in there too, via pipeline config).
+      // OFF by default: measured ~1.0x on the JVM (no VNNI path); see
+      // [[Int8Quantizer]] for the scheme + the honest perf story.
+      int8: Boolean = false
   )
 
   /** FLOPs of one frame forward pass (multiply+add = 2 FLOPs), for BENCH. */
@@ -109,7 +115,9 @@ final class MiniBern(
   import MiniBern._
   import TokenClassifier.Labels
 
-  val version = "minibern/3"
+  // quantization is part of the model identity: anything keyed by version
+  // (pipeline metadata, broadcast memos) must not mix float and int8 outputs
+  val version = if (cfg.int8) "minibern/3-int8" else "minibern/3"
 
   private val d = cfg.hidden
   private val dk = d / cfg.heads
@@ -136,6 +144,24 @@ final class MiniBern(
         gaussian(cfg.seed, s"w1$l", d * cfg.ffn, std), gaussian(cfg.seed, s"b1$l", cfg.ffn, 0.0),
         gaussian(cfg.seed, s"w2$l", cfg.ffn * d, 1.0 / math.sqrt(cfg.ffn)), gaussian(cfg.seed, s"b2$l", d, 0.0))
     }
+  // Per-channel int8 weights, prepared ONCE at session build when the
+  // quantized path is on (the reference quantizes once at model-load,
+  // int8_x86_quantizer.py:26-43; activations are quantized dynamically per
+  // batch inside [[Int8Quantizer.gemmDynamic]]). Biases stay float —
+  // they're added after dequantization, as in the x86 dynamic config.
+  private final case class QLayer(
+      wq: Int8Quantizer.QuantizedMatrix, wk: Int8Quantizer.QuantizedMatrix,
+      wv: Int8Quantizer.QuantizedMatrix, wo: Int8Quantizer.QuantizedMatrix,
+      w1: Int8Quantizer.QuantizedMatrix, w2: Int8Quantizer.QuantizedMatrix)
+  private val qLayerWeights: Option[IndexedSeq[QLayer]] =
+    if (!cfg.int8) None
+    else Some(layerWeights.map { lw =>
+      import Int8Quantizer.quantizeWeights
+      QLayer(
+        quantizeWeights(lw.wq, d, d), quantizeWeights(lw.wk, d, d),
+        quantizeWeights(lw.wv, d, d), quantizeWeights(lw.wo, d, d),
+        quantizeWeights(lw.w1, d, cfg.ffn), quantizeWeights(lw.w2, cfg.ffn, d))
+    })
 
   /** Hashed token embedding, generated on the fly from a 64-bit key of the
     * lowercased piece (case-insensitive, "uncased" model). A materialized
@@ -287,11 +313,22 @@ final class MiniBern(
     }
     layerNormInPlace(x, total)
 
-    layerWeights.foreach { lw =>
+    layerWeights.zipWithIndex.foreach { case (lw, li) =>
+      // per-layer linear dispatch: float GEMM, or the int8 dynamic-quant
+      // kernel when the session was built with cfg.int8 (linear ops only —
+      // attention softmax, norms and GELU stay float, like the reference's
+      // dynamic x86 config)
+      val ql = qLayerWeights.map(_(li))
+      def linear(a: Array[Float], n: Int, k: Int, wf: Array[Float], m: Int,
+          wq: QLayer => Int8Quantizer.QuantizedMatrix): Array[Float] =
+        ql match {
+          case Some(qw) => Int8Quantizer.gemmDynamic(a, n, k, wq(qw))
+          case None => gemm(a, n, k, wf, m)
+        }
       // batched projections over the whole batch
-      val q = gemm(x, total, d, lw.wq, d)
-      val k = gemm(x, total, d, lw.wk, d)
-      val v = gemm(x, total, d, lw.wv, d)
+      val q = linear(x, total, d, lw.wq, d, _.wq)
+      val k = linear(x, total, d, lw.wk, d, _.wk)
+      val v = linear(x, total, d, lw.wv, d, _.wv)
       val ctx = new Array[Float](total * d)
       // attention per frame (word-local mask applied to full QK^T scores)
       var fi = 0
@@ -344,12 +381,12 @@ final class MiniBern(
         }
         fi += 1
       }
-      val attnOut = gemm(ctx, total, d, lw.wo, d)
+      val attnOut = linear(ctx, total, d, lw.wo, d, _.wo)
       var r = 0
       while (r < total * d) { x(r) += attnOut(r); r += 1 }
       layerNormInPlace(x, total)
       // FFN (batched)
-      val hBuf = gemm(x, total, d, lw.w1, cfg.ffn)
+      val hBuf = linear(x, total, d, lw.w1, cfg.ffn, _.w1)
       var i = 0
       while (i < total) {
         val off = i * cfg.ffn
@@ -357,7 +394,7 @@ final class MiniBern(
         while (j < cfg.ffn) { hBuf(off + j) = gelu(hBuf(off + j) + lw.b1(j)); j += 1 }
         i += 1
       }
-      val ffnOut = gemm(hBuf, total, cfg.ffn, lw.w2, d)
+      val ffnOut = linear(hBuf, total, cfg.ffn, lw.w2, d, _.w2)
       r = 0
       while (r < total * d) { x(r) += ffnOut(r) + lw.b2(r % d); r += 1 }
       layerNormInPlace(x, total)
