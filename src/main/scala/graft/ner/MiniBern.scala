@@ -133,35 +133,44 @@ final class MiniBern(
   private val contVec = gaussian(cfg.seed, "cont", d, 0.25)
   private val posEmb = gaussian(cfg.seed, "pos", cfg.maxWordPieces * d, 0.25)
   private val lenEmb = gaussian(cfg.seed, "wlen", cfg.maxWordPieces * d, 0.25)
+  /** One linear layer in whichever representation the session was built
+    * with. Under cfg.int8, the float matrix is a TEMPORARY passed through
+    * [[Int8Quantizer.quantizeWeights]] and dropped — the session retains
+    * only the int8 copy + scales (the reference quantizes once at
+    * model-load and keeps only the quantized graph,
+    * int8_x86_quantizer.py:26-43; for a real weight set this is where the
+    * 4x weight-footprint/broadcast shrink comes from). Activations are
+    * quantized dynamically per batch inside gemmDynamic. */
+  private sealed trait Linear {
+    def apply(a: Array[Float], n: Int): Array[Float]
+  }
+  private final class FloatLinear(w: Array[Float], k: Int, m: Int) extends Linear {
+    def apply(a: Array[Float], n: Int): Array[Float] = gemm(a, n, k, w, m)
+  }
+  private final class QuantLinear(qm: Int8Quantizer.QuantizedMatrix) extends Linear {
+    def apply(a: Array[Float], n: Int): Array[Float] =
+      Int8Quantizer.gemmDynamic(a, n, qm.k, qm)
+  }
+  private def mkLinear(w: Array[Float], k: Int, m: Int): Linear =
+    if (cfg.int8) new QuantLinear(Int8Quantizer.quantizeWeights(w, k, m))
+    else new FloatLinear(w, k, m)
+  // Biases stay float in both representations — they're added after
+  // dequantization, as in the x86 dynamic config.
   private final case class Layer(
-      wq: Array[Float], wk: Array[Float], wv: Array[Float], wo: Array[Float],
-      w1: Array[Float], b1: Array[Float], w2: Array[Float], b2: Array[Float])
+      wq: Linear, wk: Linear, wv: Linear, wo: Linear,
+      w1: Linear, b1: Array[Float], w2: Linear, b2: Array[Float])
   private val layerWeights: IndexedSeq[Layer] =
     (0 until cfg.layers).map { l =>
       Layer(
-        gaussian(cfg.seed, s"wq$l", d * d, std), gaussian(cfg.seed, s"wk$l", d * d, std),
-        gaussian(cfg.seed, s"wv$l", d * d, std), gaussian(cfg.seed, s"wo$l", d * d, std),
-        gaussian(cfg.seed, s"w1$l", d * cfg.ffn, std), gaussian(cfg.seed, s"b1$l", cfg.ffn, 0.0),
-        gaussian(cfg.seed, s"w2$l", cfg.ffn * d, 1.0 / math.sqrt(cfg.ffn)), gaussian(cfg.seed, s"b2$l", d, 0.0))
+        mkLinear(gaussian(cfg.seed, s"wq$l", d * d, std), d, d),
+        mkLinear(gaussian(cfg.seed, s"wk$l", d * d, std), d, d),
+        mkLinear(gaussian(cfg.seed, s"wv$l", d * d, std), d, d),
+        mkLinear(gaussian(cfg.seed, s"wo$l", d * d, std), d, d),
+        mkLinear(gaussian(cfg.seed, s"w1$l", d * cfg.ffn, std), d, cfg.ffn),
+        gaussian(cfg.seed, s"b1$l", cfg.ffn, 0.0),
+        mkLinear(gaussian(cfg.seed, s"w2$l", cfg.ffn * d, 1.0 / math.sqrt(cfg.ffn)), cfg.ffn, d),
+        gaussian(cfg.seed, s"b2$l", d, 0.0))
     }
-  // Per-channel int8 weights, prepared ONCE at session build when the
-  // quantized path is on (the reference quantizes once at model-load,
-  // int8_x86_quantizer.py:26-43; activations are quantized dynamically per
-  // batch inside [[Int8Quantizer.gemmDynamic]]). Biases stay float —
-  // they're added after dequantization, as in the x86 dynamic config.
-  private final case class QLayer(
-      wq: Int8Quantizer.QuantizedMatrix, wk: Int8Quantizer.QuantizedMatrix,
-      wv: Int8Quantizer.QuantizedMatrix, wo: Int8Quantizer.QuantizedMatrix,
-      w1: Int8Quantizer.QuantizedMatrix, w2: Int8Quantizer.QuantizedMatrix)
-  private val qLayerWeights: Option[IndexedSeq[QLayer]] =
-    if (!cfg.int8) None
-    else Some(layerWeights.map { lw =>
-      import Int8Quantizer.quantizeWeights
-      QLayer(
-        quantizeWeights(lw.wq, d, d), quantizeWeights(lw.wk, d, d),
-        quantizeWeights(lw.wv, d, d), quantizeWeights(lw.wo, d, d),
-        quantizeWeights(lw.w1, d, cfg.ffn), quantizeWeights(lw.w2, cfg.ffn, d))
-    })
 
   /** Hashed token embedding, generated on the fly from a 64-bit key of the
     * lowercased piece (case-insensitive, "uncased" model). A materialized
@@ -313,22 +322,14 @@ final class MiniBern(
     }
     layerNormInPlace(x, total)
 
-    layerWeights.zipWithIndex.foreach { case (lw, li) =>
-      // per-layer linear dispatch: float GEMM, or the int8 dynamic-quant
-      // kernel when the session was built with cfg.int8 (linear ops only —
-      // attention softmax, norms and GELU stay float, like the reference's
-      // dynamic x86 config)
-      val ql = qLayerWeights.map(_(li))
-      def linear(a: Array[Float], n: Int, k: Int, wf: Array[Float], m: Int,
-          wq: QLayer => Int8Quantizer.QuantizedMatrix): Array[Float] =
-        ql match {
-          case Some(qw) => Int8Quantizer.gemmDynamic(a, n, k, wq(qw))
-          case None => gemm(a, n, k, wf, m)
-        }
-      // batched projections over the whole batch
-      val q = linear(x, total, d, lw.wq, d, _.wq)
-      val k = linear(x, total, d, lw.wk, d, _.wk)
-      val v = linear(x, total, d, lw.wv, d, _.wv)
+    layerWeights.foreach { lw =>
+      // batched projections over the whole batch; each Linear is float GEMM
+      // or the int8 dynamic-quant kernel per session config (linear ops
+      // only — attention softmax, norms and GELU stay float, like the
+      // reference's dynamic x86 config)
+      val q = lw.wq(x, total)
+      val k = lw.wk(x, total)
+      val v = lw.wv(x, total)
       val ctx = new Array[Float](total * d)
       // attention per frame (word-local mask applied to full QK^T scores)
       var fi = 0
@@ -381,12 +382,12 @@ final class MiniBern(
         }
         fi += 1
       }
-      val attnOut = linear(ctx, total, d, lw.wo, d, _.wo)
+      val attnOut = lw.wo(ctx, total)
       var r = 0
       while (r < total * d) { x(r) += attnOut(r); r += 1 }
       layerNormInPlace(x, total)
       // FFN (batched)
-      val hBuf = linear(x, total, d, lw.w1, cfg.ffn, _.w1)
+      val hBuf = lw.w1(x, total)
       var i = 0
       while (i < total) {
         val off = i * cfg.ffn
@@ -394,7 +395,7 @@ final class MiniBern(
         while (j < cfg.ffn) { hBuf(off + j) = gelu(hBuf(off + j) + lw.b1(j)); j += 1 }
         i += 1
       }
-      val ffnOut = linear(hBuf, total, cfg.ffn, lw.w2, d, _.w2)
+      val ffnOut = lw.w2(hBuf, total)
       r = 0
       while (r < total * d) { x(r) += ffnOut(r) + lw.b2(r % d); r += 1 }
       layerNormInPlace(x, total)

@@ -81,10 +81,20 @@ object TokenClassifier {
   private object SessionHolder {
     // lazy singleton per executor JVM (ref: per-Ray-worker model copy,
     // amortized per JVM here); weights are deterministic, so every executor
-    // materializes the identical model
+    // materializes the identical model. The int8 variant is a SEPARATE
+    // pinned singleton (distinct model identity, see MiniBern.version) —
+    // a job that flips the quantization flag must never reuse float state.
     lazy val session: MiniBern = new MiniBern(CorpusVocab)
+    lazy val int8Session: MiniBern =
+      new MiniBern(CorpusVocab, MiniBern.Config(int8 = true))
   }
   def executorSession: ModelSession = SessionHolder.session
+  /** The executor-pinned session for a given quantization choice — the
+    * product route to the reference's opt-in int8 plane
+    * (kazu/quantization/, enabled via pipeline config there; via
+    * [[graft.pipeline.Pipeline.Config.int8Transformer]] here). */
+  def executorSession(int8: Boolean): ModelSession =
+    if (int8) SessionHolder.int8Session else SessionHolder.session
   /** The same executor-pinned model, typed for its encoder surface (the
     * D3/D4 embedding slot shares the NER trunk + weight memo). */
   def executorMiniBern: MiniBern = SessionHolder.session

@@ -20,7 +20,7 @@ object Main {
     * desynchronize on the first flag and silently drop every later option
     * (e.g. `--resume --run-id x` losing the run id → a random UUID runId →
     * broken lineage correlation). */
-  private val flagOpts = Set("resume")
+  private val flagOpts = Set("resume", "int8")
 
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
@@ -81,7 +81,9 @@ object Main {
     val cfg = Pipeline.Config(
       checkpointDir = opts.get("checkpoint"),
       resume = opts.get("resume").contains("true"),
-      runId = runId)
+      runId = runId,
+      // --int8: the reference's opt-in quantized-inference plane
+      int8Transformer = opts.get("int8").contains("true"))
 
     stepGroup match {
       case "ner_only" =>
@@ -90,8 +92,9 @@ object Main {
         // (step-group composability, ref pipeline/__init__.py:233-276)
         // persisted: the mention rows AND the docs-JSON hand-off are two
         // actions over the same (transformer-inference-heavy) lineage
+        val int8 = cfg.int8Transformer
         val docs = Pages.toDocs(spark, pages).mapPartitions { it =>
-          val session = graft.ner.TokenClassifier.executorSession
+          val session = graft.ner.TokenClassifier.executorSession(int8)
           it.map(d => graft.ner.TokenClassifier.processDoc(session)(
             graft.ner.TrieNer.processDoc(res.value)(d)))
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

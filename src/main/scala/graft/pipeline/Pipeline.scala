@@ -32,8 +32,16 @@ object Pipeline {
       resume: Boolean = false,
       runId: String = "run-0",
       resourceVersion: String = "synthetic-ontology/1",
-      modelVersion: String = "minibern/3"
-  )
+      // opt-in int8 transformer inference (the reference's quantization
+      // plane, kazu/quantization/ — enabled via pipeline config there too)
+      int8Transformer: Boolean = false
+  ) {
+    /** Lineage records the version of the session this config actually
+      * selects — never a free-floating string, so float and int8 outputs
+      * cannot mix under one model label. */
+    def modelVersion: String =
+      graft.ner.TokenClassifier.executorSession(int8Transformer).version
+  }
 
   final class Run(
       spark: SparkSession,
@@ -144,9 +152,10 @@ object Pipeline {
       useExplosionMatcher: Boolean = false,
       classDisambig: EntityClassDisambiguation.Config =
         EntityClassDisambiguation.Config(Map.empty),
-      xrefs: Option[graft.link.Xref.XrefMap] = None
+      xrefs: Option[graft.link.Xref.XrefMap] = None,
+      int8Transformer: Boolean = false
   )(docs: Iterator[KDoc]): Iterator[KDoc] = {
-    val session = TokenClassifier.executorSession
+    val session = TokenClassifier.executorSession(int8Transformer)
     // gazetteer step selection, as the reference configures its pipeline
     // steps: the char automaton (default) or the explosion-style token
     // matcher — semantics-equivalent (cross-validated entity-for-entity)
@@ -285,7 +294,7 @@ object Pipeline {
       val out = Pages.toDocs(spark, pagesBalanced).mapPartitions { it =>
         countedPartition(acc)(fusedStages(resources.value, runner, classRules,
           withTransformerNer, splitter, useExplosionMatcher, classDisambig,
-          xrefs)(it))
+          xrefs, cfg.int8Transformer)(it))
       }
       // a view: materializes rows whenever accessed, so lineage read AFTER
       // an action reflects the executed partitions
@@ -313,7 +322,7 @@ object Pipeline {
       if (!withTransformerNer) trie
       else runCtx.stage("transformer_ner",
         trie.mapPartitions { it =>
-          val session = TokenClassifier.executorSession
+          val session = TokenClassifier.executorSession(cfg.int8Transformer)
           it.map(TokenClassifier.processDoc(session))
         })
     val split =

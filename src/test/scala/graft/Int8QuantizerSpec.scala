@@ -67,18 +67,10 @@ class Int8QuantizerSpec extends AnyFunSuite {
 
   test("acceptance parity: golden-TSV entity decisions are IDENTICAL under " +
     "int8 (word-level BIO labels, all sentences)") {
-    val src = scala.io.Source.fromFile("src/test/resources/minibern_golden.tsv")
-    val sentences = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-    var cur = scala.collection.mutable.ArrayBuffer.empty[String]
-    src.getLines().foreach { line =>
-      if (line.isEmpty) { if (cur.nonEmpty) { sentences += cur.toSeq; cur.clear() } }
-      else cur += line.split(" ")(0)
-    }
-    if (cur.nonEmpty) sentences += cur.toSeq
-    src.close()
+    val sentences = GoldenCorpus.sentences()
     assert(sentences.size >= 30)
-    sentences.foreach { words =>
-      val text = words.mkString(" ")
+    sentences.foreach { sent =>
+      val text = sent.map(_._1).mkString(" ")
       def ments(s: TokenClassifier.ModelSession) =
         TokenClassifier.processText(s, text)
           .map(m => (m.start, m.end, m.entityClass))
@@ -90,10 +82,7 @@ class Int8QuantizerSpec extends AnyFunSuite {
   test("acceptance parity: vocabulary prototypes still hit cosine 1.0 and " +
     "the nearest non-vocab golden token keeps a margin below threshold") {
     val cfg = MiniBern.Config(int8 = true)
-    val goldenTokens = scala.io.Source
-      .fromFile("src/test/resources/minibern_golden.tsv")
-      .getLines().filter(_.nonEmpty).map(_.split(" ")(0))
-      .map(_.toLowerCase(java.util.Locale.ROOT)).toSeq.distinct
+    val goldenTokens = GoldenCorpus.tokens()
     var worst = ("", Float.NegativeInfinity)
     goldenTokens.foreach { tok =>
       val pieces = TokenClassifier.wordpieces(tok)
@@ -113,6 +102,25 @@ class Int8QuantizerSpec extends AnyFunSuite {
     info(f"closest non-vocab golden token under int8: '${worst._1}' cosine $worstCos%.4f")
     assert(worstCos < cfg.threshold - 0.02,
       s"int8 margin too small: '${worst._1}' at cosine $worstCos")
+  }
+
+  test("pipeline-level parity: Config(int8Transformer) is the product route " +
+    "— identical entities end-to-end, lineage records the int8 model version") {
+    val spark = SparkTestSession.spark
+    val pages = graft.pipeline.Pages.fromDocuments(spark, "/root/testdata/sf0.001")
+    val res = spark.sparkContext.broadcast(graft.index.Resources.corpus)
+    def ents(int8: Boolean) = {
+      val cfg = graft.pipeline.Pipeline.Config(runId = s"int8-$int8",
+        int8Transformer = int8)
+      assert(cfg.modelVersion == (if (int8) "minibern/3-int8" else "minibern/3"))
+      val (docs, _) = graft.pipeline.Pipeline.run(spark, pages, res, cfg = cfg)
+      docs.collect().flatMap(d => d.sections.flatMap(_.entities.map(e =>
+        (d.url, e.start, e.end, e.entityClass, e.matchStr)))).toSet
+    }
+    val float = ents(int8 = false)
+    val quant = ents(int8 = true)
+    assert(float.nonEmpty)
+    assert(quant == float, "entity divergence between int8 and float pipelines")
   }
 
   test("encoder parity: int8 embeddings stay within cosine 0.995 of float " +

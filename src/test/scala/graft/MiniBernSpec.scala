@@ -66,9 +66,7 @@ class MiniBernSpec extends AnyFunSuite with SparkTestBase {
           .select($"text").as[String].collect()
           .flatMap(_.split("\\s+").toSeq)
       }
-    val goldenTokens = scala.io.Source
-      .fromFile("src/test/resources/minibern_golden.tsv")
-      .getLines().filter(_.nonEmpty).map(_.split(" ")(0)).toSeq
+    val goldenTokens = GoldenCorpus.tokens()
     val distinct = (corpusTokens ++ goldenTokens)
       .map(_.toLowerCase(java.util.Locale.ROOT)).distinct.filter(_.nonEmpty)
     assert(distinct.size > 200, s"token inventory too small: ${distinct.size}")
@@ -90,15 +88,7 @@ class MiniBernSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("tinybern-style golden TSV: word-level BIO labels match the model") {
-    val src = scala.io.Source.fromFile("src/test/resources/minibern_golden.tsv")
-    val sentences = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
-    var cur = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    src.getLines().foreach { line =>
-      if (line.isEmpty) { if (cur.nonEmpty) { sentences += cur.toSeq; cur.clear() } }
-      else { val Array(w, l) = line.split(" ", 2); cur += ((w, l)) }
-    }
-    if (cur.nonEmpty) sentences += cur.toSeq
-    src.close()
+    val sentences = GoldenCorpus.sentences()
     assert(sentences.size >= 30)
 
     sentences.foreach { sent =>
