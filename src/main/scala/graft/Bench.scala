@@ -57,13 +57,22 @@ object Bench {
   /** Prior-round medians {query → sec}; absent file (or a query new this
     * round) simply disables the guard for it. The flat {"name":sec} shape
     * needs no JSON library — a pair regex is exact for it. */
-  private[graft] def loadPrior(path: String): Map[String, Double] =
+  /** `explicit = true` (the SPARK_GRAFT_BENCH_PRIOR override) fails loudly
+    * on an unreadable path: a typo'd override silently degrading the noise
+    * guard to a no-op is exactly the misconfig class strict arg parsing
+    * exists to prevent. The DEFAULT path stays lenient — the first round a
+    * repo is benched has no committed medians yet. */
+  private[graft] def loadPrior(path: String, explicit: Boolean = false): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
       """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Exception => Map.empty }
+    } catch {
+      case e: Exception if explicit =>
+        sys.error(s"SPARK_GRAFT_BENCH_PRIOR=$path is unreadable: $e")
+      case _: Exception => Map.empty
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,7 +135,8 @@ object Bench {
     // ---- cross-round noise guard -----------------------------------------
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
       s"${sys.env.getOrElse("GRAFT_REPO_ROOT", "/root/repo")}/BENCH_prior_medians.json")
-    val prior = loadPrior(priorPath)
+    val prior = loadPrior(priorPath,
+      explicit = sys.env.contains("SPARK_GRAFT_BENCH_PRIOR"))
     val guardFactor = 3.0
     def suspect(name: String, ts: Seq[Double]): Boolean =
       ts.head > 0 && prior.get(name).exists(p =>
@@ -160,7 +170,13 @@ object Bench {
     // transformer-NER inference is real compute now (MiniBern): surface the
     // per-frame forward-pass cost next to the timings
     val flops = graft.ner.MiniBern.flops(graft.ner.TokenClassifier.MaxSeqLen - 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","runs_per_query":$runs,"timing":"warm_median_of_$runs","materialize_sec":$materializeSec,"calibration_before_sec":${fmt(calibrationBefore)},"calibration_after_sec":${fmt(calibrationAfter)},"noise_guard":$guardJson,"model_flops_per_frame":$flops}""")
+    // a SPARK_GRAFT_BENCH_ONLY triage subset must be unmistakable in the
+    // artifact — a filtered "total" read as a full-suite number would look
+    // like a massive phantom speedup in round-over-round deltas
+    val filteredField =
+      if (only.isEmpty) """"filtered":null"""
+      else s""""filtered":${strArr(only.get.toSeq.sorted)},"queries_selected":${selected.size},"queries_available":${SparkEntry.queries.size}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$filteredField,"queries":$qs,"spread":$spread,"sf":"$sfDir","runs_per_query":$runs,"timing":"warm_median_of_$runs","materialize_sec":$materializeSec,"calibration_before_sec":${fmt(calibrationBefore)},"calibration_after_sec":${fmt(calibrationAfter)},"noise_guard":$guardJson,"model_flops_per_frame":$flops}""")
     spark.stop()
   }
 }

@@ -88,7 +88,6 @@ object SpacyNer {
         (toks, label)
       }.filter(_._1.nonEmpty)
         .groupBy(_._1.head)
-        .map { case (h, ps) => h -> ps }
 
     def processSingle(text: String): SpacyDoc = {
       val toks = graft.text.Tokenizer.tokenize(text)
@@ -191,7 +190,9 @@ object SpacyNer {
       case e: Exception =>
         doc.copy(
           sections = done.toSeq ++ doc.sections.drop(done.length),
-          error = Some(s"$Namespace: ${e.getMessage}"))
+          // message-less exceptions (bare NPEs from a user pipeline) would
+          // dump an undiagnosable "null" — fall back to class+message
+          error = Some(s"$Namespace: ${Option(e.getMessage).getOrElse(e.toString)}"))
     }
   }
 

@@ -83,7 +83,9 @@ object StanzaSentencer {
         // untouched (the setter raises before mutating)
         doc.copy(
           sections = done.toSeq ++ doc.sections.drop(done.length),
-          error = Some(s"$Namespace: ${e.getMessage}"))
+          // message-less exceptions (bare NPEs from a user pipeline) would
+          // dump an undiagnosable "null" — fall back to class+message
+          error = Some(s"$Namespace: ${Option(e.getMessage).getOrElse(e.toString)}"))
     }
   }
 

@@ -32,7 +32,15 @@ object Main {
       // with "--" (a path, a flag-looking run-id); split on the FIRST '='
       // so values containing '=' survive
       val eq = a.indexOf('=')
-      if (eq >= 0) { m += a.substring(2, eq) -> a.substring(eq + 1); i += 1 }
+      if (eq >= 0) {
+        val (k, v) = (a.substring(2, eq), a.substring(eq + 1))
+        // boolean flags only accept true/false through the = form —
+        // "--int8=1" silently coercing to FALSE would run the float model
+        // while the operator believes quantization is on
+        require(!flagOpts(k) || v == "true" || v == "false",
+          s"--$k is a boolean flag: use --$k, --$k=true or --$k=false (got '$v')")
+        m += k -> v; i += 1
+      }
       else {
         val k = a.drop(2)
         if (flagOpts(k)) { m += k -> "true"; i += 1 }

@@ -30,13 +30,24 @@ object Similarity {
   object EntitySubtype extends Scorer {
     // boundary after the alternatives: without it "TYPE II" extracts as
     // the phrase "TYPE I" (and "TYPE 23" vs "TYPE 2" similarly), making
-    // distinct subtypes score compatible. The lookahead must block EVERY
-    // roman-numeral continuation, not just I: in un-normalized input
-    // "TYPE IV" the I+ alternative matches the bare "TYPE I" unless V/X
-    // also terminate the match.
+    // distinct subtypes score compatible.
     private val phrases = Pattern.compile("(?<![A-Z])TYPE (?:I+|[0-9]+)(?![IVX0-9])")
-    private def counts(s: String): Map[String, Int] = {
-      val m = phrases.matcher(s)
+    // The reference scorer (string_similarity_scorers.py:39-62) contractually
+    // receives NORMALIZED terms — its normalizer has already rewritten
+    // II/IV/IX/… to digits, which is why its bare `TYPE (?:I|[0-9]+)` regex
+    // is safe there. Un-normalized input reaching this scorer directly
+    // would otherwise fall in a hole: "TYPE IV" extracts NOTHING (the
+    // lookahead correctly blocks the partial "TYPE I") and scores
+    // vacuously compatible with "TYPE V". Make the normalization part of
+    // the scorer: canonicalize through the SAME substitution pass the
+    // reference normalizer uses (roman→digit incl. standalone I/V), then
+    // count — idempotent on already-normalized input, so the in-pipeline
+    // behavior is unchanged.
+    private def canon(s: String): String =
+      graft.text.Normalizer.Default.replaceSubstrings(s)
+        .replaceAll("(?U)\\s+", " ").trim
+    private def counts(raw: String): Map[String, Int] = {
+      val m = phrases.matcher(canon(raw))
       val out = scala.collection.mutable.HashMap.empty[String, Int]
       while (m.find()) out(m.group()) = out.getOrElse(m.group(), 0) + 1
       out.toMap

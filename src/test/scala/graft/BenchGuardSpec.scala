@@ -18,6 +18,14 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.loadPrior("/nonexistent/prior.json").isEmpty)
   }
 
+  test("an EXPLICIT prior override that is unreadable fails loudly instead " +
+    "of silently disabling the guard") {
+    val e = intercept[RuntimeException] {
+      Bench.loadPrior("/nonexistent/prior.json", explicit = true)
+    }
+    assert(e.getMessage.contains("unreadable"))
+  }
+
   test("calibration probe returns a positive, plausible wall time") {
     val s = Bench.calibrationProbe()
     // fixed single-threaded work: ~0.2-0.4 s unloaded, more under load;

@@ -114,6 +114,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!Similarity.EntitySubtype.matches("X TYPE 23", "X TYPE 2"))
     assert(Similarity.EntitySubtype.matches("X TYPE II", "Y TYPE II"))
     assert(Similarity.EntitySubtype.matches("PROTOTYPE 2", "ANYTHING"))
+    // un-normalized subtractive/V/X numerals: the scorer canonicalizes
+    // through the reference normalizer's substitution pass, so distinct
+    // roman subtypes are DISTINCT phrases (not mutually-empty ⇒ vacuously
+    // compatible), and mixed notations of the SAME subtype agree
+    assert(!Similarity.EntitySubtype.matches("DISEASE TYPE IV", "DISEASE TYPE V"))
+    assert(!Similarity.EntitySubtype.matches("DISEASE TYPE IX", "DISEASE TYPE XI"))
+    assert(Similarity.EntitySubtype.matches("DISEASE TYPE IV", "DISEASE TYPE 4"))
+    assert(Similarity.EntitySubtype.matches("DISEASE TYPE V", "DISEASE TYPE 5"))
+    assert(!Similarity.EntitySubtype.matches("DISEASE TYPE I", "DISEASE TYPE IV"))
   }
 
   test("ratio behaves like an indel similarity") {

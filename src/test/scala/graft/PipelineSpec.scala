@@ -397,6 +397,16 @@ class FusedLineageSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.pipeline.Main.parseArgs(Array("--run-id")) // dangling value opt
     }
+    // boolean flags: bare and =true/=false accepted, anything else rejected
+    // ("--int8=1" silently coercing to FALSE would run the float model)
+    assert(graft.pipeline.Main.parseArgs(Array("--int8"))("int8") == "true")
+    assert(graft.pipeline.Main.parseArgs(Array("--int8=false"))("int8") == "false")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Main.parseArgs(Array("--int8=1"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Main.parseArgs(Array("--resume=yes"))
+    }
   }
 
   test("expire with no published pointer protects the newest complete snapshot") {
