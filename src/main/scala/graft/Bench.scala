@@ -54,14 +54,14 @@ object Bench {
     sec
   }
 
-  /** Prior-round medians {query → sec}; absent file (or a query new this
-    * round) simply disables the guard for it. The flat {"name":sec} shape
-    * needs no JSON library — a pair regex is exact for it. */
-  /** `explicit = true` (the SPARK_GRAFT_BENCH_PRIOR override) fails loudly
-    * on an unreadable path: a typo'd override silently degrading the noise
-    * guard to a no-op is exactly the misconfig class strict arg parsing
-    * exists to prevent. The DEFAULT path stays lenient — the first round a
-    * repo is benched has no committed medians yet. */
+  /** Prior-round medians {query → sec}; the flat {"name":sec} shape needs
+    * no JSON library — a pair regex is exact for it. A query absent from
+    * the file simply has no guard. `explicit = true` (the
+    * SPARK_GRAFT_BENCH_PRIOR override) fails loudly on an unreadable path:
+    * a typo'd override silently degrading the noise guard to a no-op is
+    * exactly the misconfig class strict arg parsing exists to prevent. The
+    * DEFAULT path stays lenient — the first round a repo is benched has no
+    * committed medians yet. */
   private[graft] def loadPrior(path: String, explicit: Boolean = false): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(

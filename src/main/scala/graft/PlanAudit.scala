@@ -233,9 +233,12 @@ object PlanAudit {
         // tree section = everything before the first node-detail block
         val tree = plan.split("\n\\(1\\) ", 2)(0)
         a.exactInTree.foreach { case (s, n) =>
-          // literal substring count — needles like "rangepartitioning("
-          // are not valid regexes
-          val c = tree.sliding(s.length).count(_ == s)
+          // literal substring count via indexOf — needles like
+          // "rangepartitioning(" are not valid regexes, and sliding-window
+          // string materialization is O(len·|s|) allocation for nothing
+          var c = 0
+          var at = tree.indexOf(s)
+          while (at >= 0) { c += 1; at = tree.indexOf(s, at + 1) }
           require(c == n,
             s"${a.name}: expected '$s' x$n in plan tree, found x$c")
         }

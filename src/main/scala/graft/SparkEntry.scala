@@ -475,6 +475,12 @@ object SparkEntry {
     case m => sys.error(s"unknown planted mode $m")
   }
 
+  /** Non-negative residue of a (possibly negative) doc_id — the planted-row
+    * selector shared by the kg_opsin / kg_spacy_ner / kg_stanza_sentences
+    * fixtures (the oracle side computes doc_id % k on non-negative ids, so
+    * both sides agree; the double-mod only matters defensively). */
+  private def plantResidue(n: Long, k: Int): Int = ((n % k) + k).toInt % k
+
   /** C9-chemistry planted IUPAC names — ONE definition shared by the
     * kg_opsin query and its oracle CASE table. Index = doc_id % 5;
     * (name, expected SMILES in [[graft.ner.OpsinNer.MiniIupacResolver]]'s
@@ -804,7 +810,7 @@ object SparkEntry {
         docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
           .map { case (n, t) =>
             import graft.model._
-            val (name, _) = names(((n % 5) + 5).toInt % 5)
+            val (name, _) = names(plantResidue(n, 5))
             val text = t + " chem: " + name + " yes ok."
             val ns = t.length + 7 // name start (UTF-16 units, Java side)
             val truncated = Mention(
@@ -857,7 +863,7 @@ object SparkEntry {
         docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
           .map { case (n, t) =>
             import graft.model._
-            val (body, _, _) = planted(((n % 3) + 3).toInt % 3)
+            val (body, _, _) = planted(plantResidue(n, 3))
             val text = t + ". " + body
             KDoc(s"doc://$n", new java.sql.Timestamp(0L), text, "en",
               Seq(Section("body", text)))
@@ -894,7 +900,7 @@ object SparkEntry {
         docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
           .map { case (n, t) =>
             import graft.model._
-            val r = ((n % 3) + 3).toInt % 3
+            val r = plantResidue(n, 3)
             val text = if (r == 2) t else t + ". " + tails(r)._1
             val preSet = if (r == 2) Seq(CharSpan(0, 1)) else Seq.empty
             KDoc(s"doc://$n", new java.sql.Timestamp(0L), text, "en",
@@ -910,7 +916,7 @@ object SparkEntry {
             case Some(msg) => Seq((n, None: Option[Long], None: Option[Long], msg))
             case None =>
               // tail starts at UTF-16 baseLen + 2; baseLen = len - tailLen - 2
-              val r = ((n % 3) + 3).toInt % 3
+              val r = plantResidue(n, 3)
               val tailStart = t.length - tails(r)._1.length
               sec.sentenceSpans.filter(_.start >= tailStart)
                 .map(sp => (n, Some(sp.start + cpBase), Some(sp.end + cpBase), ""))

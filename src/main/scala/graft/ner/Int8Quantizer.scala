@@ -65,15 +65,15 @@ object Int8Quantizer {
     QuantizedMatrix(q, scales, k, m)
   }
 
-  /** C[n×m] = dequant(quantize_per_row(A[n×k]) · Bq[k×m]): dynamic per-row
-    * activation quantization, int32 accumulate, same ikj/4-way-unrolled
-    * loop shape as the float kernel so the comparison is loop-structure
-    * fair. A zero row (scale 0) yields a zero output row, as in float. */
   /** Worst-case |product| per term is 127·127; the int32 accumulator is
     * exact while k·127² ≤ Int.MaxValue, i.e. k ≤ 133152. Enforced, not just
     * documented: silent wraparound would flip output signs with no error. */
   val MaxK: Int = Int.MaxValue / (127 * 127)
 
+  /** C[n×m] = dequant(quantize_per_row(A[n×k]) · Bq[k×m]): dynamic per-row
+    * activation quantization, int32 accumulate, same ikj/4-way-unrolled
+    * loop shape as the float kernel so the comparison is loop-structure
+    * fair. A zero row (scale 0) yields a zero output row, as in float. */
   def gemmDynamic(a: Array[Float], n: Int, k: Int, w: QuantizedMatrix): Array[Float] = {
     require(w.k == k, s"weight k=${w.k} != activation k=$k")
     require(k <= MaxK, s"k=$k exceeds int32-exact accumulation bound $MaxK")
