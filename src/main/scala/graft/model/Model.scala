@@ -148,6 +148,40 @@ final case class Mention(
   def start: Int = if (spans.isEmpty) 0 else spans.map(_.start).min
   def end: Int   = if (spans.isEmpty) 0 else spans.map(_.end).max
   def isContiguous: Boolean = spans.size == 1
+
+  /** Entity-level partial overlap (ref Entity.is_partially_overlapped,
+    * kazu/data/__init__.py:341-372): defined ONLY for two single-span
+    * entities — non-contiguous entities may overlap "technically" while
+    * being semantically distinct ("lung ... cancer" vs "liver cancer"), so
+    * any multi-span side is False by contract. The overlap-merge step's
+    * non-contiguous bypass is this same rule. */
+  def isPartiallyOverlapped(other: Mention): Boolean =
+    spans.size == 1 && other.spans.size == 1 &&
+      spans.head.isPartiallyOverlapped(other.spans.head)
+
+  /** Candidate accumulation (ref Entity.add_or_update_linking_candidate,
+    * kazu/data/__init__.py:299-308): a value-equal candidate (full
+    * LinkingCandidate identity — parser, synonym, id sets, ...) MERGES
+    * metrics field-wise (defined fields of the new metrics win, absent
+    * fields keep the existing value); a new candidate appends. This is how
+    * successive linking steps (dictionary search score, then embedding
+    * score) land on ONE candidate entry. */
+  def addOrUpdateCandidate(candidate: LinkingCandidate,
+      newMetrics: LinkingMetrics): Mention = {
+    val idx = candidates.indexWhere(_.candidate == candidate)
+    if (idx < 0)
+      copy(candidates = candidates :+ CandidateWithMetrics(candidate, newMetrics))
+    else {
+      val old = candidates(idx).metrics
+      val merged = LinkingMetrics(
+        searchScore = newMetrics.searchScore.orElse(old.searchScore),
+        embedScore = newMetrics.embedScore.orElse(old.embedScore),
+        boolScore = newMetrics.boolScore.orElse(old.boolScore),
+        exactMatch = newMetrics.exactMatch.orElse(old.exactMatch))
+      copy(candidates =
+        candidates.updated(idx, CandidateWithMetrics(candidate, merged)))
+    }
+  }
 }
 
 /** One section of a document (web pages have a single "body" section).
