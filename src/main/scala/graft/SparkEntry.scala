@@ -970,11 +970,17 @@ object SparkEntry {
       val t = pipelineTriples(s, dir)
       val labels = CorpusOntology.rows.map(r => (r.idx, r.defaultLabel))
         .distinct.toDF("idx", "default_label")
-      val mappings = t.select($"url", $"start", $"end",
-          regexp_replace($"pred", "^mentions_", "").as("entity_class"),
-          split($"obj", ":").getItem(0).as("source"), $"obj".as("idx"))
-        .distinct()
-        .join(broadcast(labels), "idx")
+      // the mapping set feeds BOTH scoring sides (pred verbatim; gold is a
+      // perturbation of it) — persist, or the dump-wide distinct + label
+      // join executes once per side when linkingScores materializes its
+      // per-side persists (measured ~2x on the slowest bench row)
+      val mappings = graft.util.CacheRegistry.register(
+        t.select($"url", $"start", $"end",
+            regexp_replace($"pred", "^mentions_", "").as("entity_class"),
+            split($"obj", ":").getItem(0).as("source"), $"obj".as("idx"))
+          .distinct()
+          .join(broadcast(labels), "idx")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val docId = regexp_extract($"url", "([0-9]+)$", 1).cast("long")
       val gold = mappings
         // label-ONLY perturbation: same (source, idx), renamed label — the

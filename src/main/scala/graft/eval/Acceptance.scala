@@ -135,7 +135,10 @@ object Acceptance {
     // subsumed for contiguous spans) — same predicate family as nerScores,
     // no forced broadcast
     // the interval join feeds testMap AND matchedGold — persist so the
-    // theta-join executes once (released by the caller via CacheRegistry)
+    // theta-join executes once (released by the caller via CacheRegistry).
+    // No .distinct() on the join output: both inputs are duplicate-free on
+    // their span identity, so each (pred span, gold span) pair occurs
+    // exactly once — a distinct here would only add a full extra shuffle
     val ov = graft.util.CacheRegistry.register(
       predEnts.join(goldEnts,
           predEnts("url") === goldEnts("url") &&
@@ -143,20 +146,25 @@ object Acceptance {
           $"g_start" < predEnts("end") && predEnts("start") < $"g_end")
         .select(predEnts("url"), $"g_start", $"g_end",
           predEnts("entity_class"), predEnts("start"), predEnts("end"))
-        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // test mappings re-keyed by the GOLD entity they soft-match (union
-    // across all matched test entities, distinct per reference set algebra)
+    // across all matched test entities). The reference's per-gold-entity
+    // set-union dedup is NOT re-shuffled here: the one-pass grouped-flags
+    // aggregation below (max over presence bits) absorbs duplicate
+    // (gold span, mapping) pairs — e.g. two matched test entities carrying
+    // the same mapping — exactly as in assembleNerScores
     val testMap = ov.join(p, Seq("url", "start", "end", "entity_class"))
       .select($"url", $"g_start", $"g_end", $"entity_class", $"source",
         $"default_label", $"idx")
-      .distinct()
+    // matchedGold keeps its distinct: it fans out against the gold MAPPING
+    // rows next, so collapsing the per-pred-span duplicates first shrinks
+    // that join's probe side (the groupBy would absorb them, but only
+    // after shuffling the inflated output)
     val matchedGold = ov.select($"url", $"g_start", $"g_end", $"entity_class").distinct()
     val goldMap = g.select($"url", $"start".as("g_start"), $"end".as("g_end"),
         $"entity_class", $"source", $"default_label", $"idx")
       .join(matchedGold, Seq("url", "g_start", "g_end", "entity_class"))
       .select(mapCols.map(col): _*)
-      .distinct()
     // set-compare in ONE pass: both sides are distinct on the full mapping
     // identity, so per-key presence flags ARE exact set membership —
     // tp = both sides, fn = gold-only, fp = test-only. This replaces the
