@@ -165,9 +165,11 @@ object Acceptance {
         $"entity_class", $"source", $"default_label", $"idx")
       .join(matchedGold, Seq("url", "g_start", "g_end", "entity_class"))
       .select(mapCols.map(col): _*)
-    // set-compare in ONE pass: both sides are distinct on the full mapping
-    // identity, so per-key presence flags ARE exact set membership —
-    // tp = both sides, fn = gold-only, fp = test-only. This replaces the
+    // set-compare in ONE pass: neither side is pre-deduped (testMap emits a
+    // duplicate whenever two matched test entities carry the same mapping),
+    // but the groupBy below collapses duplicates by construction, so the
+    // per-key presence flags ARE exact set membership — tp = both sides,
+    // fn = gold-only, fp = test-only. This replaces the
     // previous intersect + two excepts (each a full shuffle of BOTH
     // persisted sides — six exchanges plus two result joins) with one
     // union + grouped-flags pass, and lets each side stay single-consumer

@@ -102,6 +102,19 @@ final case class LinkingCandidate(
   /** >1 id set ⇔ the synonym genuinely refers to multiple concepts
     * (ref :231-233). */
   def isAmbiguous: Boolean = associatedIdSets.size > 1
+
+  /** Candidate identity per the reference: `aggregated_by` is declared
+    * `field(hash=False, compare=False)` (ref :226), so two candidates that
+    * differ only in aggregation strategy are the SAME dict key — a
+    * re-aggregating step must merge metrics onto the existing entry, not
+    * append a twin. The set-typed fields are frozensets in the reference,
+    * so they compare order-insensitively here. */
+  def sameCandidate(other: LinkingCandidate): Boolean =
+    parserName == other.parserName && synonymNorm == other.synonymNorm &&
+      isSymbolic == other.isSymbolic &&
+      rawSynonyms.toSet == other.rawSynonyms.toSet &&
+      mappingTypes.toSet == other.mappingTypes.toSet &&
+      associatedIdSets.toSet == other.associatedIdSets.toSet
 }
 
 /** Per (entity, candidate) scores. Ref: kazu/data/__init__.py:240-264. */
@@ -160,26 +173,31 @@ final case class Mention(
       spans.head.isPartiallyOverlapped(other.spans.head)
 
   /** Candidate accumulation (ref Entity.add_or_update_linking_candidate,
-    * kazu/data/__init__.py:299-308): a value-equal candidate (full
-    * LinkingCandidate identity — parser, synonym, id sets, ...) MERGES
+    * kazu/data/__init__.py:299-308): a value-equal candidate (identity per
+    * [[LinkingCandidate.sameCandidate]] — `aggregated_by` excluded) MERGES
     * metrics field-wise (defined fields of the new metrics win, absent
-    * fields keep the existing value); a new candidate appends. This is how
-    * successive linking steps (dictionary search score, then embedding
-    * score) land on ONE candidate entry. */
+    * fields keep the existing value) onto the EXISTING entry — the existing
+    * candidate stays the key, as in the reference's dict update; a new
+    * candidate appends. This is how successive linking steps (dictionary
+    * search score, then embedding score) land on ONE candidate entry. */
   def addOrUpdateCandidate(candidate: LinkingCandidate,
       newMetrics: LinkingMetrics): Mention = {
-    val idx = candidates.indexWhere(_.candidate == candidate)
+    val idx = candidates.indexWhere(_.candidate.sameCandidate(candidate))
     if (idx < 0)
       copy(candidates = candidates :+ CandidateWithMetrics(candidate, newMetrics))
     else {
-      val old = candidates(idx).metrics
+      // Arity-pinned destructuring: adding a field to LinkingMetrics breaks
+      // this match at compile time, so the merge can never silently drop it
+      // (the reference iterates __dict__ and cannot miss a field).
+      val LinkingMetrics(nSearch, nEmbed, nBool, nExact) = newMetrics
+      val LinkingMetrics(oSearch, oEmbed, oBool, oExact) = candidates(idx).metrics
       val merged = LinkingMetrics(
-        searchScore = newMetrics.searchScore.orElse(old.searchScore),
-        embedScore = newMetrics.embedScore.orElse(old.embedScore),
-        boolScore = newMetrics.boolScore.orElse(old.boolScore),
-        exactMatch = newMetrics.exactMatch.orElse(old.exactMatch))
-      copy(candidates =
-        candidates.updated(idx, CandidateWithMetrics(candidate, merged)))
+        searchScore = nSearch.orElse(oSearch),
+        embedScore = nEmbed.orElse(oEmbed),
+        boolScore = nBool.orElse(oBool),
+        exactMatch = nExact.orElse(oExact))
+      copy(candidates = candidates.updated(idx,
+        CandidateWithMetrics(candidates(idx).candidate, merged)))
     }
   }
 }

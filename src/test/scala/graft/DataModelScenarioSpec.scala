@@ -56,4 +56,21 @@ class DataModelScenarioSpec extends AnyFunSuite {
       LinkingMetrics(searchScore = Some(99.5)))
     assert(e3.candidates.size == 3)
   }
+
+  test("candidate identity excludes aggregated_by and is set-based on " +
+    "frozenset fields (ref LinkingCandidate compare=False on aggregated_by)") {
+    val e0 = ent(CharSpan(16, 39))
+    val base = dummyCandidate(Seq("1", "2", "3"), "test")
+    val e1 = e0.addOrUpdateCandidate(base, LinkingMetrics(searchScore = Some(1.0)))
+    // same candidate re-aggregated by a later step, raw synonyms reordered:
+    // must MERGE onto the existing entry, keeping its aggregatedBy (the
+    // reference dict keeps the original key on update)
+    val reAgg = base.copy(aggregatedBy = "UNAMBIGUOUS",
+      rawSynonyms = base.rawSynonyms.reverse)
+    val e2 = e1.addOrUpdateCandidate(reAgg, LinkingMetrics(embedScore = Some(2.0)))
+    assert(e2.candidates.size == 1)
+    assert(e2.candidates.head.candidate.aggregatedBy == "NO_STRATEGY")
+    val m = e2.candidates.head.metrics
+    assert(m.searchScore.contains(1.0) && m.embedScore.contains(2.0))
+  }
 }
