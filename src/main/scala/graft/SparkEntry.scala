@@ -1608,11 +1608,11 @@ object SparkEntry {
          |    'INSERTION', '', b2 || b1, 'SETH', false, true, false FROM v
          |  UNION ALL
          |  SELECT doc_id, L+57, L+68,
-         |    'p.' || aa1 || p4 || aa2, 'p.' || a1 || p4 || a2,
+         |    'p.' || aa1 || p4 || aa2, 'p.' || aa1 || p4 || aa2,
          |    'SUBSTITUTION', a1, a2, 'SETH', true, false, false FROM v
          |  UNION ALL
          |  SELECT doc_id, L+80, L+90,
-         |    'p.' || aa1 || p5 || 'fs', 'p.' || a1 || p5 || 'fs',
+         |    'p.' || aa1 || p5 || 'fs', 'p.' || aa1 || p5 || 'fs',
          |    'FRAMESHIFT', a1, '', 'SETH', true, false, false FROM v
          |  UNION ALL
          |  SELECT doc_id, L+95, L+101,
@@ -1622,7 +1622,7 @@ object SparkEntry {
          |  -- parenthesized literature form "(p.Aa2NNNAa1)": the recognizer
          |  -- keeps the mention and trims the sentence's close paren
          |  SELECT doc_id, L+115, L+126,
-         |    'p.' || aa2 || p4 || aa1, 'p.' || a2 || p4 || a1,
+         |    'p.' || aa2 || p4 || aa1, 'p.' || aa2 || p4 || aa1,
          |    'SUBSTITUTION', a2, a1, 'SETH', true, false, false FROM v)
          |ORDER BY doc_id, start""".stripMargin
     },

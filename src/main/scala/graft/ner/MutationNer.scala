@@ -36,8 +36,13 @@ import graft.model.{CharSpan, Mapping, Mention}
   *
   * Normalization (`hgvs`, mirroring MutationMention.toHGVS): grammar
   * matches are already HGVS and normalize to themselves minus parentheses;
-  * protein residues normalize to ONE-letter code; free-text substitutions
-  * normalize to `p.<wt><pos><mut>`; rs ids to `rs<n>`.
+  * protein residues normalize to THREE-letter names (official HGVS style;
+  * pinned by the reference's own executable evidence — test_seth.py:11
+  * expects `p.Leu90Pro` for the free-text input "L90P" — so `L90P`,
+  * `p.L90P` and `p.Leu90Pro` all share one normalized key), stop codons to
+  * `Ter`; free-text substitutions normalize to `p.<Wt><pos><Mut>`; rs ids
+  * to `rs<n>`. The `wtResidue`/`mutResidue` FIELDS stay one-letter (compact
+  * internal convention; the normalized key is `hgvs`).
   *
   * Overlap resolution: all planes propose candidates; longest match wins,
   * ties to the earlier plane (SETH > MutationFinder > dbSNP) — so `L90P
@@ -91,6 +96,20 @@ object MutationNer {
     }
     sb.toString
   }
+
+  private val Aa1To3: Map[String, String] =
+    Aa3To1.map(_.swap) // includes "*" -> "Ter"
+
+  /** Render an amino-acid token (3-letter name, 1-letter code, Ter, *) as
+    * its THREE-letter name for the normalized HGVS string. */
+  private[ner] def to3(aa: String): String =
+    if (aa == null || aa.isEmpty) ""
+    else if (Aa3To1.contains(aa)) aa // already a canonical 3-letter name/Ter
+    else Aa1To3.getOrElse(aa, aa)
+
+  /** Render a residue SEQUENCE as concatenated three-letter names. */
+  private[ner] def seqTo3(seq: String): String =
+    seqTo1(seq).map(c => Aa1To3.getOrElse(c.toString, c.toString)).mkString
 
   // --- patterns ------------------------------------------------------------
 
@@ -166,12 +185,12 @@ object MutationNer {
         fm.group()).foreach { case (ms, me, mt) =>
       val wt = to1(fm.group(2))
       val mut = to1(fm.group(4))
-      val term = Option(fm.group(5)).map("*" + _).getOrElse("")
+      val term = Option(fm.group(5)).map("Ter" + _).getOrElse("")
       cands += Cand(0, MutationMention(ms, me, mt,
-        // HGVS short form keeps the NEW residue when stated
-        // (p.Arg97ProfsTer23 → p.R97Pfs*23): dropping it would collapse
+        // the normalized form keeps the NEW residue when stated
+        // (p.R97Pfs*23 → p.Arg97ProfsTer23): dropping it would collapse
         // distinct frameshift variants to one normalized key
-        hgvs = "p." + wt + fm.group(3) + mut + "fs" + term,
+        hgvs = "p." + to3(fm.group(2)) + fm.group(3) + to3(fm.group(4)) + "fs" + term,
         wtResidue = wt, mutResidue = mut, mutationType = "FRAMESHIFT",
         foundWith = "SETH", proteinMutation = true,
         nucleotideMutation = false, ambiguous = false))
@@ -181,14 +200,14 @@ object MutationNer {
     while (rm.find()) span(rm.group(1), rm.group(10), rm.start, rm.end,
         rm.group()).foreach { case (ms, me, mt) =>
       val (tpe, op, seq) =
-        if (rm.group(6) != null) ("DELETION_INSERTION", "delins", seqTo1(rm.group(6)))
-        else if (rm.group(7) != null) ("INSERTION", "ins", seqTo1(rm.group(7)))
+        if (rm.group(6) != null) ("DELETION_INSERTION", "delins", seqTo3(rm.group(6)))
+        else if (rm.group(7) != null) ("INSERTION", "ins", seqTo3(rm.group(7)))
         else if (rm.group(8) != null) ("DELETION", "del", "")
         else ("DUPLICATION", "dup", "")
       val wt = to1(rm.group(2))
       cands += Cand(0, MutationMention(ms, me, mt,
-        hgvs = "p." + wt + rm.group(3) + "_" + to1(rm.group(4)) + rm.group(5) + op + seq,
-        wtResidue = wt, mutResidue = seq, mutationType = tpe,
+        hgvs = "p." + to3(rm.group(2)) + rm.group(3) + "_" + to3(rm.group(4)) + rm.group(5) + op + seq,
+        wtResidue = wt, mutResidue = seqTo1(seq), mutationType = tpe,
         foundWith = "SETH", proteinMutation = true,
         nucleotideMutation = false, ambiguous = false))
     }
@@ -199,7 +218,7 @@ object MutationNer {
       val wt = to1(pm.group(2))
       val tpe = if (pm.group(4) == "del") "DELETION" else "DUPLICATION"
       cands += Cand(0, MutationMention(ms, me, mt,
-        hgvs = "p." + wt + pm.group(3) + pm.group(4),
+        hgvs = "p." + to3(pm.group(2)) + pm.group(3) + pm.group(4),
         wtResidue = wt, mutResidue = "", mutationType = tpe,
         foundWith = "SETH", proteinMutation = true,
         nucleotideMutation = false, ambiguous = false))
@@ -213,7 +232,7 @@ object MutationNer {
       val mut = if (mutTok == "=") wt else to1(mutTok)
       val tpe = if (mutTok == "=" || mut == wt) "SILENT" else "SUBSTITUTION"
       cands += Cand(0, MutationMention(ms, me, mt,
-        hgvs = "p." + wt + sm.group(3) + (if (mutTok == "=") "=" else mut),
+        hgvs = "p." + to3(sm.group(2)) + sm.group(3) + (if (mutTok == "=") "=" else to3(mutTok)),
         wtResidue = wt, mutResidue = mut, mutationType = tpe,
         foundWith = "SETH", proteinMutation = true,
         nucleotideMutation = false, ambiguous = false))
@@ -222,7 +241,7 @@ object MutationNer {
     val m1 = Mf1Re.matcher(text)
     while (m1.find()) if (m1.group(1) != m1.group(3)) {
       cands += Cand(1, MutationMention(m1.start, m1.end, m1.group(),
-        hgvs = "p." + m1.group(1) + m1.group(2) + m1.group(3),
+        hgvs = "p." + to3(m1.group(1)) + m1.group(2) + to3(m1.group(3)),
         wtResidue = m1.group(1), mutResidue = m1.group(3),
         mutationType = "SUBSTITUTION", foundWith = "MUTATIONFINDER",
         proteinMutation = true, nucleotideMutation = false,
@@ -232,7 +251,7 @@ object MutationNer {
     val m3 = Mf3Re.matcher(text)
     while (m3.find()) if (to1(m3.group(1)) != to1(m3.group(3))) {
       cands += Cand(1, MutationMention(m3.start, m3.end, m3.group(),
-        hgvs = "p." + to1(m3.group(1)) + m3.group(2) + to1(m3.group(3)),
+        hgvs = "p." + m3.group(1) + m3.group(2) + m3.group(3),
         wtResidue = to1(m3.group(1)), mutResidue = to1(m3.group(3)),
         mutationType = "SUBSTITUTION", foundWith = "MUTATIONFINDER",
         proteinMutation = true, nucleotideMutation = false,
@@ -286,4 +305,23 @@ object MutationNer {
           disambiguationStrategy = None,
           disambiguationConfidence = None)))
     }
+
+  /** Document-level step (ref SethStep.__call__, seth.py:100-133):
+    * optionally gated by `condition` — SETH is slow, so the reference skips
+    * documents lacking pre-existing entities of interest (seth.py:84-87); a
+    * skipped doc passes through UNCHANGED (a skip, not a failure). Found
+    * entities append to each section's entity list, as in the reference. */
+  def processDoc(entityClass: String = "mutation",
+      condition: Option[graft.model.KDoc => Boolean] = None)(
+      doc: graft.model.KDoc): graft.model.KDoc =
+    if (doc.error.isDefined || condition.exists(c => !c(doc))) doc
+    else doc.copy(sections = doc.sections.map(s =>
+      s.copy(entities = s.entities ++ mentions(s.text, entityClass))))
+
+  /** The reference's canonical condition: the doc already carries an entity
+    * of one of the required classes (test_seth.py:36-53 drives the step
+    * with `condition.required_entities` and expects a doc without them to
+    * be skipped). */
+  def requiredEntitiesCondition(required: Set[String]): graft.model.KDoc => Boolean =
+    doc => doc.sections.exists(_.entities.exists(e => required(e.entityClass)))
 }

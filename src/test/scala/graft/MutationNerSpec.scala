@@ -26,7 +26,7 @@ class MutationNerSpec extends AnyFunSuite {
       del.nucleotideMutation && !del.proteinMutation && del.foundWith == "SETH")
     val mf = byText("L90P")
     assert(mf.mutationType == "SUBSTITUTION" && mf.foundWith == "MUTATIONFINDER" &&
-      mf.hgvs == "p.L90P" && mf.ambiguous && mf.proteinMutation)
+      mf.hgvs == "p.Leu90Pro" && mf.ambiguous && mf.proteinMutation)
     val sub = byText("c.269T>C")
     assert(sub.mutationType == "SUBSTITUTION" && sub.wtResidue == "T" &&
       sub.mutResidue == "C" && sub.hgvs == "c.269T>C")
@@ -55,45 +55,46 @@ class MutationNerSpec extends AnyFunSuite {
     assert(find("r.76a>u").isEmpty) // lowercase RNA bases are out of grammar
   }
 
-  test("protein HGVS family normalizes to one-letter hgvs") {
+  test("protein HGVS family normalizes to three-letter hgvs (ref test_seth.py)") {
     val s3 = find("p.Leu90Pro").head
-    assert(s3.hgvs == "p.L90P" && s3.wtResidue == "L" && s3.mutResidue == "P")
+    assert(s3.hgvs == "p.Leu90Pro" && s3.wtResidue == "L" && s3.mutResidue == "P")
     val s1 = find("p.L90P").head
-    assert(s1.hgvs == "p.L90P" && s1.foundWith == "SETH")
+    assert(s1.hgvs == "p.Leu90Pro" && s1.foundWith == "SETH")
     val ter = find("p.Trp26Ter").head
-    assert(ter.hgvs == "p.W26*" && ter.mutationType == "SUBSTITUTION")
+    assert(ter.hgvs == "p.Trp26Ter" && ter.mutationType == "SUBSTITUTION")
     val star = find("p.*90Leu").head
     assert(star.wtResidue == "*" && star.mutResidue == "L")
     val paren = find("the p.(Trp26Ter) variant").head
-    assert(paren.text == "p.(Trp26Ter)" && paren.hgvs == "p.W26*")
+    assert(paren.text == "p.(Trp26Ter)" && paren.hgvs == "p.Trp26Ter")
     val del = find("p.Leu90del").head
-    assert(del.mutationType == "DELETION" && del.hgvs == "p.L90del")
+    assert(del.mutationType == "DELETION" && del.hgvs == "p.Leu90del")
     val dup = find("p.Ala3_Ser5dup").head
-    assert(dup.mutationType == "DUPLICATION" && dup.hgvs == "p.A3_S5dup")
+    assert(dup.mutationType == "DUPLICATION" && dup.hgvs == "p.Ala3_Ser5dup")
     val ins = find("p.Lys2_Gly3insGlnSer").head
     assert(ins.mutationType == "INSERTION" && ins.mutResidue == "QS" &&
-      ins.hgvs == "p.K2_G3insQS")
+      ins.hgvs == "p.Lys2_Gly3insGlnSer")
     val silent = find("p.Cys188=").head
-    assert(silent.mutationType == "SILENT" && silent.hgvs == "p.C188=")
+    assert(silent.mutationType == "SILENT" && silent.hgvs == "p.Cys188=")
   }
 
   test("frameshift family") {
     val fs = find("p.Arg97fs").head
-    assert(fs.mutationType == "FRAMESHIFT" && fs.hgvs == "p.R97fs")
+    assert(fs.mutationType == "FRAMESHIFT" && fs.hgvs == "p.Arg97fs")
     val fsLong = find("p.Arg97ProfsTer23").head
-    // HGVS short form keeps the new residue: distinct frameshifts
+    // the normalized form keeps the new residue: distinct frameshifts
     // (ProfsTer23 vs SerfsTer23) must not collapse to one normalized key
-    assert(fsLong.hgvs == "p.R97Pfs*23" && fsLong.mutResidue == "P")
-    assert(find("p.Arg97SerfsTer23").head.hgvs == "p.R97Sfs*23")
+    assert(fsLong.hgvs == "p.Arg97ProfsTer23" && fsLong.mutResidue == "P")
+    assert(find("p.Arg97SerfsTer23").head.hgvs == "p.Arg97SerfsTer23")
+    // the "*" and "Ter" stop spellings normalize to one key
     val fsStar = find("p.Arg97fs*23").head
-    assert(fsStar.hgvs == "p.R97fs*23")
+    assert(fsStar.hgvs == "p.Arg97fsTer23")
   }
 
   test("free-text and dbSNP planes") {
     val e6v = find("the sickle mutation E6V in HBB").head
-    assert(e6v.foundWith == "MUTATIONFINDER" && e6v.hgvs == "p.E6V" && e6v.ambiguous)
+    assert(e6v.foundWith == "MUTATIONFINDER" && e6v.hgvs == "p.Glu6Val" && e6v.ambiguous)
     val l3 = find("a Leu90Pro substitution").head
-    assert(l3.foundWith == "MUTATIONFINDER" && l3.hgvs == "p.L90P" && !l3.ambiguous)
+    assert(l3.foundWith == "MUTATIONFINDER" && l3.hgvs == "p.Leu90Pro" && !l3.ambiguous)
     val rs = find("associated with rs2306220 in SLC30A8").head
     assert(rs.mutationType == "DBSNP" && rs.hgvs == "rs2306220" &&
       !rs.proteinMutation && !rs.nucleotideMutation)
@@ -125,7 +126,7 @@ class MutationNerSpec extends AnyFunSuite {
     val prot = find(t).filter(_.proteinMutation)
     assert(prot.size == 1)
     val p = prot.head
-    assert(p.text == "p.Leu90Pro" && p.hgvs == "p.L90P" && p.foundWith == "SETH")
+    assert(p.text == "p.Leu90Pro" && p.hgvs == "p.Leu90Pro" && p.foundWith == "SETH")
     assert(t.substring(p.start, p.end) == "p.Leu90Pro")
     // same for the other three protein families
     val fs = find("a change (p.Arg83fs) here").filter(_.proteinMutation)
@@ -159,6 +160,33 @@ class MutationNerSpec extends AnyFunSuite {
     assert(m.matchNorm == "c.269T>C")
   }
 
+  test("reference test_seth scenarios: hgvs set + condition gating") {
+    import graft.model.{KDoc, Section, CharSpan, Mention}
+    // the reference's exact test text and expected normalized set
+    // (test_seth.py:6-12): {"p.Leu90Pro", "c.269T>C", "c.35delG"}
+    val text = "Causative GJB2 mutations were identified in 31 (15.2%) " +
+      "patients, and two common mutations, c.35delG and L90P (c.269T>C), " +
+      "accounted for 72.1% and 9.8% of GJB2 disease alleles."
+    val ts = new java.sql.Timestamp(0L)
+    def doc(ents: Seq[Mention]) = KDoc("u", ts, text, "en",
+      Seq(Section("body", text, entities = ents)))
+    val expected = Set("p.Leu90Pro", "c.269T>C", "c.35delG")
+
+    // no condition → all three found with the reference's hgvs values
+    val unconditional = graft.ner.MutationNer.processDoc("mutation")(doc(Seq.empty))
+    assert(unconditional.entities.map(_.matchNorm).toSet == expected)
+
+    // condition requiring a gene entity: a doc without one is SKIPPED
+    // (passes through unchanged), with one it runs (test_seth.py:36-53)
+    val cond = Some(graft.ner.MutationNer.requiredEntitiesCondition(Set("gene")))
+    val skipped = graft.ner.MutationNer.processDoc("mutation", cond)(doc(Seq.empty))
+    assert(skipped.entities.isEmpty)
+    val gene = Mention("Causative", "gene", Seq(CharSpan(0, 5)), "test", 100, "CAUSATIVE")
+    val ran = graft.ner.MutationNer.processDoc("mutation", cond)(doc(Seq(gene)))
+    assert(ran.entities.filter(_.entityClass == "mutation")
+      .map(_.matchNorm).toSet == expected)
+  }
+
   test("seeded generator fuzz: 500 grammar mentions round-trip with exact spans") {
     // expectations are DERIVED FROM THE GENERATED PARTS, never from the
     // code under test: each case constructs (surface, normalized hgvs,
@@ -189,18 +217,18 @@ class MutationNerSpec extends AnyFunSuite {
           "DUPLICATION", s"$b2", "", false)
         case 4 => (s"$nucPrefix.${p1}_${p2}delins$b2$b1", s"$nucPrefix.${p1}_${p2}delins$b2$b1",
           "DELETION_INSERTION", "", s"$b2$b1", false)
-        case 5 => (s"p.${aa3(ai)}$p1${aa3(bi)}", s"p.${aa1(ai)}$p1${aa1(bi)}",
+        case 5 => (s"p.${aa3(ai)}$p1${aa3(bi)}", s"p.${aa3(ai)}$p1${aa3(bi)}",
           "SUBSTITUTION", aa1(ai), aa1(bi), true)
-        case 6 => (s"p.${aa1(ai)}$p1${aa1(bi)}", s"p.${aa1(ai)}$p1${aa1(bi)}",
+        case 6 => (s"p.${aa1(ai)}$p1${aa1(bi)}", s"p.${aa3(ai)}$p1${aa3(bi)}",
           "SUBSTITUTION", aa1(ai), aa1(bi), true)
-        case 7 => (s"p.${aa3(ai)}${p1}del", s"p.${aa1(ai)}${p1}del",
+        case 7 => (s"p.${aa3(ai)}${p1}del", s"p.${aa3(ai)}${p1}del",
           "DELETION", aa1(ai), "", true)
         case 8 =>
           val term = 1 + rnd.nextInt(99)
-          (s"p.${aa3(ai)}$p1${aa3(bi)}fsTer$term", s"p.${aa1(ai)}$p1${aa1(bi)}fs*$term",
+          (s"p.${aa3(ai)}$p1${aa3(bi)}fsTer$term", s"p.${aa3(ai)}$p1${aa3(bi)}fsTer$term",
             "FRAMESHIFT", aa1(ai), aa1(bi), true)
         case _ => (s"p.${aa3(ai)}${p1}_${aa3(bi)}${p2}dup",
-          s"p.${aa1(ai)}${p1}_${aa1(bi)}${p2}dup", "DUPLICATION", aa1(ai), "", true)
+          s"p.${aa3(ai)}${p1}_${aa3(bi)}${p2}dup", "DUPLICATION", aa1(ai), "", true)
       }
       // pattern-free filler (lowercase words, no digits or dots), optional
       // literature parens around the mention
