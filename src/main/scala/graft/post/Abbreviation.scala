@@ -115,7 +115,14 @@ object Abbreviation {
     }
   }
 
-  def processDoc(doc: KDoc): KDoc = {
+  def processDoc(doc: KDoc): KDoc = processDoc(doc, Set.empty)
+
+  /** @param excludeAbbrvs detected abbreviations whose existing entity
+    *   match text is in this set are NOT removed, even when the long form
+    *   contributes no source entities (ref KazuAbbreviationDetector
+    *   exclude_abbrvs, abbreviation_detector.py:244-253, :348-360 — the
+    *   escape hatch for short forms that are also legitimate entities). */
+  def processDoc(doc: KDoc, excludeAbbrvs: Set[String]): KDoc = {
     if (doc.error.isDefined || doc.sections.isEmpty) return doc
     val sectionToks = doc.sections.map(s => tokTexts(s.text))
 
@@ -160,7 +167,8 @@ object Abbreviation {
             val start = tt.tokens(i).start
             val end = tt.tokens(i + shortToks.length - 1).end
             entities = entities.filterNot(e =>
-              e.spans.size == 1 && e.start == start && e.end == end)
+              e.spans.size == 1 && e.start == start && e.end == end &&
+                !excludeAbbrvs(e.matchStr))
             val matchStr = section.text.substring(start, end)
             entities = entities ++ sourceEnts.map { src =>
               src.copy(

@@ -47,6 +47,43 @@ class MergeOverlapsSpec extends AnyFunSuite {
     val kept = merge(ent(0, 4, "gene", conf = 100), ent(0, 4, "gene", conf = 50))
     assert(kept.head.mentionConfidence == 100)
   }
+
+  // Literal port of the reference's five step scenarios
+  // (kazu/tests/test_merge_overlapping_ents_step.py:23-318); namespaces
+  // mirror the explosion/transformer steps of the originals.
+  test("reference case 1: longer span with no mappings is filtered") {
+    val ex = ent(0, 8, "drug", mapped = true, ns = "explosion")
+    val tr = ent(0, 13, "drug", ns = "transformer")
+    assert(merge(ex, tr) == Seq(ex))
+  }
+
+  test("reference case 2: shorter span filtered when the longer has a mapping") {
+    val ex = ent(0, 8, "drug", mapped = true, ns = "explosion")
+    val tr = ent(0, 13, "drug", mapped = true, ns = "transformer")
+    assert(merge(ex, tr) == Seq(tr))
+  }
+
+  test("reference case 3: equal spans resolve by preferred class (drug > anatomy)") {
+    val ex = ent(0, 8, "anatomy", mapped = true, ns = "explosion")
+    val tr = ent(0, 8, "drug", mapped = true, ns = "transformer")
+    assert(merge(ex, tr) == Seq(tr))
+  }
+
+  test("reference case 4: overlapping non-contained spans keep the longest") {
+    val ex = ent(0, 8, "anatomy", mapped = true, ns = "explosion")
+    val tr = ent(0, 13, "drug", mapped = true, ns = "transformer")
+    val tr2 = ent(8, 22, "disease", mapped = true, ns = "transformer")
+    assert(merge(ex, tr, tr2) == Seq(tr2))
+  }
+
+  test("reference case 5: multiple locations, touching spans stay separate") {
+    val ex = ent(0, 8, "anatomy", mapped = true, ns = "explosion")
+    val tr = ent(0, 13, "drug", mapped = true, ns = "transformer")
+    val tr2 = ent(8, 22, "disease", mapped = true, ns = "transformer")
+    val tr3 = ent(23, 34, "disease", mapped = true, ns = "transformer")
+    val tr4 = ent(34, 44, "disease", mapped = true, ns = "transformer")
+    assert(merge(ex, tr, tr2, tr3, tr4) == Seq(tr2, tr3, tr4))
+  }
 }
 
 class AbbreviationSpec extends AnyFunSuite {
@@ -99,6 +136,50 @@ class AbbreviationSpec extends AnyFunSuite {
       KDoc("u", new java.sql.Timestamp(0), text, "en",
         Seq(Section("body", text, Seq.empty))))
     assert(d.entities.isEmpty)
+  }
+
+  // Literal port of the reference's step scenarios
+  // (kazu/tests/test_abbreviation_finder_step.py:7-81).
+  private val ts0 = new java.sql.Timestamp(0)
+
+  test("reference scenario: copy of entity data across sections") {
+    val t1 = "Acute Mylenoid Leukaemia (AML) is a form of cancer. AML is treatable."
+    val t2 = "AML is a serious disease"
+    val ent1 = mention(t1, 0, 24, "disease", mapped = true)
+    val ent2 = mention(t1, 26, 29, "gene", mapped = false)
+    val ent3 = mention(t2, 0, 3, "gene", mapped = false)
+    val d = Abbreviation.processDoc(KDoc("u", ts0, t1 + " " + t2, "en",
+      Seq(Section("part1", t1, Seq(ent1, ent2)), Section("part2", t2, Seq(ent3)))))
+    assert(d.sections(0).entities.size == 3)
+    assert(d.sections(1).entities.size == 1)
+    d.entities.foreach { e =>
+      assert(Set("AML", "Acute Mylenoid Leukaemia")(e.matchStr))
+      assert(e.entityClass == "disease")
+    }
+  }
+
+  test("reference scenario: removal when the long form has no entities") {
+    val t3 = "Auto Mega Liquid (AML) is not form of cancer"
+    val t4 = "AML something I just made up"
+    val ent4 = mention(t3, 18, 21, "disease", mapped = false)
+    val ent5 = mention(t4, 0, 3, "gene", mapped = false)
+    val d = Abbreviation.processDoc(KDoc("u", ts0, t3 + " " + t4, "en",
+      Seq(Section("part1", t3, Seq(ent4)), Section("part2", t4, Seq(ent5)))))
+    assert(d.entities.isEmpty)
+  }
+
+  test("reference scenario: exclude_abbrvs keeps existing short-form entities") {
+    val t3 = "Auto Mega Liquid (AML) is not form of cancer"
+    val t4 = "AML something I just made up"
+    val ent4 = mention(t3, 18, 21, "disease", mapped = false)
+    val ent5 = mention(t4, 0, 3, "gene", mapped = false)
+    val d = Abbreviation.processDoc(KDoc("u", ts0, t3 + " " + t4, "en",
+      Seq(Section("part1", t3, Seq(ent4)), Section("part2", t4, Seq(ent5)))),
+      excludeAbbrvs = Set("AML"))
+    val ents = d.entities
+    assert(ents.size == 2)
+    assert(ents.forall(_.matchStr == "AML"))
+    assert(ents.map(_.entityClass).toSet == Set("disease", "gene"))
   }
 }
 
