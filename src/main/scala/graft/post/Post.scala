@@ -102,23 +102,116 @@ object Cleanup {
     }
   }
 
-  def processDoc(cfg: Config)(doc: KDoc): KDoc = {
-    if (doc.error.isDefined) return doc
-    doc.copy(sections = doc.sections.map { s =>
-      val ents = s.entities
-        .map { e =>
-          val mappings = e.mappings
-            .filterNot(m =>
-              m.disambiguationConfidence.exists(cfg.dropDisambiguationConfidences) ||
-                cfg.dropStringMatchConfidences(m.stringMatchConfidence))
-            .map(m => if (cfg.stripUris) m.copy(idx = stripUri(m.idx)) else m)
-          e.copy(
-            mappings = mappings,
-            candidates = if (cfg.clearCandidates) Seq.empty else e.candidates)
+  // --- composable action plane (ref cleanup.py:26-223) ---------------------
+  // Each action is a pure KDoc => KDoc; [[step]] composes them with per-doc
+  // failure isolation (an action that throws marks the doc failed, it never
+  // kills the task — ref CleanupStep + document_iterating_step, pinned by
+  // the reference's test_cleanup_step scenario).
+
+  type Action = KDoc => KDoc
+
+  /** Ref MappingFilterCleanupAction: drop any mapping matched by a filter. */
+  def mappingFilterAction(filters: Seq[Mapping => Boolean]): Action =
+    doc => doc.copy(sections = doc.sections.map(s =>
+      s.copy(entities = s.entities.map(e =>
+        e.copy(mappings = e.mappings.filterNot(m => filters.exists(_(m))))))))
+
+  /** Ref EntityFilterCleanupAction: drop any entity matched by a filter. */
+  def entityFilterAction(filters: Seq[Mention => Boolean]): Action =
+    doc => doc.copy(sections = doc.sections.map(s =>
+      s.copy(entities = s.entities.filterNot(e => filters.exists(_(e))))))
+
+  /** Ref DropMappingsByConfidenceMappingFilter. */
+  def dropMappingsByConfidence(stringMatchRanks: Set[String],
+      disambiguationRanks: Set[String]): Mapping => Boolean =
+    m => stringMatchRanks(m.stringMatchConfidence) ||
+      m.disambiguationConfidence.exists(disambiguationRanks)
+
+  /** Ref DropUnmappedEntityFilter: unmapped, (optionally) from one of the
+    * given namespaces, (optionally) below a mention-confidence floor. */
+  def dropUnmappedEntity(fromNamespaces: Option[Set[String]] = None,
+      minConfidence: Option[Int] = Some(MentionConfidence.Probable)): Mention => Boolean =
+    e => fromNamespaces.forall(_(e.namespace)) && e.mappings.isEmpty &&
+      minConfidence.forall(e.mentionConfidence < _)
+
+  /** Ref DropEntityIfClassNotMatchedFilter. */
+  def dropEntityIfClassNotMatched(required: Set[String]): Mention => Boolean =
+    e => !required(e.entityClass)
+
+  /** Ref DropEntityIfMatchInSetFilter (match compared lower-cased). */
+  def dropEntityIfMatchInSet(drop: Map[String, Set[String]]): Mention => Boolean =
+    e => drop.getOrElse(e.entityClass, Set.empty)(
+      e.matchStr.toLowerCase(java.util.Locale.ROOT))
+
+  /** Ref DropByMinLenFilter. */
+  def dropByMinLen(minLen: Int): Mention => Boolean =
+    e => e.matchStr.length < minLen
+
+  /** Ref LinkingCandidateRemovalCleanupAction. */
+  val clearCandidatesAction: Action =
+    doc => doc.copy(sections = doc.sections.map(s =>
+      s.copy(entities = s.entities.map(_.copy(candidates = Seq.empty)))))
+
+  /** Ref StripMappingURIsAction: `parsersToStrip = None` strips every
+    * mapping; otherwise only mappings from the listed parsers. */
+  def stripMappingUris(parsersToStrip: Option[Set[String]] = None): Action =
+    doc => doc.copy(sections = doc.sections.map(s =>
+      s.copy(entities = s.entities.map(e =>
+        e.copy(mappings = e.mappings.map(m =>
+          if (parsersToStrip.forall(_(m.parserName)))
+            m.copy(idx = stripUri(m.idx))
+          else m))))))
+
+  /** Ref DropMappingsByParserNameRankAction: for an entity class with a
+    * configured parser rank (first = preferred), keep ONLY the mappings of
+    * the best-ranked parser that has any. A mapping whose parser is absent
+    * from the rank is a configuration error (ref KazuConfigurationError) —
+    * the throw routes to the failed-doc sink via [[step]]. */
+  def dropMappingsByParserNameRank(rank: Map[String, Seq[String]]): Action =
+    doc => doc.copy(sections = doc.sections.map(s =>
+      s.copy(entities = s.entities.map { e =>
+        rank.get(e.entityClass) match {
+          case None => e
+          case Some(order) =>
+            if (e.mappings.isEmpty) e
+            else {
+              val best = e.mappings.map { m =>
+                val i = order.indexOf(m.parserName)
+                if (i < 0) throw new IllegalArgumentException(
+                  s"mapping parser '${m.parserName}' has no configured rank " +
+                    s"for entity class '${e.entityClass}'")
+                i
+              }.min
+              e.copy(mappings =
+                e.mappings.filter(m => order.indexOf(m.parserName) == best))
+            }
         }
-        .filterNot(e =>
-          e.mappings.isEmpty && e.mentionConfidence < cfg.minUnmappedConfidence)
-      s.copy(entities = ents)
-    })
+      })))
+
+  /** Compose actions with the pipeline's failure-isolation contract: a doc
+    * already failed passes through; an action that throws writes the error
+    * into the row (ref CleanupStep over document_iterating_step — the
+    * failing doc lands in failures, the rest proceed). */
+  def step(actions: Seq[Action])(doc: KDoc): KDoc =
+    if (doc.error.isDefined) doc
+    else
+      try actions.foldLeft(doc)((d, a) => a(d))
+      catch {
+        case scala.util.control.NonFatal(ex) =>
+          doc.copy(error = Some(s"CleanupStep: ${ex.getMessage}"))
+      }
+
+  /** The default-config path, expressed as the equivalent action chain
+    * (drop-by-confidence → strip URIs → drop unmapped low-confidence →
+    * clear candidates — the reference's default CleanupActions). */
+  def processDoc(cfg: Config)(doc: KDoc): KDoc = {
+    val actions = Seq.newBuilder[Action]
+    actions += mappingFilterAction(Seq(dropMappingsByConfidence(
+      cfg.dropStringMatchConfidences, cfg.dropDisambiguationConfidences)))
+    if (cfg.stripUris) actions += stripMappingUris(None)
+    actions += entityFilterAction(Seq(dropUnmappedEntity(
+      None, Some(cfg.minUnmappedConfidence))))
+    if (cfg.clearCandidates) actions += clearCandidatesAction
+    step(actions.result())(doc)
   }
 }

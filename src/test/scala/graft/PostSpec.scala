@@ -215,6 +215,88 @@ class CleanupSpec extends AnyFunSuite {
     assert(Cleanup.stripUri("MONDO:0004979") == "MONDO:0004979")
     assert(Cleanup.stripUri("plain_id") == "plain_id")
   }
+
+  // Literal ports of the reference's cleanup-action scenarios
+  // (kazu/tests/test_cleanup.py:188-441) over the composable action plane.
+  private val ts0 = new java.sql.Timestamp(0)
+  private def mapping(parser: String, idx: String) =
+    Mapping("lbl", "SRC", parser, idx, "test", "HIGHLY_LIKELY", None,
+      Some("HIGHLY_LIKELY"))
+  private def simpleCleanupDoc(): KDoc = {
+    val text = "Asthma is in mondo and HSC0054 is a cell line in CLO."
+    val asthma = Mention("Asthma", "disease", Seq(CharSpan(0, 6)), "test", 50, "A",
+      mappings = Seq(
+        mapping("mondo", "http://purl.obolibrary.org/obo/MONDO_0004979"),
+        mapping("not_mondo", "http://purl.obolibrary.org/obo/MONDO_0004979")))
+    val hsc = Mention("HSC0054", "cell_line", Seq(CharSpan(23, 30)), "test", 50, "H",
+      mappings = Seq(
+        mapping("clo", "http://purl.obolibrary.org/obo/CLO_0051085"),
+        mapping("not_clo", "http://purl.obolibrary.org/obo/CLO_0051085")))
+    KDoc("u", ts0, text, "en", Seq(Section("body", text, Seq(asthma, hsc))))
+  }
+
+  test("reference: URI stripping scoped to some parsers only") {
+    val d = Cleanup.stripMappingUris(Some(Set("mondo", "clo")))(simpleCleanupDoc())
+    val Seq(asthma, hsc) = d.entities
+    assert(asthma.mappings.map(m => (m.parserName, m.idx)).toSet == Set(
+      ("mondo", "MONDO_0004979"),
+      ("not_mondo", "http://purl.obolibrary.org/obo/MONDO_0004979")))
+    assert(hsc.mappings.map(m => (m.parserName, m.idx)).toSet == Set(
+      ("clo", "CLO_0051085"),
+      ("not_clo", "http://purl.obolibrary.org/obo/CLO_0051085")))
+  }
+
+  test("reference: drop mappings by parser-name rank") {
+    val d = Cleanup.dropMappingsByParserNameRank(Map(
+      "disease" -> Seq("mondo", "not_mondo"),
+      "cell_line" -> Seq("not_clo", "clo")))(simpleCleanupDoc())
+    val Seq(asthma, hsc) = d.entities
+    assert(asthma.mappings.map(_.parserName) == Seq("mondo"))
+    assert(hsc.mappings.map(_.parserName) == Seq("not_clo"))
+  }
+
+  test("reference: entity filters (min-len, class-not-matched, match-in-set)") {
+    def ent(m: String, cls: String) =
+      Mention(m, cls, Seq(CharSpan(0, math.max(1, m.length))), "test", 50, "N")
+    val minLen = Cleanup.dropByMinLen(2)
+    assert(!minLen(ent("lo", "test")) && minLen(ent("l", "test")))
+    val classFilter = Cleanup.dropEntityIfClassNotMatched(Set("required1", "required2"))
+    assert(!classFilter(ent("lo", "required1")) && !classFilter(ent("lo", "required2")))
+    assert(classFilter(ent("lo", "discard1")) && classFilter(ent("lo", "discard2")))
+    val inSet = Cleanup.dropEntityIfMatchInSet(Map(
+      "gene" -> Set("abd", "def"), "disease" -> Set("disease1")))
+    assert(!inSet(ent("required", "gene")) && !inSet(ent("required2", "disease")) &&
+      !inSet(ent("required3", "drug")))
+    assert(inSet(ent("abd", "gene")) && inSet(ent("Disease1", "disease")))
+  }
+
+  test("reference: cleanup step isolates a failing action to the doc") {
+    // action 2 throws on docs carrying a tricky-namespace entity; the other
+    // doc is processed normally (match upper-cased via a mapping-preserving
+    // transform stand-in: here we drop short sections, then throw on gremlin)
+    val dropShortSections: Cleanup.Action =
+      d => d.copy(sections = d.sections.filter(_.text.length >= 3))
+    val failOnGremlin: Cleanup.Action = d => {
+      if (d.entities.exists(_.namespace == "tricky_ent_step"))
+        throw new IllegalStateException("fails on ents from tricky_ent_step!")
+      d
+    }
+    val doc1 = KDoc("d1", ts0, "x", "en", Seq(
+      Section("doc1_section1", "hi"),
+      Section("doc1_section2", "2nd section in doc1")))
+    val doc2 = KDoc("d2", ts0, "cursed document with a gremlin entity", "en", Seq(
+      Section("body", "cursed document with a gremlin entity", Seq(
+        Mention("gremlin", "tricky_entity", Seq(CharSpan(23, 30)),
+          "tricky_ent_step", 50, "G")))))
+    val step = Cleanup.step(Seq(dropShortSections, failOnGremlin)) _
+    val out1 = step(doc1); val out2 = step(doc2)
+    assert(out1.error.isEmpty && out1.sections.size == 1)
+    assert(out2.error.exists(_.contains("tricky_ent_step")))
+    // rank misconfiguration also routes to the failure row, not a crash
+    val bad = Cleanup.step(Seq(Cleanup.dropMappingsByParserNameRank(
+      Map("disease" -> Seq("only_this")))))(simpleCleanupDoc())
+    assert(bad.error.exists(_.contains("no configured rank")))
+  }
 }
 
 class MultiSectionSpec extends AnyFunSuite {
