@@ -16,75 +16,183 @@ object SynonymGeneration {
     def generate(s: String): Set[String]
   }
 
-  /** Expand bracketed expressions: "ABC (xyz)" → {"ABC", "xyz", "ABC xyz"};
-    * mid-expression brackets removed (ref SeparatorExpansion :111-155). */
+  /** Expand bracketed expressions (ref SeparatorExpansion :111-155):
+    * end-expression brackets split into (before, inside, rejoined), with
+    * groups that are excluded or pure stopwords dropped; mid-expression
+    * brackets are removed; slash- and comma-separated alternates expand —
+    * over the paren-derived groups ONLY, as in the reference. */
   object SeparatorExpansion extends Generator {
     val name = "SeparatorExpansion"
-    private val endBrackets = "(.*)\\((.*)\\)$".r
-    private val midBrackets = "(.*)\\(.*\\)(.*)".r
-    private val excluded = Set("", "non-protein coding")
+    private val endBrackets = "(?s)(.*)\\((.*)\\)$".r
+    private val midBrackets = "(?s)(.*)\\(.*\\)(.*)".r
+    private val excludedParenthesis = Set("", "non-protein coding")
+    // stand-in for the reference's spaCy stop-word list (it filters whole
+    // groups that are bare stopwords, e.g. "receptor (the)")
+    private val stopwords = Set("the", "of", "a", "an", "and", "in", "to",
+      "with", "by", "for", "on", "at", "from", "as", "is", "was", "type")
     def generate(s: String): Set[String] = {
-      val out = scala.collection.mutable.Set.empty[String]
-      s.trim match {
-        case endBrackets(before, inside)
-            if !excluded.contains(inside.trim) && before.trim.nonEmpty =>
-          out += before.trim
-          out += inside.trim
-          out += s"${before.trim} ${inside.trim}"
-        case midBrackets(before, after) if before.trim.nonEmpty =>
-          out += s"${before.trim} ${after.trim}".trim.replaceAll("\\s+", " ")
-        case _ =>
+      val bracketResults = scala.collection.mutable.Set.empty[String]
+      val allGroupResults = scala.collection.mutable.Set.empty[String]
+      if (s.contains('(') && s.contains(')')) {
+        s match {
+          case endBrackets(g1, g2) =>
+            // groups compared UN-stripped against the exclusion list, then
+            // added stripped; the rejoin concatenates the raw groups
+            // (ref :125-133)
+            val kept = Seq(g1, g2).filter(g =>
+              !excludedParenthesis(g) &&
+                !stopwords(g.toLowerCase(java.util.Locale.ROOT)))
+            kept.foreach(g => bracketResults += g.trim)
+            allGroupResults += kept.mkString("")
+          case midBrackets(g1, g2) =>
+            allGroupResults += Seq(g1, g2).map(_.trim).mkString(" ")
+          case _ =>
+        }
       }
-      // slash/comma separated alternates
-      if (s.contains('/') && !s.contains('('))
-        s.split('/').map(_.trim).filter(_.nonEmpty).foreach(out += _)
-      out.toSet - s
+      bracketResults.toList.foreach { x =>
+        if (x.contains('/')) x.split('/').foreach(sp => bracketResults += sp.trim)
+        if (x.contains(',')) x.split(',').foreach(sp => bracketResults += sp.trim)
+      }
+      (bracketResults ++ allGroupResults).toSet - s
     }
   }
 
-  /** Remove leading/trailing stopwords (ref StopWordRemover :157-175). */
+  /** Remove ALL stopword tokens (ref StopWordRemover :157-175 — its exact
+    * stop-word set; emits only when at least one token was removed). */
   final class StopWordRemover(stopwords: Set[String]) extends Generator {
     val name = "StopWordRemover"
     def generate(s: String): Set[String] = {
-      val toks = s.split(" ").toSeq
-      val trimmed = toks
-        .dropWhile(t => stopwords(t.toLowerCase(java.util.Locale.ROOT)))
-        .reverse
-        .dropWhile(t => stopwords(t.toLowerCase(java.util.Locale.ROOT)))
-        .reverse
-      val res = trimmed.mkString(" ")
-      if (res.nonEmpty && res != s) Set(res) else Set.empty
+      val toks = s.split("\\s+").toSeq.filter(_.nonEmpty)
+      val kept = toks.filterNot(t => stopwords(t.toLowerCase(java.util.Locale.ROOT)))
+      if (kept.size != toks.size) Set(kept.mkString(" ")) - s else Set.empty
     }
   }
   object StopWordRemover {
-    val default = new StopWordRemover(Set("the", "of", "a", "an", "type"))
+    val default = new StopWordRemover(Set(
+      "of", "and", "in", "to", "with", "caused", "involved", "by", "the"))
   }
 
   /** Bidirectional greek-letter ↔ name substitution (ref StringReplacement
     * with GreekSymbolSubstitution :177-270). */
   object GreekSubstitution extends Generator {
     val name = "GreekSubstitution"
-    private val charToName: Seq[(String, String)] =
-      Normalizer.GreekSubs.map { case (c, n) => (c, n) }
-    // one variant per greek char spelling a name ("beta" → Β, ϐ, β);
-    // names only replace at non-letter boundaries ("eta" must not fire
-    // inside "beta")
-    private val nameToChars: Seq[(java.util.regex.Pattern, Seq[String])] =
-      Normalizer.GreekSubs.groupBy(_._2).toSeq.sortBy(_._1).map { case (n, cs) =>
-        (java.util.regex.Pattern.compile(
-          s"(?<![\\p{L}])${java.util.regex.Pattern.quote(n)}(?![\\p{L}])"),
-          cs.map(_._1).distinct)
+
+    /** The reference's ALL_SUBS construction (GreekSymbolSubstitution,
+      * synonym_generation.py:177-198): greek char → {spelling, spelling's
+      * first letter, case-flipped greek char}; spelling → {every greek char
+      * with that spelling}. */
+    private[ontology] val AllSubs: Map[String, Set[String]] = {
+      val m = scala.collection.mutable.Map.empty[String, Set[String]]
+        .withDefaultValue(Set.empty)
+      Normalizer.GreekSubs.foreach { case (g, sp) =>
+        m(g) = m(g) + sp + sp.substring(0, 1)
+        m(sp) = m(sp) + g
+        val flipped =
+          if (g.exists(_.isLower)) g.toUpperCase(java.util.Locale.ROOT)
+          else g.toLowerCase(java.util.Locale.ROOT)
+        if (flipped != g) m(g) = m(g) + flipped
       }
+      m.toMap
+    }
+
+    private val fixes: Set[String] =
+      Normalizer.Dashes.map(_.toString) + " "
+
+    // DOCUMENTED DEVIATION from the reference: a spelled-name candidate only
+    // matches at a non-letter boundary, so "eta" never fires inside "beta".
+    // The reference acknowledges this exact flaw with xfail-marked tests
+    // (test_synonym_generators.py "beta test" / "alpha beta test") — the
+    // guard makes those tests' EXPECTED sets the actual output.
+    private def boundaryOk(s: String, idx: Int, candidate: String): Boolean =
+      !candidate.head.isLetter || candidate.length == 1 ||
+        idx == 0 || !s.charAt(idx - 1).isLetter
+
+    private def containsGuarded(s: String, target: String): Boolean = {
+      var i = s.indexOf(target)
+      while (i >= 0) {
+        if (boundaryOk(s, i, target)) return true
+        i = s.indexOf(target, i + 1)
+      }
+      false
+    }
+
+    private def replaceGuarded(s: String, target: String,
+        replacement: String): String = {
+      // replace every boundary-valid occurrence of `target`
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val at = s.indexOf(target, i)
+        if (at < 0) { sb.append(s.substring(i)); i = s.length }
+        else {
+          sb.append(s.substring(i, at))
+          if (boundaryOk(s, at, target)) { sb.append(replacement); i = at + target.length }
+          else { sb.append(s.charAt(at)); i = at + 1 }
+        }
+      }
+      sb.toString
+    }
+
+    /** Ref StringReplacement._generate_greek_subs (:236-270): a candidate
+      * adjacent to a dash or space in the ORIGINAL string substitutes over
+      * every previously generated variant too, so multiple greek symbols in
+      * one synonym yield the full combination set. */
+    def generate(s: String): Set[String] = {
+      val results = scala.collection.mutable.Set.empty[String]
+      val stripped = s.trim
+      var accumulated = Set(stripped)
+      AllSubs.foreach { case (candidate, replacements) =>
+        fixes.foreach { fix =>
+          val prefix = containsGuarded(s, candidate + fix)
+          val suffix = {
+            val t = fix + candidate
+            s.contains(t)
+          }
+          if (prefix || suffix) {
+            val step = scala.collection.mutable.Set.empty[String]
+            accumulated.foreach { cur =>
+              replacements.foreach { r =>
+                if (prefix) {
+                  val v = replaceGuarded(cur, candidate + fix, r + fix)
+                  step += v; results += v
+                }
+                if (suffix) {
+                  val v = cur.replace(fix + candidate, fix + r)
+                  step += v; results += v
+                }
+              }
+            }
+            accumulated = accumulated ++ step
+          }
+        }
+      }
+      results.toSet - s - stripped
+    }
+  }
+
+  /** Substring replacement from a dict, plus digit-aware prefixed forms
+    * (ref StringReplacement :201-233 with include_greek=False — the greek
+    * plane is [[GreekSubstitution]]). */
+  final class StringReplacement(
+      replacementDict: Map[String, Seq[String]] = Map.empty,
+      digitAwareReplacementDict: Map[String, Seq[String]] = Map.empty
+  ) extends Generator {
+    val name = "StringReplacement"
     def generate(s: String): Set[String] = {
       val out = scala.collection.mutable.Set.empty[String]
-      charToName.foreach { case (c, n) =>
-        if (s.contains(c)) out += s.replace(c, n)
+      replacementDict.foreach { case (target, reps) =>
+        if (s.contains(target))
+          reps.foreach(r => out += s.replace(target, r).trim)
       }
-      nameToChars.foreach { case (pat, chars) =>
-        val m = pat.matcher(s)
-        if (m.find())
-          chars.foreach(c => out += m.replaceAll(
-            java.util.regex.Matcher.quoteReplacement(c)))
+      digitAwareReplacementDict.foreach { case (target, reps) =>
+        val m = java.util.regex.Pattern
+          .compile(java.util.regex.Pattern.quote(target) + "[0-9]+").matcher(s)
+        val matches = scala.collection.mutable.Set.empty[String]
+        while (m.find()) matches += m.group()
+        matches.foreach { hit =>
+          val number = hit.substring(target.length)
+          reps.foreach(r => out += s.replace(hit, r + number).trim)
+        }
       }
       out.toSet - s
     }
@@ -145,19 +253,22 @@ object SynonymGeneration {
   }
 
   /** Replace tokens from equivalence lists (ref
-    * TokenListReplacementGenerator :339-384). */
-  final class TokenListReplacement(groups: Seq[Set[String]]) extends Generator {
+    * TokenListReplacementGenerator :339-384: a token whose LOWER form is in
+    * a sublist is replaced by EVERY token of that sublist — including
+    * itself, so the original string is part of the output — via whole-string
+    * substring replacement of the matched token text). */
+  final class TokenListReplacement(groups: Seq[Seq[String]]) extends Generator {
     val name = "TokenListReplacement"
     def generate(s: String): Set[String] = {
-      val toks = s.split(" ").toSeq
       val out = scala.collection.mutable.Set.empty[String]
-      toks.zipWithIndex.foreach { case (t, i) =>
+      s.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val lower = tok.toLowerCase(java.util.Locale.ROOT)
         groups.foreach { g =>
-          if (g.contains(t))
-            (g - t).foreach(alt => out += toks.updated(i, alt).mkString(" "))
+          if (g.exists(_.toLowerCase(java.util.Locale.ROOT) == lower))
+            g.foreach(alt => out += s.replace(tok, alt))
         }
       }
-      out.toSet - s
+      out.toSet
     }
   }
 

@@ -15,11 +15,63 @@ class SynonymGenerationSpec extends AnyFunSuite {
     assert(SynonymGeneration.SeparatorExpansion.generate("plain") == Set.empty)
   }
 
-  test("stopword removal trims edges only") {
+  test("stopword removal drops every stopword token (ref semantics)") {
     val g = SynonymGeneration.StopWordRemover.default
     assert(g.generate("the breast cancer") == Set("breast cancer"))
-    // interior stopwords are untouched
-    assert(g.generate("cancer of the breast").isEmpty)
+    // interior stopwords are removed too (ref StopWordRemover :157-175)
+    assert(g.generate("cancer of the breast") == Set("cancer breast"))
+    // reference scenario: test_StopWordRemover
+    assert(g.generate("The cat sat in the mat") == Set("cat sat mat"))
+    // nothing detected → nothing emitted
+    assert(g.generate("breast cancer").isEmpty)
+  }
+
+  // Literal ports of the reference's generator scenarios
+  // (kazu/tests/test_synonym_generators.py:35-152).
+  test("reference SeparatorExpansion scenarios") {
+    val g = SynonymGeneration.SeparatorExpansion
+    assert(g.generate("ABAC (ABAC1/ABAC2)") == Set(
+      "ABAC", "ABAC1", "ABAC2", "ABAC1/ABAC2", "ABAC ABAC1/ABAC2"))
+    assert(g.generate("cyclin-dependent kinase inhibitor 1B (p27, Kip1)") == Set(
+      "cyclin-dependent kinase inhibitor 1B", "p27", "Kip1", "p27, Kip1",
+      "cyclin-dependent kinase inhibitor 1B p27, Kip1"))
+    assert(g.generate("gonadotropin-releasing hormone (type 2) receptor 2") ==
+      Set("gonadotropin-releasing hormone receptor 2"))
+    assert(g.generate("oxidase (cytochrome c) assembly 1-like") ==
+      Set("oxidase assembly 1-like"))
+  }
+
+  test("reference StringReplacement scenario") {
+    val g = new SynonymGeneration.StringReplacement(
+      replacementDict = Map("cat" -> Seq("dog", "chicken")))
+    assert(g.generate("The cat sat on the mat") == Set(
+      "The dog sat on the mat", "The chicken sat on the mat"))
+  }
+
+  test("reference GreekSymbolSubstitution scenarios (incl. the xfailed pair)") {
+    val g = SynonymGeneration.GreekSubstitution
+    assert(g.generate("alpha-thalassaemia") ==
+      Set("α-thalassaemia", "Α-thalassaemia"))
+    assert(g.generate("α-thalassaemia") ==
+      Set("alpha-thalassaemia", "a-thalassaemia", "Α-thalassaemia"))
+    assert(g.generate("A-thalassaemia") == Set.empty)
+    // the reference xfails these two because its substring match lets "eta"
+    // fire inside "beta"; our boundary guard produces the reference's own
+    // EXPECTED sets (documented deviation)
+    assert(g.generate("beta test") == Set("β test", "ϐ test", "Β test"))
+    assert(g.generate("alpha beta test") == Set(
+      "alpha β test", "alpha ϐ test", "alpha Β test",
+      "α beta test", "α β test", "α ϐ test", "α Β test",
+      "Α beta test", "Α β test", "Α ϐ test", "Α Β test"))
+  }
+
+  test("reference TokenListReplacementGenerator scenario") {
+    val g = new SynonymGeneration.TokenListReplacement(Seq(
+      Seq("typical", "ordinary"), Seq("abnormal", "incorrect")))
+    assert(g.generate("ALT was typical") ==
+      Set("ALT was ordinary", "ALT was typical"))
+    assert(g.generate("ALT was abnormal") ==
+      Set("ALT was incorrect", "ALT was abnormal"))
   }
 
   test("greek substitution is bidirectional") {
