@@ -85,6 +85,7 @@ object IdAggregation {
   val Unambiguous          = "UNAMBIGUOUS"
   val MergedAsNonSymbolic  = "MERGED_AS_NON_SYMBOLIC"
   val ResolvedBySimilarity = "RESOLVED_BY_SIMILARITY"
+  val ModifiedByCuration   = "MODIFIED_BY_CURATION"
 }
 
 /** One normalized synonym of an ontology: the unit of the broadcast synonym

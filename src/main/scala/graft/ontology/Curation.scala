@@ -1,6 +1,6 @@
 package graft.ontology
 
-import graft.model.MentionConfidence
+import graft.model.{EquivalentIdSet, IdAggregation, IdAndSource, LinkingCandidate, MentionConfidence}
 
 /** Curation application + conflict analysis (ref GlobalParserActions /
   * ParserAction, kazu/data/__init__.py:687-751, and the conflict analyser in
@@ -278,4 +278,155 @@ object Curation {
         Seq(Conflict(r.parserName, r.synNorm, s"${bad.size} invalid NER synonyms"))
       else Seq.empty
     }
+
+  // --- candidate-level resource processor ----------------------------------
+
+  /** Raised for unfixable human-curation conflicts (ref CurationError,
+    * curation_utils.py:36; raise site base.py:415 when the human set has
+    * normalisation conflicts — e.g. two overrides with different explicit
+    * id sets for one syn_norm). */
+  final class CurationException(msg: String) extends RuntimeException(msg)
+
+  /** Applies global actions and curated resources to a parser's built
+    * candidate set — the reference's OntologyResourceProcessor
+    * (curation_utils.py:710-1165; scenario bar = test_ontology_parser.py).
+    *
+    * Semantics, rule for rule:
+    *  - global DROP_IDS_FROM_PARSER removes the id from every candidate
+    *    (empty id sets ⇒ the candidate is dropped; a modified candidate is
+    *    re-aggregated as MODIFIED_BY_CURATION) and from every override
+    *    resource's explicit id sets (empty ⇒ the resource is removed);
+    *  - resources apply in behaviour order ADD_FOR_NER_AND_LINKING →
+    *    ADD_FOR_LINKING_ONLY → DROP_FOR_LINKING, explicit-id-set overrides
+    *    after plain adds;
+    *  - an ADD with no explicit id sets inherits an existing candidate
+    *    (no action) and is dropped when the syn_norm is unknown (nothing to
+    *    infer, ref :1090-1098);
+    *  - an ADD with explicit id sets referencing unknown ids has those ids
+    *    ignored (ref :1139-1147); whatever remains overrides/creates the
+    *    candidate as MODIFIED_BY_CURATION with mapping type "kazu_curated";
+    *    an explicit set identical to the existing candidate's is a no-op.
+    *
+    * The human-curation conflict gate (two resources whose explicit id sets
+    * disagree for one syn_norm) throws [[CurationException]] — the
+    * reference raises CurationError from the conflict analyser before the
+    * processor ever runs (base.py:395-423). */
+  final class ResourceProcessor(
+      parserName: String,
+      entityClass: String,
+      globalDropIds: Set[String],
+      resources: Set[CurationResource],
+      candidates: Seq[LinkingCandidate]
+  ) {
+    import scala.collection.mutable
+
+    private val behaviourOrder = Map(
+      Behaviour.AddForNerAndLinking -> 0,
+      Behaviour.AddForLinkingOnly -> 1,
+      Behaviour.DropForLinking -> 2)
+
+    private val bySynNorm = mutable.LinkedHashMap.empty[String, LinkingCandidate]
+    candidates.foreach(c => bySynNorm(c.synonymNorm) = c)
+    // id → source, harvested from the parser's own candidates (explicit
+    // resource id sets carry bare ids; sources resolve against the parser)
+    private val sourceOf: Map[String, String] = candidates
+      .flatMap(_.associatedIdSets.flatMap(_.ids).map(i => i.idx -> i.source))
+      .toMap
+    private val droppedKeys = mutable.Set.empty[String]
+    private var liveResources = resources
+
+    // conflict gate (ref base.py:415): same syn_norm, >1 distinct explicit
+    // id set, or >1 behaviour ⇒ unfixable human conflict
+    resources.groupBy(_.synNormForLinking(entityClass)).foreach {
+      case (sn, group) =>
+        val explicit = group.flatMap(_.associatedIdSets)
+        if (explicit.size > 1 || group.map(_.behaviour).size > 1)
+          throw new CurationException(
+            s"$parserName: conflicting curations for syn_norm '$sn'")
+    }
+
+    private def idxSets(c: LinkingCandidate): Set[Set[String]] =
+      c.associatedIdSets.map(_.ids.map(_.idx).toSet).toSet
+
+    private def dropIdFromSets(id: String,
+        sets: Set[Set[String]]): Set[Set[String]] =
+      sets.map(_ - id).filter(_.nonEmpty)
+
+    private def toEquivSets(sets: Set[Set[String]]): Seq[EquivalentIdSet] =
+      sets.toSeq
+        .map(s => EquivalentIdSet(
+          s.toSeq.sorted.map(i =>
+            IdAndSource(i, sourceOf.getOrElse(i, parserName)))).canonical)
+        .sortBy(_.ids.head.idx)
+
+    private def processGlobalActions(): Unit =
+      globalDropIds.toSeq.sorted.foreach { id =>
+        bySynNorm.toSeq.filter(_._2.associatedIdSets.exists(_.ids.exists(_.idx == id)))
+          .foreach { case (sn, cand) =>
+            val remaining = dropIdFromSets(id, idxSets(cand))
+            if (remaining.isEmpty) { bySynNorm.remove(sn); droppedKeys += sn }
+            else bySynNorm(sn) = cand.copy(
+              associatedIdSets = toEquivSets(remaining),
+              aggregatedBy = IdAggregation.ModifiedByCuration)
+          }
+        liveResources = liveResources.flatMap { r =>
+          r.associatedIdSets match {
+            case Some(sets) if sets.exists(_.contains(id)) =>
+              val remaining = dropIdFromSets(id, sets)
+              if (remaining.isEmpty) None
+              else Some(r.copy(associatedIdSets = Some(remaining)))
+            case _ => Some(r)
+          }
+        }
+      }
+
+    private def attemptAdd(r: CurationResource): Option[CurationResource] = {
+      val synNorm = r.synNormForLinking(entityClass)
+      val existing = bySynNorm.get(synNorm)
+      r.associatedIdSets match {
+        case None =>
+          // inherit parser defaults when present; nothing to infer otherwise
+          if (existing.isDefined) Some(r) else None
+        case Some(sets) if sets.isEmpty => None
+        case Some(sets) =>
+          if (existing.exists(c => idxSets(c) == sets)) Some(r)
+          else {
+            val validated = sets
+              .map(_.filter(sourceOf.contains)).filter(_.nonEmpty)
+            if (validated.nonEmpty) {
+              val isSymbolic = r.originalSynonyms.exists(s =>
+                graft.text.Normalizer.classifySymbolic(s.text, entityClass))
+              bySynNorm(synNorm) = LinkingCandidate(
+                parserName = parserName,
+                synonymNorm = synNorm,
+                rawSynonyms = r.originalSynonyms.map(_.text).toSeq.sorted,
+                isSymbolic = isSymbolic,
+                mappingTypes = Seq("kazu_curated"),
+                associatedIdSets = toEquivSets(validated),
+                aggregatedBy = IdAggregation.ModifiedByCuration)
+            }
+            Some(r)
+          }
+      }
+    }
+
+    /** Run the processor: returns the surviving resources (NER surface) and
+      * the final candidate set (linking surface), both deterministically
+      * ordered. */
+    def process(): (Seq[CurationResource], Seq[LinkingCandidate]) = {
+      processGlobalActions()
+      val ordered = liveResources.toSeq.sortBy(r => (
+        behaviourOrder.getOrElse(r.behaviour, Int.MaxValue),
+        r.associatedIdSets.isDefined,
+        r.synNormForLinking(entityClass)))
+      val kept = ordered.flatMap { r =>
+        if (r.behaviour == Behaviour.DropForLinking) {
+          val sn = r.synNormForLinking(entityClass)
+          if (bySynNorm.remove(sn).isDefined) droppedKeys += sn
+          None
+        } else attemptAdd(r)
+      }
+      (kept, bySynNorm.values.toSeq.sortBy(_.synonymNorm))
+    }
+  }
 }
