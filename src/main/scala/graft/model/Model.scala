@@ -115,7 +115,10 @@ final case class LinkingCandidate(
       isSymbolic == other.isSymbolic &&
       rawSynonyms.toSet == other.rawSynonyms.toSet &&
       mappingTypes.toSet == other.mappingTypes.toSet &&
-      associatedIdSets.toSet == other.associatedIdSets.toSet
+      // normalize INSIDE each id set too: a construction path that skips
+      // .canonical must not split one candidate into two
+      associatedIdSets.map(_.ids.toSet).toSet ==
+        other.associatedIdSets.map(_.ids.toSet).toSet
 }
 
 /** Per (entity, candidate) scores. Ref: kazu/data/__init__.py:240-264. */

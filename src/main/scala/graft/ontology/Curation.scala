@@ -332,7 +332,6 @@ object Curation {
     private val sourceOf: Map[String, String] = candidates
       .flatMap(_.associatedIdSets.flatMap(_.ids).map(i => i.idx -> i.source))
       .toMap
-    private val droppedKeys = mutable.Set.empty[String]
     private var liveResources = resources
 
     // conflict gate (ref base.py:415): same syn_norm, >1 distinct explicit
@@ -364,7 +363,7 @@ object Curation {
         bySynNorm.toSeq.filter(_._2.associatedIdSets.exists(_.ids.exists(_.idx == id)))
           .foreach { case (sn, cand) =>
             val remaining = dropIdFromSets(id, idxSets(cand))
-            if (remaining.isEmpty) { bySynNorm.remove(sn); droppedKeys += sn }
+            if (remaining.isEmpty) bySynNorm.remove(sn)
             else bySynNorm(sn) = cand.copy(
               associatedIdSets = toEquivSets(remaining),
               aggregatedBy = IdAggregation.ModifiedByCuration)
@@ -393,6 +392,11 @@ object Curation {
           else {
             val validated = sets
               .map(_.filter(sourceOf.contains)).filter(_.nonEmpty)
+            // every explicit id unknown AND nothing in the db to back the
+            // synonym: keeping it would put a string on the NER surface
+            // with no linking target (deviation from the reference, which
+            // keeps the orphan resource — consistent with the None branch)
+            if (validated.isEmpty && existing.isEmpty) return None
             if (validated.nonEmpty) {
               val isSymbolic = r.originalSynonyms.exists(s =>
                 graft.text.Normalizer.classifySymbolic(s.text, entityClass))
@@ -421,8 +425,7 @@ object Curation {
         r.synNormForLinking(entityClass)))
       val kept = ordered.flatMap { r =>
         if (r.behaviour == Behaviour.DropForLinking) {
-          val sn = r.synNormForLinking(entityClass)
-          if (bySynNorm.remove(sn).isDefined) droppedKeys += sn
+          bySynNorm.remove(r.synNormForLinking(entityClass))
           None
         } else attemptAdd(r)
       }

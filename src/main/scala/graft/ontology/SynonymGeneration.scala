@@ -50,10 +50,15 @@ object SynonymGeneration {
         }
       }
       bracketResults.toList.foreach { x =>
-        if (x.contains('/')) x.split('/').foreach(sp => bracketResults += sp.trim)
-        if (x.contains(',')) x.split(',').foreach(sp => bracketResults += sp.trim)
+        if (x.contains('/'))
+          x.split('/').map(_.trim).filter(_.nonEmpty).foreach(bracketResults += _)
+        if (x.contains(','))
+          x.split(',').map(_.trim).filter(_.nonEmpty).foreach(bracketResults += _)
       }
-      (bracketResults ++ allGroupResults).toSet - s
+      // trim and drop blanks: the raw-group rejoin can carry edge whitespace
+      // ("receptor (the)" → "receptor ") or be empty when every group was
+      // excluded — neither is a usable synonym
+      (bracketResults ++ allGroupResults).map(_.trim).filter(_.nonEmpty).toSet - s
     }
   }
 
@@ -64,7 +69,9 @@ object SynonymGeneration {
     def generate(s: String): Set[String] = {
       val toks = s.split("\\s+").toSeq.filter(_.nonEmpty)
       val kept = toks.filterNot(t => stopwords(t.toLowerCase(java.util.Locale.ROOT)))
-      if (kept.size != toks.size) Set(kept.mkString(" ")) - s else Set.empty
+      // all-stopword input would emit "" — never plant an empty synonym
+      if (kept.size != toks.size && kept.nonEmpty) Set(kept.mkString(" ")) - s
+      else Set.empty
     }
   }
   object StopWordRemover {
@@ -107,6 +114,39 @@ object SynonymGeneration {
       !candidate.head.isLetter || candidate.length == 1 ||
         idx == 0 || !s.charAt(idx - 1).isLetter
 
+    // right-boundary guard for the suffix form (fix+candidate): a spelled
+    // name must not continue into a longer word (" beta" inside " betaine")
+    private def boundaryOkRight(s: String, endIdx: Int, candidate: String): Boolean =
+      !candidate.last.isLetter || candidate.length == 1 ||
+        endIdx >= s.length || !s.charAt(endIdx).isLetter
+
+    private def containsGuardedSuffix(s: String, target: String,
+        candidate: String): Boolean = {
+      var i = s.indexOf(target)
+      while (i >= 0) {
+        if (boundaryOkRight(s, i + target.length, candidate)) return true
+        i = s.indexOf(target, i + 1)
+      }
+      false
+    }
+
+    private def replaceGuardedSuffix(s: String, target: String,
+        replacement: String, candidate: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val at = s.indexOf(target, i)
+        if (at < 0) { sb.append(s.substring(i)); i = s.length }
+        else {
+          sb.append(s.substring(i, at))
+          if (boundaryOkRight(s, at + target.length, candidate)) {
+            sb.append(replacement); i = at + target.length
+          } else { sb.append(s.charAt(at)); i = at + 1 }
+        }
+      }
+      sb.toString
+    }
+
     private def containsGuarded(s: String, target: String): Boolean = {
       var i = s.indexOf(target)
       while (i >= 0) {
@@ -144,10 +184,7 @@ object SynonymGeneration {
       AllSubs.foreach { case (candidate, replacements) =>
         fixes.foreach { fix =>
           val prefix = containsGuarded(s, candidate + fix)
-          val suffix = {
-            val t = fix + candidate
-            s.contains(t)
-          }
+          val suffix = containsGuardedSuffix(s, fix + candidate, candidate)
           if (prefix || suffix) {
             val step = scala.collection.mutable.Set.empty[String]
             accumulated.foreach { cur =>
@@ -157,7 +194,8 @@ object SynonymGeneration {
                   step += v; results += v
                 }
                 if (suffix) {
-                  val v = cur.replace(fix + candidate, fix + r)
+                  val v = replaceGuardedSuffix(cur, fix + candidate,
+                    fix + r, candidate)
                   step += v; results += v
                 }
               }
@@ -264,8 +302,15 @@ object SynonymGeneration {
       s.split("\\s+").filter(_.nonEmpty).foreach { tok =>
         val lower = tok.toLowerCase(java.util.Locale.ROOT)
         groups.foreach { g =>
-          if (g.exists(_.toLowerCase(java.util.Locale.ROOT) == lower))
-            g.foreach(alt => out += s.replace(tok, alt))
+          if (g.exists(_.toLowerCase(java.util.Locale.ROOT) == lower)) {
+            // whole-token replacement only (the reference's raw substring
+            // replace also rewrites "typical" inside "atypical" — a
+            // corrupting flaw, deviated from deliberately)
+            val pat = "(?<![\\p{L}\\p{N}])" +
+              java.util.regex.Pattern.quote(tok) + "(?![\\p{L}\\p{N}])"
+            g.foreach(alt => out += s.replaceAll(pat,
+              java.util.regex.Matcher.quoteReplacement(alt)))
+          }
         }
       }
       out.toSet

@@ -175,15 +175,15 @@ object Cleanup {
           case Some(order) =>
             if (e.mappings.isEmpty) e
             else {
-              val best = e.mappings.map { m =>
+              val ranked = e.mappings.map { m =>
                 val i = order.indexOf(m.parserName)
                 if (i < 0) throw new IllegalArgumentException(
                   s"mapping parser '${m.parserName}' has no configured rank " +
                     s"for entity class '${e.entityClass}'")
-                i
-              }.min
-              e.copy(mappings =
-                e.mappings.filter(m => order.indexOf(m.parserName) == best))
+                (m, i)
+              }
+              val best = ranked.map(_._2).min
+              e.copy(mappings = ranked.filter(_._2 == best).map(_._1))
             }
         }
       })))

@@ -72,6 +72,23 @@ class SynonymGenerationSpec extends AnyFunSuite {
       Set("ALT was ordinary", "ALT was typical"))
     assert(g.generate("ALT was abnormal") ==
       Set("ALT was incorrect", "ALT was abnormal"))
+    // whole-token only: a superstring token must not be rewritten
+    assert(g.generate("typical atypical") ==
+      Set("typical atypical", "ordinary atypical"))
+  }
+
+  test("generators never emit empty or corrupted variants") {
+    // all-stopword input: no empty synonym
+    assert(SynonymGeneration.StopWordRemover.default.generate("of the").isEmpty)
+    // every-group-excluded parenthetical: no empty synonym
+    assert(!SynonymGeneration.SeparatorExpansion.generate("(non-protein coding)")
+      .exists(_.trim.isEmpty))
+    // edge-whitespace rejoin is trimmed, blank slash segments dropped
+    assert(SynonymGeneration.SeparatorExpansion.generate("(pro)renin receptor") ==
+      Set("renin receptor"))
+    // greek suffix form respects the right word boundary (" beta" must not
+    // fire inside " betaine")
+    assert(SynonymGeneration.GreekSubstitution.generate("x betaine transporter").isEmpty)
   }
 
   test("greek substitution is bidirectional") {

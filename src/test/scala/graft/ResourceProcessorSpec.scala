@@ -107,6 +107,17 @@ class ResourceProcessorSpec extends AnyFunSuite {
     assert(out.size == noopCount(withTarget = true))
   }
 
+  test("orphan resource with only unknown ids and no backing candidate is dropped") {
+    val proc = new Curation.ResourceProcessor(P1, Cls, Set.empty,
+      Set(resource(Behaviour.AddForNerAndLinking, Some(Set(Set("bogus"))))),
+      build(P1, withTarget = false))
+    val (kept, out) = proc.process()
+    // no candidate was created and the resource must not reach the NER
+    // surface (it would match with no linking target behind it)
+    assert(kept.isEmpty)
+    assert(out.size == noopCount(withTarget = false))
+  }
+
   test("conflicting overrides in associated id sets raise") {
     val r1 = resource(Behaviour.AddForLinkingOnly, Some(Set(Set("first"))))
     val r2 = resource(Behaviour.AddForLinkingOnly, Some(Set(Set("second"))))
