@@ -173,6 +173,15 @@ object SynonymGeneration {
       sb.toString
     }
 
+    /** Variant cap: the combination accumulation is exponential in the
+      * number of distinct greek symbols in one synonym (the reference is
+      * unbounded — fine for real ontology labels, a liability against a
+      * hostile synonym like "alpha beta gamma ... kappa" which would
+      * otherwise materialize ~4^k strings inside one executor task). The
+      * cap is far above any real label's variant count; iteration is in
+      * sorted key order so the surviving subset is deterministic. */
+    private val MaxVariants = 4096
+
     /** Ref StringReplacement._generate_greek_subs (:236-270): a candidate
       * adjacent to a dash or space in the ORIGINAL string substitutes over
       * every previously generated variant too, so multiple greek symbols in
@@ -181,19 +190,19 @@ object SynonymGeneration {
       val results = scala.collection.mutable.Set.empty[String]
       val stripped = s.trim
       var accumulated = Set(stripped)
-      AllSubs.foreach { case (candidate, replacements) =>
+      AllSubs.toSeq.sortBy(_._1).foreach { case (candidate, replacements) =>
         fixes.foreach { fix =>
           val prefix = containsGuarded(s, candidate + fix)
           val suffix = containsGuardedSuffix(s, fix + candidate, candidate)
-          if (prefix || suffix) {
+          if ((prefix || suffix) && results.size < MaxVariants) {
             val step = scala.collection.mutable.Set.empty[String]
             accumulated.foreach { cur =>
               replacements.foreach { r =>
-                if (prefix) {
+                if (prefix && results.size < MaxVariants) {
                   val v = replaceGuarded(cur, candidate + fix, r + fix)
                   step += v; results += v
                 }
-                if (suffix) {
+                if (suffix && results.size < MaxVariants) {
                   val v = replaceGuardedSuffix(cur, fix + candidate,
                     fix + r, candidate)
                   step += v; results += v

@@ -89,6 +89,11 @@ class SynonymGenerationSpec extends AnyFunSuite {
     // greek suffix form respects the right word boundary (" beta" must not
     // fire inside " betaine")
     assert(SynonymGeneration.GreekSubstitution.generate("x betaine transporter").isEmpty)
+    // hostile many-symbol synonym: combination growth stays bounded (the
+    // reference is unbounded here — ~4^k variants for k distinct symbols)
+    val hostile = "alpha beta gamma delta epsilon zeta theta iota kappa lambda x"
+    val variants = SynonymGeneration.GreekSubstitution.generate(hostile)
+    assert(variants.nonEmpty && variants.size <= 8192)
   }
 
   test("greek substitution is bidirectional") {
