@@ -687,6 +687,66 @@ object OracleSql {
        |       list_min(fps) AS min_fingerprint
        |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** dedup_substring_spans: the span-level ExactSubstr semantics replayed
+    * relationally. Content-defined anchors re-derived from the SAME
+    * positional Rabin–Karp formulation as doc_fingerprint (low bits of the
+    * unsigned 64-bit hash ≡ 0 mod p), each anchor keying md5(substr(., L));
+    * keys occurring ≥2 times mark [i, i+L); per-doc gaps-and-islands merge
+    * (adjacency merges, running-max end); cleaned text = string_agg of the
+    * inter-span segments + tail, md5'd. */
+  def substringSpans(p: Int, l: Int): String = {
+    val B = 1000000007L
+    val pow = Iterator.iterate(1L)(_ * B).take(16).toIndexedSeq
+    val terms = (1 to 16)
+      .map(j => s"cs[i+${j - 1}]::HUGEINT * ${u64(pow(16 - j))}::HUGEINT")
+      .mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT doc_id, text, [unicode(x) for x in string_split(text, '')] AS cs,
+       |         length(text) AS n
+       |  FROM documents),
+       |anch AS (
+       |  SELECT doc_id, unnest(list_filter(range(1, n - $l + 2),
+       |           i -> (($terms) % $M64) % $p = 0)) AS i
+       |  FROM c),
+       |keyed AS (
+       |  SELECT a.doc_id, a.i, md5(substr(c.text, a.i, $l)) AS key
+       |  FROM anch a JOIN c USING (doc_id)),
+       |dup AS (SELECT key FROM keyed GROUP BY key HAVING count(*) >= 2),
+       |da AS (SELECT k.doc_id, k.i FROM keyed k JOIN dup USING (key)),
+       |brks AS (
+       |  SELECT doc_id, i AS s, i + $l AS e,
+       |         CASE WHEN i > coalesce(max(i + $l) OVER (
+       |             PARTITION BY doc_id ORDER BY i
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |           THEN 1 ELSE 0 END AS brk
+       |  FROM da),
+       |isl AS (SELECT doc_id, s, e,
+       |          sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |            ROWS UNBOUNDED PRECEDING) AS g
+       |        FROM brks),
+       |merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+       |           FROM isl GROUP BY doc_id, g),
+       |segs AS (SELECT doc_id, s, e,
+       |           lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+       |         FROM merged),
+       |hd AS (SELECT sg.doc_id,
+       |         string_agg(substr(c.text, sg.prev_e, sg.s - sg.prev_e), ''
+       |           ORDER BY sg.s) AS head
+       |       FROM segs sg JOIN c USING (doc_id) GROUP BY sg.doc_id),
+       |tlm AS (SELECT doc_id, max(e) AS laste FROM merged GROUP BY doc_id),
+       |tl AS (SELECT t0.doc_id, substr(c.text, t0.laste, c.n - t0.laste + 1) AS tl
+       |       FROM tlm t0 JOIN c USING (doc_id)),
+       |agg AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_chars
+       |        FROM merged GROUP BY doc_id)
+       |SELECT a.doc_id, CAST(a.n_spans AS BIGINT) AS n_spans,
+       |       CAST(a.dup_chars AS BIGINT) AS dup_chars,
+       |       CAST(c.n - a.dup_chars AS BIGINT) AS clean_len,
+       |       md5(h.head || t.tl) AS clean_md5
+       |FROM agg a JOIN c USING (doc_id) JOIN hd h USING (doc_id)
+       |     JOIN tl t USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   /** dedup_substring: the winnowed-fingerprint postings re-derived from the
     * SAME rolling-hash CTEs as doc_fingerprint, then the capped
     * shared-anchor pair count replayed relationally (blacklist = postings

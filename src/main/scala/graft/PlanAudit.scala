@@ -91,6 +91,17 @@ object PlanAudit {
         "shuffle to a single reducer); pairs carry ids only.",
       mustContain = Seq("InMemoryTableScan", "LeftAnti"),
       mustNotContain = Seq("CartesianProduct", "Window")),
+    Audit("dedup_substring_spans",
+      "span-level ExactSubstr: the anchor table (md5 key, id, pos) is " +
+        "persisted once and feeds both the duplicate-key count and the " +
+        "LEFT SEMI mark-back — duplicate marking is count-then-semi-join, " +
+        "never a key self-join, so a corpus-wide boilerplate window costs " +
+        "its own row count, not a pair explosion; the cleaned-text rejoin " +
+        "is a plain equi-join on doc_id (one row per doc per side); no " +
+        "Window over the key.",
+      mustContain = Seq("InMemoryTableScan", "LeftSemi"),
+      mustNotContain = Seq("CartesianProduct", "Window",
+        "BroadcastNestedLoopJoin")),
     Audit("dedup_paragraph",
       "corpus-wide paragraph dedup: paragraphs shuffle as 16-byte md5 " +
         "keys with map-side partial counting; the boilerplate hot " +

@@ -1265,6 +1265,12 @@ object SparkEntry {
       // shared-16-char-run anchors, mega-postings dropped via broadcast
       // anti-join, pair score = shared-anchor count
       graft.tdp.DedupSubstring.substringPairs(s, docsDf(s, dir))),
+    "dedup_substring_spans" -> ((s, dir) =>
+      // the full ExactSubstr (Lee et al.) semantics: content-defined
+      // anchors key md5(L-char window); any window occurring >=2 times in
+      // the corpus marks its range in EVERY occurrence; per-doc ranges
+      // merge and are removed — output pins the cleaned text by md5
+      graft.tdp.SubstringSpans.duplicateSpans(s, docsDf(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, docsDf(s, dir))),
     "corpus_sample" -> ((s, dir) => {
@@ -1987,6 +1993,7 @@ object SparkEntry {
     // minhash/simhash/Rabin–Karp pipelines, constants shipped as literals
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_substring" -> OracleSql.dedupSubstring(minShared = 2, maxPosting = 20L),
+    "dedup_substring_spans" -> OracleSql.substringSpans(p = 8, l = 64),
     "url_canonical" ->
       """WITH c AS (
         |  SELECT doc_id,
