@@ -211,6 +211,34 @@ object SkewBench {
       else "naive-shape-did-not-skew(UNEXPECTED)")
     graft.tdp.Dedup.releaseCaches()
 
+    // ---- span-level ExactSubstr (round 7) ------------------------------------
+    results += measure(spark, "substring_spans_mega_key") {
+      // the template is periodic, so its anchor WINDOWS collapse to a few
+      // distinct md5 keys each carried by ~10^5 copies — duplicate marking
+      // is count (map-side partial) + semi-join, so the mega-key costs its
+      // own row count spread across reducers, never a copies^2 fanout
+      graft.tdp.SubstringSpans.duplicateSpans(spark, docs)
+        .write.mode("overwrite").parquet(s"$workDir/out_substring_spans")
+      spark.read.parquet(s"$workDir/out_substring_spans").count()
+    }(bounded)
+    graft.tdp.Dedup.releaseCaches()
+    results += measure(spark, "substring_spans_window_naive") {
+      import org.apache.spark.sql.expressions.Window
+      // naive contrast: marking duplicates with count() OVER (PARTITION BY
+      // key) pins every occurrence of the mega-key on ONE window task
+      val anch = docs.select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.tdp.SubstringSpans.anchorPositions(t, 16, 8, 64).iterator
+            .map(i => (graft.tdp.SubstringSpans.md5Hex(t.substring(i, i + 64)), id, i))
+        }.toDF("key", "doc_id", "pos")
+      anch.withColumn("n", count(lit(1)).over(Window.partitionBy($"key")))
+        .filter($"n" >= 2)
+        .write.mode("overwrite").format("noop").save()
+      -1L
+    }(r =>
+      if (r.maxShuffleRead >= hotCopies) "SKEWED(mega-key on one task, as expected)"
+      else "naive-shape-did-not-skew(UNEXPECTED)")
+
     // ---- corpus×corpus acceptance (round 6) ---------------------------------
     // both span sets corpus-sized; a "hot page" url carries 10^5 spans on
     // EACH side — the worst (url, class) key for the overlap join. The

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
   * Training Data Makes Language Models Better"): two documents that share
   * long verbatim character runs are flagged even when their word-level
   * Jaccard is low (quotes, boilerplate, partially-copied pages).
+  * This is the document-PAIR scoring flavor; [[SubstringSpans]] implements
+  * the published tool's full span-level removal semantics.
   *
   * Mechanism: the winnowed Rabin–Karp 16-gram fingerprints
   * ([[TextStats.fingerprints]] — already the doc_fingerprint sketch) act as

@@ -111,8 +111,18 @@ import json, os
 osql_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
 if os.path.exists(osql_path):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{work}/docs_skew/*.parquet'")
+    osql = json.load(open(osql_path))
     compare("substring_anchor_blacklist", "out_substring",
-            json.load(open(osql_path))["dedup_substring"].replace("ORDER BY doc_a, doc_b", ""))
+            osql["dedup_substring"].replace("ORDER BY doc_a, doc_b", ""))
+    # round 7: span-level ExactSubstr — same committed-oracle replay over
+    # the hostile corpus (periodic template → a handful of mega-keys each
+    # carried by every template copy)
+    if "dedup_substring_spans" in osql:
+        compare("substring_spans_mega_key", "out_substring_spans",
+                osql["dedup_substring_spans"])
+    else:
+        print("substring_spans_mega_key: SKIP (oracle_sql.json predates the query)")
+        fails.append("substring_spans_mega_key(stale oracle_sql.json)")
 else:
     print(f"substring_anchor_blacklist: SKIP (no {osql_path}; run graft.Verify first)")
     fails.append("substring_anchor_blacklist(no oracle_sql.json)")
