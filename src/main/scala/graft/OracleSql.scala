@@ -687,6 +687,101 @@ object OracleSql {
        |       list_min(fps) AS min_fingerprint
        |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** c4_quality: the C4 line + page rules (Raffel et al. 2020 §2.2)
+    * replayed relationally over the reconstructed sentence-structured
+    * corpus. Retained text = lines ending in terminal punctuation, with
+    * ≥5 words, without the word "javascript"; page keep additionally needs
+    * ≥3 sentences in the retained text and no lorem-ipsum / curly-brace /
+    * blocklist-word occurrence on the original page. */
+  def c4Quality(docsSource0: String, blocklist: Seq[String]): String = {
+    val docsSource = docsSource0.replace('\n', ' ')
+    val blockedPred = blocklist.map(_.toLowerCase)
+      .map(b => s"list_contains(pw, '$b')").mkString(" OR ")
+    s"""WITH docs AS ($docsSource),
+       |li AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM docs),
+       |lu AS (SELECT doc_id, unnest(generate_series(1, len(lines))) AS k,
+       |              unnest(lines) AS line FROM li),
+       |keptl AS (
+       |  SELECT doc_id, k, line FROM (
+       |    SELECT doc_id, k, line,
+       |           list_filter(string_split(line, ' '), x -> x != '') AS wds
+       |    FROM lu)
+       |  WHERE length(line) > 0
+       |    AND substr(line, length(line), 1) IN ('.', '!', '?', '"')
+       |    AND len(wds) >= 5
+       |    AND NOT list_contains(list_transform(wds, x -> lower(x)), 'javascript')),
+       |ks AS (SELECT doc_id, count(*) AS n_kept,
+       |         sum(length(line)
+       |             - length(replace(replace(replace(line,'.',''),'!',''),'?',''))
+       |            ) AS n_sent,
+       |         string_agg(line, chr(10) ORDER BY k) AS clean
+       |       FROM keptl GROUP BY doc_id),
+       |pf AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines,
+       |              ($blockedPred) AS has_blocked,
+       |              contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |              contains(text, '{') AS has_brace
+       |       FROM (SELECT doc_id, text,
+       |               list_filter(string_split(lower(replace(text, chr(10), ' ')), ' '),
+       |                           x -> x != '') AS pw
+       |             FROM docs))
+       |SELECT p.doc_id, CAST(p.n_lines AS BIGINT) AS n_lines,
+       |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept_lines,
+       |       CAST(coalesce(k.n_sent, 0) AS BIGINT) AS n_sentences,
+       |       p.has_blocked, p.has_lorem, p.has_brace,
+       |       (coalesce(k.n_sent, 0) >= 3 AND NOT p.has_blocked
+       |        AND NOT p.has_lorem AND NOT p.has_brace) AS c4_keep,
+       |       md5(coalesce(k.clean, '')) AS clean_md5
+       |FROM pf p LEFT JOIN ks k USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
+  /** c4_three_sentence_dedup: C4's corpus-level rule — of any 3-sentence
+    * span occurring more than once, keep only the canonical (minimal
+    * (doc_id, pos)) occurrence; other occurrences' sentences are removed.
+    * Sentence split = replace "([.!?]) " with mark+U+0001, split (the same
+    * lookbehind-free formulation the engine uses). */
+  def c4ThreeSentenceDedup(docsSource0: String): String = {
+    val docsSource = docsSource0.replace('\n', ' ')
+    s"""WITH docs AS ($docsSource),
+       |sent AS (SELECT doc_id,
+       |           string_split(regexp_replace(replace(text, chr(10), ' '),
+       |             '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)) AS s
+       |         FROM docs),
+       |occ AS (SELECT doc_id,
+       |          unnest(generate_series(1, len(s) - 2)) AS i,
+       |          unnest([array_to_string(s[i : i + 2], ' ')
+       |                  for i in generate_series(1, len(s) - 2)]) AS w
+       |        FROM sent WHERE len(s) >= 3),
+       |rk AS (SELECT doc_id, i, w,
+       |         count(*) OVER (PARTITION BY w) AS n,
+       |         row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn
+       |       FROM occ),
+       |rem AS (SELECT DISTINCT doc_id, i + k.range AS p
+       |        FROM rk, range(3) k WHERE n >= 2 AND rn > 1),
+       |perdoc AS (SELECT doc_id, count(*) AS n_windows,
+       |             sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_dup
+       |           FROM rk GROUP BY doc_id),
+       |remc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+       |su AS (SELECT doc_id, unnest(generate_series(1, len(s))) AS j,
+       |              unnest(s) AS sentence FROM sent),
+       |cleans AS (
+       |  SELECT su.doc_id, string_agg(su.sentence, ' ' ORDER BY su.j) AS c
+       |  FROM su LEFT JOIN rem ON su.doc_id = rem.doc_id AND su.j = rem.p
+       |  WHERE rem.p IS NULL GROUP BY su.doc_id)
+       |SELECT d.doc_id,
+       |       CAST(len(sent.s) AS BIGINT) AS n_sentences,
+       |       CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows,
+       |       CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       |       CAST(coalesce(rc.n_removed, 0) AS BIGINT) AS n_removed_sentences,
+       |       md5(coalesce(cl.c, '')) AS clean_md5
+       |FROM docs d
+       |JOIN sent USING (doc_id)
+       |LEFT JOIN perdoc pd USING (doc_id)
+       |LEFT JOIN remc rc USING (doc_id)
+       |LEFT JOIN cleans cl USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** dedup_substring_spans: the span-level ExactSubstr semantics replayed
     * relationally. Content-defined anchors re-derived from the SAME
     * positional Rabin–Karp formulation as doc_fingerprint (low bits of the

@@ -102,6 +102,15 @@ object PlanAudit {
       mustContain = Seq("InMemoryTableScan", "LeftSemi"),
       mustNotContain = Seq("CartesianProduct", "Window",
         "BroadcastNestedLoopJoin")),
+    Audit("c4_three_sentence_dedup",
+      "C4's corpus-level 3-sentence-span dedup: windows shuffle as 16-byte " +
+        "md5 keys off the persisted window table (InMemoryTableScan); the " +
+        "canonical-occurrence mark-back goes through the shared 16-way " +
+        "salted join (the banner span is one corpus-hot key, same shape as " +
+        "the CCNet paragraph dedup) — no Window over the span key.",
+      mustContain = Seq("InMemoryTableScan", "partial_"),
+      mustNotContain = Seq("CartesianProduct", "Window",
+        "BroadcastNestedLoopJoin")),
     Audit("dedup_paragraph",
       "corpus-wide paragraph dedup: paragraphs shuffle as 16-byte md5 " +
         "keys with map-side partial counting; the boilerplate hot " +

@@ -280,6 +280,79 @@ object SparkEntry {
       }.toDF("doc_id", "text")
   }
 
+  /** One banner LINE of three ≥5-word sentences — planted on every 6th doc
+    * so the C4 three-sentence dedup sees a corpus-hot window and the line
+    * filters see a well-formed line. */
+  private val C4BannerLine =
+    "subscribe to our newsletter for updates today. " +
+      "follow us on social media channels now. " +
+      "download our free mobile app here today."
+
+  /** Sentence-structured corpus derivation for the C4 rules (the base
+    * corpus has NO punctuation, like the newline case): every 8 words form
+    * a sentence (mark cycles . . . ? . ! . by sentence index mod 7), every
+    * 2 sentences form a line, then deterministic hazard lines are planted —
+    * banner (id%6), self-duplicate first-3-sentences (id%9), a
+    * no-terminal-punctuation line (id%2), a <5-word line (id%5), a
+    * javascript line (id%11), "lorem ipsum" (id%37), a curly brace (id%41),
+    * a blocklist word (id%43). Replayed word-for-word by `c4DocsSource`. */
+  private def c4Docs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, t) =>
+        val words = t.split(" ", -1)
+        def mark(j: Int) = if (j % 7 == 3) "?" else if (j % 7 == 5) "!" else "."
+        val nSent = (words.length + 7) / 8
+        val sent = Array.tabulate(nSent)(j =>
+          words.slice(8 * j, 8 * j + 8).mkString(" ") + mark(j))
+        val nLine = (nSent + 1) / 2
+        val lines = scala.collection.mutable.ArrayBuffer.tabulate(nLine)(k =>
+          sent.slice(2 * k, 2 * k + 2).mkString(" "))
+        if (id % 6 == 0) lines.prepend(C4BannerLine)
+        if (id % 9 == 0 && nSent >= 3) lines += sent.take(3).mkString(" ")
+        if (id % 2 == 0) lines += "no terminal punctuation on this line here"
+        if (id % 5 == 0) lines += "too short line."
+        if (id % 11 == 0) lines += "please enable javascript to view this page."
+        if (id % 37 == 0) lines += "lorem ipsum dolor sit amet here friends."
+        if (id % 41 == 0) lines += "config { } braces block removed today."
+        if (id % 43 == 0) lines += "win big at the casino tonight friends."
+        (id, lines.mkString("\n"))
+      }.toDF("doc_id", "text")
+  }
+
+  /** DuckDB replay of [[c4Docs]] (yields (doc_id, text)). */
+  private val c4DocsSource: String = {
+    s"""SELECT doc_id,
+       |  array_to_string(
+       |      CASE WHEN doc_id % 6 = 0 THEN ['$C4BannerLine'] ELSE [] END
+       |      || lns
+       |      || CASE WHEN doc_id % 9 = 0 AND len(snt) >= 3
+       |           THEN [array_to_string(snt[1:3], ' ')] ELSE [] END
+       |      || CASE WHEN doc_id % 2 = 0
+       |           THEN ['no terminal punctuation on this line here'] ELSE [] END
+       |      || CASE WHEN doc_id % 5 = 0 THEN ['too short line.'] ELSE [] END
+       |      || CASE WHEN doc_id % 11 = 0
+       |           THEN ['please enable javascript to view this page.'] ELSE [] END
+       |      || CASE WHEN doc_id % 37 = 0
+       |           THEN ['lorem ipsum dolor sit amet here friends.'] ELSE [] END
+       |      || CASE WHEN doc_id % 41 = 0
+       |           THEN ['config { } braces block removed today.'] ELSE [] END
+       |      || CASE WHEN doc_id % 43 = 0
+       |           THEN ['win big at the casino tonight friends.'] ELSE [] END,
+       |    chr(10)) AS text
+       |FROM (
+       |  SELECT doc_id, snt,
+       |         [array_to_string(snt[2*k+1 : 2*k+2], ' ')
+       |          for k in generate_series(0, CAST(ceil(len(snt)/2.0) AS INT) - 1)] AS lns
+       |  FROM (
+       |    SELECT doc_id,
+       |           [array_to_string(w[8*j+1 : 8*j+8], ' ') ||
+       |              CASE WHEN j % 7 = 3 THEN '?'
+       |                   WHEN j % 7 = 5 THEN '!' ELSE '.' END
+       |            for j in generate_series(0, CAST(ceil(len(w)/8.0) AS INT) - 1)] AS snt
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))""".stripMargin
+  }
+
   /** The decontamination oracle (shared verbatim by `decontaminate` and
     * `decontaminate_sharded` — the two engine paths must be byte-identical). */
   private val decontaminateOracle: String =
@@ -1271,6 +1344,15 @@ object SparkEntry {
       // the corpus marks its range in EVERY occurrence; per-doc ranges
       // merge and are removed — output pins the cleaned text by md5
       graft.tdp.SubstringSpans.duplicateSpans(s, docsDf(s, dir))),
+    "c4_quality" -> ((s, dir) =>
+      // the C4 (Raffel et al. 2020) line + page rules over the
+      // sentence-structured fixture; clean_md5 pins the retained text
+      graft.tdp.C4.quality(s, c4Docs(s, dir))),
+    "c4_three_sentence_dedup" -> ((s, dir) =>
+      // C4's corpus-level rule: of any 3-sentence span occurring more
+      // than once, keep ONE canonical occurrence (contrast ExactSubstr:
+      // remove all); hot banner span joins back through the salted join
+      graft.tdp.C4.threeSentenceDedup(s, c4Docs(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(s, docsDf(s, dir))),
     "corpus_sample" -> ((s, dir) => {
@@ -1994,6 +2076,8 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash,
     "dedup_substring" -> OracleSql.dedupSubstring(minShared = 2, maxPosting = 20L),
     "dedup_substring_spans" -> OracleSql.substringSpans(p = 8, l = 64),
+    "c4_quality" -> OracleSql.c4Quality(c4DocsSource, graft.tdp.C4.DefaultBlocklist),
+    "c4_three_sentence_dedup" -> OracleSql.c4ThreeSentenceDedup(c4DocsSource),
     "url_canonical" ->
       """WITH c AS (
         |  SELECT doc_id,
