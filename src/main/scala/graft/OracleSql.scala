@@ -687,6 +687,30 @@ object OracleSql {
        |       list_min(fps) AS min_fingerprint
        |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** pack_sequences: the GPT-style concat-and-cut layout replayed with the
+    * window cumsum the ENGINE deliberately avoids (a single-task window is
+    * fine for the oracle; the engine uses the two-phase distributed scan —
+    * same semantics, different execution shape). */
+  def packSequences(capacity: Long): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  len(list_filter(string_split(text, ' '), x -> x != '')) + 1 AS n
+       |  FROM documents),
+       |o AS (SELECT doc_id, n,
+       |        coalesce(sum(n) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |      FROM t),
+       |m AS (SELECT doc_id, unnest(generate_series(
+       |        CAST(off // $capacity AS BIGINT),
+       |        CAST((off + n - 1) // $capacity AS BIGINT))) AS chunk_id FROM o),
+       |tot AS (SELECT sum(n) AS total FROM t)
+       |SELECT CAST(m.chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  CAST(least((m.chunk_id + 1) * $capacity, tot.total)
+       |       - m.chunk_id * $capacity AS BIGINT) AS n_tokens
+       |FROM m, tot GROUP BY m.chunk_id, tot.total
+       |ORDER BY chunk_id""".stripMargin
+
   /** c4_quality: the C4 line + page rules (Raffel et al. 2020 §2.2)
     * replayed relationally over the reconstructed sentence-structured
     * corpus. Retained text = lines ending in terminal punctuation, with

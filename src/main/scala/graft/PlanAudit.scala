@@ -102,6 +102,17 @@ object PlanAudit {
       mustContain = Seq("InMemoryTableScan", "LeftSemi"),
       mustNotContain = Seq("CartesianProduct", "Window",
         "BroadcastNestedLoopJoin")),
+    Audit("pack_sequences",
+      "GPT-style concat-and-cut sequence packing: global token offsets " +
+        "come from the two-phase distributed prefix-sum over the persisted " +
+        "range-partitioned token table (InMemoryTableScan; the driver sees " +
+        "ONE row per partition, never per doc) — the naive single-task " +
+        "global window (sum OVER (ORDER BY doc_id) with no partition key) " +
+        "must stay out of the plan; sequence stats are one " +
+        "partial-aggregated groupBy over uniform chunk ids.",
+      mustContain = Seq("InMemoryTableScan", "partial_"),
+      mustNotContain = Seq("Window", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
     Audit("c4_three_sentence_dedup",
       "C4's corpus-level 3-sentence-span dedup: windows shuffle as 16-byte " +
         "md5 keys off the persisted window table (InMemoryTableScan); the " +

@@ -1348,6 +1348,11 @@ object SparkEntry {
       // the C4 (Raffel et al. 2020) line + page rules over the
       // sentence-structured fixture; clean_md5 pins the retained text
       graft.tdp.C4.quality(s, c4Docs(s, dir))),
+    "pack_sequences" -> ((s, dir) =>
+      // GPT-style concat-and-cut training-sequence packing via the
+      // two-phase distributed prefix-sum (NO single-task global window);
+      // driver materialization bounded by partition count only
+      graft.tdp.Packing.packSequences(s, docsDf(s, dir))),
     "c4_three_sentence_dedup" -> ((s, dir) =>
       // C4's corpus-level rule: of any 3-sentence span occurring more
       // than once, keep ONE canonical occurrence (contrast ExactSubstr:
@@ -2077,6 +2082,7 @@ object SparkEntry {
     "dedup_substring" -> OracleSql.dedupSubstring(minShared = 2, maxPosting = 20L),
     "dedup_substring_spans" -> OracleSql.substringSpans(p = 8, l = 64),
     "c4_quality" -> OracleSql.c4Quality(c4DocsSource, graft.tdp.C4.DefaultBlocklist),
+    "pack_sequences" -> OracleSql.packSequences(capacity = 256L),
     "c4_three_sentence_dedup" -> OracleSql.c4ThreeSentenceDedup(c4DocsSource),
     "url_canonical" ->
       """WITH c AS (
