@@ -687,6 +687,41 @@ object OracleSql {
        |       list_min(fps) AS min_fingerprint
        |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** corpus_mix: the mT5/PaLM temperature-sampling quota plan replayed in
+    * exact integer arithmetic — isqrt via a double seed corrected by a ±2
+    * candidate window (HUGEINT squares), integer-division quotas, the same
+    * masked multiplicative ppm hash as the engine. */
+  def corpusMix(budget: Long, salt: Long): String =
+    s"""WITH dc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |q AS (SELECT lang, n,
+       |        list_max(list_filter(
+       |          [s0 - 2, s0 - 1, s0, s0 + 1, s0 + 2],
+       |          s -> s >= 0 AND s * s <= n::HUGEINT * 1000000000000::HUGEINT))
+       |          AS q
+       |      FROM (SELECT lang, n,
+       |              CAST(floor(sqrt(CAST(n AS DOUBLE) * 1e12)) AS HUGEINT) AS s0
+       |            FROM dc)),
+       |d AS (SELECT sum(q) AS denom FROM q),
+       |plan AS (SELECT lang, n, q,
+       |           CAST(q * 1000000 // denom AS BIGINT) AS weight_ppm,
+       |           CAST($budget * q // denom AS BIGINT) AS target
+       |         FROM q, d),
+       |plan2 AS (SELECT lang, n, weight_ppm, target,
+       |            CAST(least(1000000::HUGEINT,
+       |                       target::HUGEINT * 1000000 // n) AS BIGINT)
+       |              AS threshold_ppm
+       |          FROM plan),
+       |s AS (SELECT dd.lang, count(*) AS n_sampled
+       |      FROM documents dd JOIN plan2 p USING (lang)
+       |      WHERE ((dd.doc_id + $salt) % 2147483648) * 2654435761 % 1000000
+       |            < p.threshold_ppm
+       |      GROUP BY dd.lang)
+       |SELECT p.lang, CAST(p.n AS BIGINT) AS n_docs, p.weight_ppm, p.target,
+       |       p.threshold_ppm,
+       |       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+       |FROM plan2 p LEFT JOIN s USING (lang)
+       |ORDER BY p.lang""".stripMargin
+
   /** pack_sequences: the GPT-style concat-and-cut layout replayed with the
     * window cumsum the ENGINE deliberately avoids (a single-task window is
     * fine for the oracle; the engine uses the two-phase distributed scan —

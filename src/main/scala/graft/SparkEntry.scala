@@ -1353,6 +1353,12 @@ object SparkEntry {
       // two-phase distributed prefix-sum (NO single-task global window);
       // driver materialization bounded by partition count only
       graft.tdp.Packing.packSequences(s, docsDf(s, dir))),
+    "corpus_mix" -> ((s, dir) =>
+      // mT5/PaLM temperature sampling (alpha = 0.5): per-domain quotas
+      // B*sqrt(n_d)/sum(sqrt) in EXACT integer math (isqrt + integer
+      // division — no float normalization to diverge cross-engine),
+      // realized by the deterministic ppm hash threshold
+      graft.tdp.Mixture.temperatureMix(s, docsDf(s, dir))),
     "c4_three_sentence_dedup" -> ((s, dir) =>
       // C4's corpus-level rule: of any 3-sentence span occurring more
       // than once, keep ONE canonical occurrence (contrast ExactSubstr:
@@ -2083,6 +2089,7 @@ object SparkEntry {
     "dedup_substring_spans" -> OracleSql.substringSpans(p = 8, l = 64),
     "c4_quality" -> OracleSql.c4Quality(c4DocsSource, graft.tdp.C4.DefaultBlocklist),
     "pack_sequences" -> OracleSql.packSequences(capacity = 256L),
+    "corpus_mix" -> OracleSql.corpusMix(budget = 200L, salt = 17L),
     "c4_three_sentence_dedup" -> OracleSql.c4ThreeSentenceDedup(c4DocsSource),
     "url_canonical" ->
       """WITH c AS (
