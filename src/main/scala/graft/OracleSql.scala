@@ -713,7 +713,11 @@ object OracleSql {
        |          FROM plan),
        |s AS (SELECT dd.lang, count(*) AS n_sampled
        |      FROM documents dd JOIN plan2 p USING (lang)
-       |      WHERE ((dd.doc_id + $salt) % 2147483648) * 2654435761 % 1000000
+       |      -- pmod, not %: DuckDB % takes the dividend's sign, so a
+       |      -- negative doc_id would go negative and compare always-true;
+       |      -- the engine's pmod is non-negative for any id
+       |      WHERE (((dd.doc_id + $salt) % 2147483648 + 2147483648)
+       |             % 2147483648) * 2654435761 % 1000000
        |            < p.threshold_ppm
        |      GROUP BY dd.lang)
        |SELECT p.lang, CAST(p.n AS BIGINT) AS n_docs, p.weight_ppm, p.target,
@@ -754,8 +758,13 @@ object OracleSql {
     * blocklist-word occurrence on the original page. */
   def c4Quality(docsSource0: String, blocklist: Seq[String]): String = {
     val docsSource = docsSource0.replace('\n', ' ')
-    val blockedPred = blocklist.map(_.toLowerCase)
-      .map(b => s"list_contains(pw, '$b')").mkString(" OR ")
+    // quote-escape each word and keep the predicate well-formed for an
+    // empty blocklist (an empty OR chain would be a parse error)
+    val blockedPred =
+      if (blocklist.isEmpty) "false"
+      else blocklist.map(_.toLowerCase(java.util.Locale.ROOT))
+        .map(b => s"list_contains(pw, '${b.replace("'", "''")}')")
+        .mkString(" OR ")
     s"""WITH docs AS ($docsSource),
        |li AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM docs),
        |lu AS (SELECT doc_id, unnest(generate_series(1, len(lines))) AS k,

@@ -45,10 +45,11 @@ object C4 {
   private[graft] def lineWords(line: String): Array[String] =
     line.split(" ").filter(_.nonEmpty)
 
-  private[graft] def lineKept(line: String): Boolean =
-    line.nonEmpty && Terminal.contains(line.last) &&
-      lineWords(line).length >= 5 &&
-      !lineWords(line).exists(_.equalsIgnoreCase("javascript"))
+  private[graft] def lineKept(line: String): Boolean = {
+    if (line.isEmpty || !Terminal.contains(line.last)) return false
+    val w = lineWords(line)
+    w.length >= 5 && !w.exists(_.equalsIgnoreCase("javascript"))
+  }
 
   /** Sentence split shared with the oracle: a terminal mark followed by a
     * single space ends a sentence (the delimiting space is consumed). */
@@ -65,13 +66,15 @@ object C4 {
       blocklist: Seq[String] = DefaultBlocklist
   ): DataFrame = {
     import spark.implicits._
-    val blocked = blocklist.map(_.toLowerCase).toSet
+    // Locale.ROOT everywhere: a tr_TR default locale would fold 'I' to the
+    // dotless ı, diverging from DuckDB's lower() and breaking hash-parity
+    val blocked = blocklist.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
         val lines = t.split("\n", -1)
         val kept = lines.filter(lineKept)
         val nSent = kept.map(_.count(c => c == '.' || c == '!' || c == '?')).sum
-        val lower = t.toLowerCase
+        val lower = t.toLowerCase(java.util.Locale.ROOT)
         val hasBlocked = lower.replace('\n', ' ').split(" ").exists(blocked)
         val hasLorem = lower.contains("lorem ipsum")
         val hasBrace = t.contains("{")

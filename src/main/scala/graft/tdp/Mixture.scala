@@ -72,6 +72,10 @@ object Mixture {
         (l, n, weightPpm, target, thrPpm)
       }
       .toDF("lang", "n_docs", "weight_ppm", "target", "threshold_ppm")
+      // plan feeds BOTH the sampling filter and the final join — persist so
+      // the denominator aggregation and quota map run once, not per action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.CacheRegistry.register(plan)
 
     // threshold join by domain: a plain equi-join — AQE broadcasts it while
     // the domain table is small (languages) and falls back to a shuffle

@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   * detected spans start at an anchor, so up to ~p leading chars of a run
   * can survive; the interior is fully covered by overlapping L-windows.
   *
+  * Unicode contract (shared with [[TextStats.fingerprints]] and its
+  * oracle): positions and hash units are UTF-16 code units on the engine
+  * side and code points in the DuckDB replay — identical for BMP text (the
+  * corpus contract); a surrogate-pair character would shift anchors by one
+  * unit between the two formulations.
+  *
   * Scale shape (the [[DedupSubstring]] lessons applied):
   *  - the anchor table is persisted ONCE and feeds both the duplicate-key
   *    count and the semi-join back (caller releases via CacheRegistry);
