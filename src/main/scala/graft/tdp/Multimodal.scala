@@ -68,12 +68,27 @@ object Multimodal {
     }
   }
 
+  /** ImageIO.read/write on raw streams default to FileCache image streams:
+    * one TEMP FILE per codec call, created under a filesystem that
+    * serializes at high thread counts — the sf1 two-parallelism refresh
+    * measured the decode rows 3-4x SLOWER at local[32] than local[8]
+    * (BENCH.md round-7 late addendum). In-memory stream caching removes
+    * the contention; codec output is bit-identical. */
+  private[tdp] object ImageIoInit {
+    javax.imageio.ImageIO.setUseCache(false)
+    def ensure(): Unit = ()
+  }
+
   private object CodecHolder {
-    lazy val codec = new PngCodec // lazy ⇒ one per executor JVM
+    lazy val codec: PngCodec = {
+      ImageIoInit.ensure()
+      new PngCodec // lazy ⇒ one per executor JVM
+    }
   }
 
   /** Encode one synthetic grayscale PNG frame for (docId, f). */
   def encodeFrame(docId: Long, f: Int): Array[Byte] = {
+    ImageIoInit.ensure() // write(stream) also defaults to a temp-file cache
     val w = frameWidth(docId); val h = frameHeight(docId)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
