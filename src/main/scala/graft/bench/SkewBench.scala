@@ -239,6 +239,22 @@ object SkewBench {
       if (r.maxShuffleRead >= hotCopies) "SKEWED(mega-key on one task, as expected)"
       else "naive-shape-did-not-skew(UNEXPECTED)")
 
+    // ---- C4 three-sentence dedup (round 7) -----------------------------------
+    // the skew corpus has no punctuation, so derive a sentence-structured
+    // variant: the SAME banner window on EVERY doc (worst hot key: one
+    // 3-sentence span with corpus-many occurrences, only one canonical)
+    val c4docs = docs.select($"doc_id", $"text")
+      .withColumn("text", concat(
+        lit("shared banner sentence one. shared banner sentence two. " +
+          "shared banner sentence three. "),
+        $"text", lit(" unique tail "), $"doc_id", lit(" closes this page.")))
+    results += measure(spark, "c4_spans_mega_key") {
+      graft.tdp.C4.threeSentenceDedup(spark, c4docs)
+        .write.mode("overwrite").parquet(s"$workDir/out_c4_spans")
+      spark.read.parquet(s"$workDir/out_c4_spans").count()
+    }(bounded)
+    graft.tdp.Dedup.releaseCaches()
+
     // ---- corpus×corpus acceptance (round 6) ---------------------------------
     // both span sets corpus-sized; a "hot page" url carries 10^5 spans on
     // EACH side — the worst (url, class) key for the overlap join. The

@@ -127,5 +127,53 @@ else:
     print(f"substring_anchor_blacklist: SKIP (no {osql_path}; run graft.Verify first)")
     fails.append("substring_anchor_blacklist(no oracle_sql.json)")
 
+# round 7: C4 three-sentence dedup over the sentence-structured hostile
+# variant (the banner window on EVERY doc; canonical = min (doc_id, pos)).
+# Independent relational re-derivation, same shape as the committed oracle
+# but over the bench's own concat-derived corpus.
+compare("c4_spans_mega_key", "out_c4_spans", f"""
+  WITH docs AS (
+    SELECT doc_id,
+           'shared banner sentence one. shared banner sentence two. ' ||
+           'shared banner sentence three. ' || text || ' unique tail ' ||
+           doc_id || ' closes this page.' AS text
+    FROM '{work}/docs_skew/*.parquet'),
+  sent AS (SELECT doc_id,
+             string_split(regexp_replace(replace(text, chr(10), ' '),
+               '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)) AS s
+           FROM docs),
+  occ AS (SELECT doc_id,
+            unnest(generate_series(1, len(s) - 2)) AS i,
+            unnest([array_to_string(s[i : i + 2], ' ')
+                    for i in generate_series(1, len(s) - 2)]) AS w
+          FROM sent WHERE len(s) >= 3),
+  rk AS (SELECT doc_id, i, w,
+           count(*) OVER (PARTITION BY w) AS n,
+           row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn
+         FROM occ),
+  rem AS (SELECT DISTINCT doc_id, i + k.range AS p
+          FROM rk, range(3) k WHERE n >= 2 AND rn > 1),
+  perdoc AS (SELECT doc_id, count(*) AS n_windows,
+               sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_dup
+             FROM rk GROUP BY doc_id),
+  remc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+  su AS (SELECT doc_id, unnest(generate_series(1, len(s))) AS j,
+                unnest(s) AS sentence FROM sent),
+  cleans AS (
+    SELECT su.doc_id, string_agg(su.sentence, ' ' ORDER BY su.j) AS c
+    FROM su LEFT JOIN rem ON su.doc_id = rem.doc_id AND su.j = rem.p
+    WHERE rem.p IS NULL GROUP BY su.doc_id)
+  SELECT d.doc_id,
+         CAST(len(sent.s) AS BIGINT) AS n_sentences,
+         CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows,
+         CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_windows,
+         CAST(coalesce(rc.n_removed, 0) AS BIGINT) AS n_removed_sentences,
+         md5(coalesce(cl.c, '')) AS clean_md5
+  FROM docs d
+  JOIN sent USING (doc_id)
+  LEFT JOIN perdoc pd USING (doc_id)
+  LEFT JOIN remc rc USING (doc_id)
+  LEFT JOIN cleans cl USING (doc_id)""")
+
 print("SKEW ORACLE FAILS:", fails if fails else "none")
 sys.exit(1 if fails else 0)
