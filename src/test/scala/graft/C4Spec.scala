@@ -77,6 +77,45 @@ class C4Spec extends AnyFunSuite with SparkTestBase {
     assert(out(3L)._5 == 6 && out(3L)._6 == md5("middle filler text."))
   }
 
+  test("seeded fuzz: random sentence soups vs an independent naive " +
+    "canonical-mask re-derivation (20 corpora)") {
+    import spark.implicits._
+    def md5(s: String) = graft.tdp.SubstringSpans.md5Hex(s)
+    for (seed <- 1 to 20) {
+      val r = new scala.util.Random(2000 + seed)
+      // small sentence vocabulary forces genuine window collisions
+      val vocab = (0 until 12).map(i => s"sentence v$seed token $i ends here.")
+      val docs = (0L until 15L).map { i =>
+        (i, Seq.fill(2 + r.nextInt(10))(vocab(r.nextInt(vocab.length))).mkString(" "))
+      }
+      // naive: windows as raw strings, count + canonical min (doc, pos), mask
+      val occ = docs.flatMap { case (id, t) =>
+        val s = C4.sentences(t)
+        (0 to s.length - 3).map(i => (s.slice(i, i + 3).mkString(" "), id, i))
+      }
+      val stats = occ.groupBy(_._1).map { case (w, os) =>
+        w -> ((os.size, os.map(o => (o._2, o._3)).min))
+      }
+      val want = docs.map { case (id, t) =>
+        val s = C4.sentences(t)
+        val mine = occ.filter(_._2 == id)
+        val nWin = mine.size
+        val nDup = mine.count(o => stats(o._1)._1 >= 2)
+        val removed = mine.filter { o =>
+          val (n, canon) = stats(o._1); n >= 2 && canon != ((o._2, o._3))
+        }.flatMap(o => o._3 until o._3 + 3).toSet
+        val clean = s.indices.filterNot(removed).map(s).mkString(" ")
+        id -> ((s.length.toLong, nWin.toLong, nDup.toLong,
+          removed.size.toLong, md5(clean)))
+      }.toMap
+      val got = C4.threeSentenceDedup(spark, docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Long, Long, String)].collect()
+        .map(x => x._1 -> ((x._2, x._3, x._4, x._5, x._6))).toMap
+      graft.tdp.Dedup.releaseCaches()
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("banner-style corpus-hot span: every non-canonical occurrence " +
     "removed, exactly one survivor") {
     import spark.implicits._

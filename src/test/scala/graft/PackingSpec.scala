@@ -61,6 +61,18 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.last._5 == 24)
   }
 
+  test("seeded fuzz: random corpora x capacities x partitionings all " +
+    "match the sequential reference") {
+    for (seed <- 1 to 10) {
+      val r = new scala.util.Random(3000 + seed)
+      val c = Seq(16L, 50L, 128L)(r.nextInt(3))
+      val docs = (0L until (20L + r.nextInt(150))).map(i =>
+        (i, Seq.fill(r.nextInt(3 * c.toInt))("w").mkString(" ")))
+      val want = reference(docs, c)
+      assert(run(docs, c, 1 + r.nextInt(16)) == want, s"seed $seed cap $c")
+    }
+  }
+
   test("exact-multiple total: the final sequence is full") {
     // 4 docs x 16 tokens = 64 = 2 x C(32)
     val docs = (0L until 4L).map(i => (i, Seq.fill(15)("t").mkString(" ")))

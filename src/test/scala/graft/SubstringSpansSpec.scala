@@ -140,6 +140,26 @@ class SubstringSpansSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("seeded fuzz: 20 random corpora with planted cross-doc runs, " +
+    "within-doc repeats and decoys all match the naive mask") {
+    for (seed <- 1 to 20) {
+      val r = new scala.util.Random(1000 + seed)
+      val runs = Seq.fill(1 + r.nextInt(3))(seededText(seed * 100 + r.nextInt(50), 80 + r.nextInt(220)))
+      val docs = (0L until 12L).map { i =>
+        val sb = new StringBuilder(seededText(seed * 1000 + i.toInt, 30 + r.nextInt(120)))
+        // plant 0-2 shared runs at random positions (append keeps offsets random
+        // via the random-length prefixes)
+        (0 until r.nextInt(3)).foreach { _ =>
+          sb.append(runs(r.nextInt(runs.length)))
+          sb.append(seededText(seed * 7000 + r.nextInt(99), 5 + r.nextInt(40)))
+        }
+        if (r.nextInt(4) == 0 && runs.nonEmpty) sb.append(runs.head) // repeats
+        (i, sb.toString)
+      }
+      checkAgainstNaive(docs)
+    }
+  }
+
   test("short docs (below the key window) are silently span-free") {
     val docs = Seq((0L, "tiny"), (1L, "tiny"), (2L, seededText(40, 63)),
       (3L, seededText(40, 63)))
