@@ -687,6 +687,24 @@ object OracleSql {
        |       list_min(fps) AS min_fingerprint
        |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** lm_surprisal: the integer-exact unigram surprisal filter replayed
+    * relationally — ilog2 as binary-string length − 1 (exact, no float
+    * log), integer floor division for the scaled mean. */
+  def lmSurprisal(keepMeanBitsX100: Long): String =
+    s"""WITH w AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+       |  FROM documents),
+       |c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+       |s AS (SELECT w.doc_id, count(*) AS n,
+       |        sum((length(bin(t.total)) - 1) - (length(bin(c.c)) - 1)) AS bits
+       |      FROM w JOIN c USING (word), t GROUP BY w.doc_id)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |       CAST(bits AS BIGINT) AS total_bits,
+       |       CAST(bits * 100 // n AS BIGINT) AS mean_bits_x100,
+       |       (bits * 100 // n) <= $keepMeanBitsX100 AS lm_keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** corpus_mix: the mT5/PaLM temperature-sampling quota plan replayed in
     * exact integer arithmetic — isqrt via a double seed corrected by a ±2
     * candidate window (HUGEINT squares), integer-division quotas, the same

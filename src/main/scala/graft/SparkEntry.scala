@@ -1359,6 +1359,11 @@ object SparkEntry {
       // division — no float normalization to diverge cross-engine),
       // realized by the deterministic ppm hash threshold
       graft.tdp.Mixture.temperatureMix(s, docsDf(s, dir))),
+    "lm_surprisal" -> ((s, dir) =>
+      // CCNet-style LM quality filter with the corpus's own unigram model
+      // and EXACT whole-bit surprisal (ilog2 = bit length - 1; no float
+      // log anywhere) — keep the low-surprisal head
+      graft.tdp.LmFilter.surprisal(s, docsDf(s, dir))),
     "c4_three_sentence_dedup" -> ((s, dir) =>
       // C4's corpus-level rule: of any 3-sentence span occurring more
       // than once, keep ONE canonical occurrence (contrast ExactSubstr:
@@ -2090,6 +2095,7 @@ object SparkEntry {
     "c4_quality" -> OracleSql.c4Quality(c4DocsSource, graft.tdp.C4.DefaultBlocklist),
     "pack_sequences" -> OracleSql.packSequences(capacity = 256L),
     "corpus_mix" -> OracleSql.corpusMix(budget = 200L, salt = 17L),
+    "lm_surprisal" -> OracleSql.lmSurprisal(keepMeanBitsX100 = 505L),
     "c4_three_sentence_dedup" -> OracleSql.c4ThreeSentenceDedup(c4DocsSource),
     "url_canonical" ->
       """WITH c AS (
