@@ -28,24 +28,35 @@ final class SpacyObjectMapper(
     initialClasses: Set[String] = Set.empty,
     setAttributesIncrementally: Boolean = false) {
 
+  // the extension registry mutates in incremental mode; an executor-pinned
+  // mapper is shared across task threads (the C8 session pattern), so all
+  // access synchronizes on the set
   private val registered = scala.collection.mutable.LinkedHashSet.empty[String]
   registered ++= initialClasses
 
   /** The mapper's known classes (ref `self.entity_classes`). */
-  def entityClasses: Set[String] = registered.toSet
+  def entityClasses: Set[String] = registered.synchronized(registered.toSet)
 
   /** `Token.has_extension` analogue (the non-incremental test's probe). */
-  def hasExtension(cls: String): Boolean = registered.contains(cls)
+  def hasExtension(cls: String): Boolean =
+    registered.synchronized(registered.contains(cls))
 
   /** Half-open token-index range. */
   final case class TokenSpan(start: Int, end: Int)
 
+  /** One entry per mapped entity OCCURRENCE, in entity order — the
+    * reference returns a dict keyed by Python object identity, so two
+    * value-equal duplicate entities each keep their own entry (a
+    * value-keyed Map would silently collapse them). */
   final case class MappedSection(
       tokens: IndexedSeq[Tokenizer.Token],
-      spans: Map[Mention, TokenSpan],
+      entries: Seq[(Mention, TokenSpan)],
       attrs: Set[(Int, String)]) {
     /** `token._.get(cls)` for token index `tok` of this call's doc. */
     def tokenAttr(tok: Int, cls: String): Boolean = attrs((tok, cls))
+    /** First entry for a value-equal mention (test convenience). */
+    def spanOf(m: Mention): Option[TokenSpan] =
+      entries.collectFirst { case (e, s) if e == m => s }
   }
 
   private def charSpanExpand(
@@ -59,20 +70,21 @@ final class SpacyObjectMapper(
 
   def apply(section: Section): MappedSection = {
     val toks = Tokenizer.tokenize(section.text).toIndexedSeq
-    val spans = scala.collection.mutable.LinkedHashMap.empty[Mention, TokenSpan]
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Mention, TokenSpan)]
     val attrs = scala.collection.mutable.Set.empty[(Int, String)]
     section.entities.foreach { ent =>
       charSpanExpand(toks, ent.start, ent.end).foreach { span =>
-        spans(ent) = span
+        entries += ((ent, span))
         val cls = ent.entityClass
-        val setAttr =
+        val setAttr = registered.synchronized {
           if (registered.contains(cls)) true
           else if (setAttributesIncrementally) { registered += cls; true }
           else false // ref :96-97 — span kept, attributes skipped
+        }
         if (setAttr)
           (span.start until span.end).foreach(t => attrs += ((t, cls)))
       }
     }
-    MappedSection(toks, spans.toMap, attrs.toSet)
+    MappedSection(toks, entries.toSeq, attrs.toSet)
   }
 }

@@ -54,7 +54,11 @@ object LmFilter {
     graft.util.CacheRegistry.register(words)
 
     val counts = words.groupBy($"word").agg(count(lit(1)).as("c"))
-    val totalDf = counts.agg(sum($"c").as("total"))
+    // total tokens = row count of the persisted word table — NOT sum(c)
+    // over `counts`, which would execute the corpus-wide vocabulary
+    // aggregation a second time (one run for this total, one for the
+    // scoring join); same value, one shuffle
+    val totalDf = words.agg(count(lit(1)).as("total"))
 
     words
       .join(counts, Seq("word"))

@@ -41,8 +41,8 @@ class SpacyObjectMapperSpec extends AnyFunSuite {
     test(s"incremental attributes: $label") {
       val mapper = new SpacyObjectMapper(initial, setAttributesIncrementally = true)
       val mapped = mapper(section)
-      assert(mapped.spans.size == section.entities.size)
-      mapped.spans.foreach { case (e, span) =>
+      assert(mapped.entries.size == section.entities.size)
+      mapped.entries.foreach { case (e, span) =>
         (span.start until span.end).foreach { t =>
           assert(mapped.tokenAttr(t, e.entityClass), s"${e.matchStr} tok $t")
         }
@@ -56,14 +56,14 @@ class SpacyObjectMapperSpec extends AnyFunSuite {
     "and no registration") {
     val mapper = new SpacyObjectMapper(drugGeneAndDisease)
     val mapped = mapper(section)
-    assert(mapped.spans.size == section.entities.size)
+    assert(mapped.entries.size == section.entities.size)
     for (e <- Seq(paracetamol, egfr, nsclc)) {
-      val span = mapped.spans(e)
+      val span = mapped.spanOf(e).get
       (span.start until span.end).foreach(t => assert(mapped.tokenAttr(t, e.entityClass)))
     }
     for (e <- Seq(hand, az)) {
       assert(!mapper.hasExtension(e.entityClass))
-      val span = mapped.spans(e) // the span itself IS returned (ref continue)
+      val span = mapped.spanOf(e).get // the span itself IS returned (ref continue)
       (span.start until span.end).foreach(t => assert(!mapped.tokenAttr(t, e.entityClass)))
     }
     assert(mapper.entityClasses == drugGeneAndDisease)
@@ -79,8 +79,17 @@ class SpacyObjectMapperSpec extends AnyFunSuite {
     val mapper = new SpacyObjectMapper(Set("x"))
     val mapped = mapper(Section("s", text, entities = Seq(m1, m2)))
     // [1,7) overlaps "alpha" and "beta" -> tokens 0..2
-    assert(mapped.spans(m1) == mapper.TokenSpan(0, 2))
+    assert(mapped.spanOf(m1).contains(mapper.TokenSpan(0, 2)))
     // the single space [5,6) touches no token under this tokenizer
-    assert(!mapped.spans.contains(m2))
+    assert(mapped.spanOf(m2).isEmpty)
+  }
+
+  test("value-equal duplicate entities keep one entry EACH (the reference " +
+    "dict is keyed by object identity)") {
+    val dup = ent("EGFR", "gene")
+    val mapper = new SpacyObjectMapper(Set("gene"))
+    val mapped = mapper(Section("s", sampleText, entities = Seq(egfr, dup)))
+    assert(mapped.entries.size == 2)
+    assert(mapped.entries.map(_._2).distinct.size == 1) // same span, twice
   }
 }
