@@ -210,8 +210,35 @@ object SparkEntry {
     }
   }
 
+  /** Scale-adaptive scan spread (optimization guide §2.2/§6 — r8). A small
+    * scale factor arrives as ONE parquet split, so every narrow per-doc
+    * stage downstream (Gopher rules, PNG codec, mutation NER, minhash...)
+    * ran on a single core: the r8 profile measured gopher_repetition as 3
+    * jobs / 3 tasks with 1.7 s of task time on one task at local[32].
+    * When the scan yields fewer partitions than the session's parallelism,
+    * round-robin repartition to defaultParallelism (REPARTITION_BY_NUM —
+    * AQE never coalesces a user-specified partition count; a hash exchange
+    * on doc_id could collide hot). At production scale (splits >> cores)
+    * this is a NO-OP — no exchange is added — so the shipped plan shape is
+    * unchanged where it matters and the bench stops measuring a one-core
+    * serialization artifact. */
+  private[graft] def spreadScan(s: SparkSession, df: DataFrame): DataFrame = {
+    val want = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** [[docsDf]] + [[spreadScan]] — ONLY for queries whose downstream is a
+    * CPU-heavy narrow per-doc stage (codec decode, mutation regexes, n-gram
+    * rule families, window hashing): there the one-split serialization
+    * dominates and the r8 A/B measured 2-4x. For cheap narrow/shuffle
+    * queries the added exchange + extra map tasks measurably LOSE time at
+    * this scale (r8 full-suite A/B: +0.1-0.9 s each), so they stay on the
+    * plain scan. */
+  private def docsDfSpread(s: SparkSession, dir: String): DataFrame =
+    spreadScan(s, docsDf(s, dir))
 
   /** The four planted URL surface forms per 4-doc logical page — ONE
     * definition shared by url_canonical and dedup_url_text (the fixture
@@ -256,10 +283,12 @@ object SparkEntry {
     * the duplicate-line/paragraph rules and corpus-wide paragraph dedup all
     * measure non-trivially over genuine newline boundaries. Replayed
     * word-for-word by the SQL in `nlDocsSource`. */
-  private def newlineDocs(s: SparkSession, dir: String): DataFrame = {
+  private def newlineDocs(s: SparkSession, dir: String,
+      spread: Boolean = false): DataFrame = {
     import s.implicits._
     val banner = NlBannerLines.mkString("\n")
-    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+    (if (spread) docsDfSpread(s, dir) else docsDf(s, dir))
+      .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, t) =>
         val words = t.split(" ", -1)
         val sb = new StringBuilder
@@ -298,7 +327,7 @@ object SparkEntry {
     * a blocklist word (id%43). Replayed word-for-word by `c4DocsSource`. */
   private def c4Docs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+    docsDfSpread(s, dir).select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, t) =>
         val words = t.split(" ", -1)
         def mark(j: Int) = if (j % 7 == 3) "?" else if (j % 7 == 5) "!" else "."
@@ -835,7 +864,7 @@ object SparkEntry {
       // regex. The recognizer scans the full decorated text (the corpus part
       // is provably pattern-free: all-lowercase, no digits).
       val aa3 = graft.ner.MutationNer.AminoAcids3
-      docsDf(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      docsDfSpread(s, dir).select($"doc_id", $"text").as[(Long, String)]
         .flatMap { case (n, t) =>
           val bases = "ACGT"
           val b1 = bases(((n % 4) + 4).toInt % 4)
@@ -1007,15 +1036,24 @@ object SparkEntry {
       // tp/fp/fn exercise exact matches, partial overlaps, misses, and
       // spurious predictions; the oracle replays the interval join over the
       // full-dump derivation
-      val spans = pipelineTriples(s, dir)
-        .select($"url", $"start", $"end",
-          regexp_replace($"pred", "^mentions_", "").as("entity_class"))
-        .distinct()
+      // r8: ONE distinct span table, persisted, feeds the pred side AND
+      // both gold derivations — previously `spans` was unpersisted and its
+      // dump-wide distinct recomputed three times (pred, gold-operator,
+      // gold-urls), measured as ~55 s of task time on this row alone.
+      // Both sides stay distinct by construction (operator spans are a
+      // subset of `spans`; the synthetic rows differ in entity_class), so
+      // nerScores skips its per-side re-distinct/persist.
+      val spans = graft.util.CacheRegistry.register(
+        pipelineTriples(s, dir)
+          .select($"url", $"start", $"end",
+            regexp_replace($"pred", "^mentions_", "").as("entity_class"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val gold = spans.filter($"entity_class" === "operator")
         .unionByName(spans.select($"url").distinct()
           .select($"url", lit(0).as("start"), lit(5).as("end"),
             lit("component").as("entity_class")))
-      graft.eval.Acceptance.nerScores(s, spans, gold)
+      graft.eval.Acceptance.nerScores(s, spans, gold, inputsDistinct = true)
     }),
     "kg_acceptance_corpus" -> ((s, dir) => {
       import s.implicits._
@@ -1025,9 +1063,11 @@ object SparkEntry {
       // so neither may broadcast, and the overlap predicate rides an
       // equi-keyed (url, class, bucket) shuffle join. This is the
       // re-crawl-comparison shape a 100-TB pipeline upgrade runs.
+      // r8: no .distinct() here — nerScoresBucketed distincts + persists
+      // each side itself, so the outer distinct was a duplicate full
+      // shuffle of both corpus-derived span sets per run
       def spans(t: DataFrame) = t.select($"url", $"start", $"end",
         regexp_replace($"pred", "^mentions_", "").as("entity_class"))
-        .distinct()
       graft.eval.Acceptance.nerScoresBucketed(s,
         spans(pipelineTriples(s, dir)), spans(trieOnlyTriples(s, dir)))
     }),
@@ -1213,12 +1253,17 @@ object SparkEntry {
       // join on (text_md5, salt = hash(doc_id) % SaltBuckets), spreading
       // any cluster over SaltBuckets reducers deterministically — no
       // broadcast or runtime re-plan dependence.
+      // r8: only duplicated hashes (n ≥ 2) replicate into the salted join —
+      // a unique page's count is implicitly 1 (left-join default), so the
+      // exploded side shrinks from |distinct hashes|×16 to |dup hashes|×16
       val hashed = docsDf(s, dir)
         .select($"doc_id", md5(to_binary($"text", lit("utf-8"))).as("text_md5"))
       val counts = hashed.groupBy($"text_md5")
         .agg(count(lit(1)).as("n_same_text"))
-      Dedup.saltedJoinBack(hashed, counts, "text_md5", "doc_id")
-        .select($"doc_id", $"text_md5", $"n_same_text")
+        .filter($"n_same_text" >= 2)
+      Dedup.saltedLeftJoinDups(hashed, counts, "text_md5", "doc_id")
+        .select($"doc_id", $"text_md5",
+          coalesce($"n_same_text", lit(1L)).as("n_same_text"))
         .orderBy($"doc_id")
     }),
     "dedup_jaccard" -> ((s, dir) => {
@@ -1299,10 +1344,16 @@ object SparkEntry {
       val withHash = reps.join(docs2.select($"doc_id", $"text"), "doc_id")
         .withColumn("h", md5(to_binary($"text", lit("utf-8"))))
         .select($"doc_id", $"url_canonical", $"n_same_url", $"h")
+      // r8: duplicated content hashes only (see dedup_exact) — unique
+      // representatives default to (canonical = self, n = 1) via the left
+      // salted join
       val counts = withHash.groupBy($"h")
         .agg(min($"doc_id").as("content_canonical"),
           count(lit(1)).as("n_same_content"))
-      graft.tdp.Dedup.saltedJoinBack(withHash, counts, "h", "doc_id")
+        .filter($"n_same_content" >= 2)
+      graft.tdp.Dedup.saltedLeftJoinDups(withHash, counts, "h", "doc_id")
+        .withColumn("content_canonical", coalesce($"content_canonical", $"doc_id"))
+        .withColumn("n_same_content", coalesce($"n_same_content", lit(1L)))
         .withColumn("is_content_dup", $"doc_id" =!= $"content_canonical")
         .select($"doc_id", $"url_canonical", $"n_same_url",
           $"content_canonical", $"n_same_content", $"is_content_dup")
@@ -1332,7 +1383,7 @@ object SparkEntry {
       // and duplicate-paragraph rules measure over genuine '\n'/'\n\n'
       // boundaries (planted first-line/first-paragraph repeats + the %3
       // banner paragraph give them non-trivial mass)
-      graft.tdp.Gopher.repetition(s, newlineDocs(s, dir))),
+      graft.tdp.Gopher.repetition(s, newlineDocs(s, dir, spread = true))),
     "dedup_substring" -> ((s, dir) =>
       // substring-anchored dedup: winnowed Rabin-Karp fingerprints as
       // shared-16-char-run anchors, mega-postings dropped via broadcast
@@ -1343,7 +1394,7 @@ object SparkEntry {
       // anchors key md5(L-char window); any window occurring >=2 times in
       // the corpus marks its range in EVERY occurrence; per-doc ranges
       // merge and are removed — output pins the cleaned text by md5
-      graft.tdp.SubstringSpans.duplicateSpans(s, docsDf(s, dir))),
+      graft.tdp.SubstringSpans.duplicateSpans(s, docsDfSpread(s, dir))),
     "c4_quality" -> ((s, dir) =>
       // the C4 (Raffel et al. 2020) line + page rules over the
       // sentence-structured fixture; clean_md5 pins the retained text
@@ -1363,7 +1414,7 @@ object SparkEntry {
       // CCNet-style LM quality filter with the corpus's own unigram model
       // and EXACT whole-bit surprisal (ilog2 = bit length - 1; no float
       // log anywhere) — keep the low-surprisal head
-      graft.tdp.LmFilter.surprisal(s, docsDf(s, dir))),
+      graft.tdp.LmFilter.surprisal(s, docsDfSpread(s, dir))),
     "c4_three_sentence_dedup" -> ((s, dir) =>
       // C4's corpus-level rule: of any 3-sentence span occurring more
       // than once, keep ONE canonical occurrence (contrast ExactSubstr:
@@ -1427,7 +1478,7 @@ object SparkEntry {
       // own leading 12/24 words re-appended on deterministic doc_id slices —
       // give the duplicate rules non-trivial mass; every fraction is an
       // int/int double division, IEEE-identical cross-engine.
-      val decorated = docsDf(s, dir).withColumn("text", concat(
+      val decorated = docsDfSpread(s, dir).withColumn("text", concat(
         $"text",
         when($"doc_id" % 4 === 0,
           concat(lit(" "), concat_ws(" ", slice(split($"text", " "), 1, 12))))
@@ -1481,7 +1532,7 @@ object SparkEntry {
       // checksum), so a codec that misreads even one pixel hash-mismatches.
       // n_bytes (PNG-compressed size) is engine-side only — compression
       // output length is not relationally derivable.
-      val media = Multimodal.mediaFromDocuments(s, docsDf(s, dir))
+      val media = Multimodal.mediaFromDocuments(s, docsDfSpread(s, dir))
       Multimodal.extractMeta(s, media)
         .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
           col("n_pixels"), col("px_sum"))
@@ -1491,14 +1542,14 @@ object SparkEntry {
       // codec work), doc fingerprint = frame-0 hash, identical-hash
       // clustering through the shared salted join-back; the oracle
       // re-derives every hash from the synthetic pixel formulas
-      val media = Multimodal.mediaFromDocuments(s, docsDf(s, dir))
+      val media = Multimodal.mediaFromDocuments(s, docsDfSpread(s, dir))
       Multimodal.perceptualNearDup(s, media)
     }),
     "multimodal_hamming" -> ((s, dir) => {
       // hash-cluster graph: hamming<=3 pairs BETWEEN distinct perceptual
       // hashes via the 4x16-bit block pigeonhole — one edge per hash pair
       // regardless of cluster sizes (no document-pair explosion)
-      val media = Multimodal.mediaFromDocuments(s, docsDf(s, dir))
+      val media = Multimodal.mediaFromDocuments(s, docsDfSpread(s, dir))
       Multimodal.hammingPairs(s, media)
     }),
     "dedup_embedding" -> ((s, dir) => {
@@ -1529,7 +1580,7 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
     "ann_brute" -> ((s, dir) =>
-      Ann.bruteTopK(s, s.read.parquet(s"$dir/embeddings.parquet"))),
+      Ann.bruteTopK(s, spreadScan(s, s.read.parquet(s"$dir/embeddings.parquet")))),
     "ann_lsh" -> ((s, dir) =>
       // pinned to the auto-sizing result for the verify corpus (N=500 →
       // 3 bits/table, 6 tables; LshConfig.forCorpus(500)) so the DuckDB

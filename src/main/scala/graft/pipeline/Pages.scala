@@ -27,8 +27,14 @@ object Pages {
   /** documents.parquet → page table. Narrow, deterministic derivation. */
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select($"doc_id", $"text", $"lang")
+    // spread the scan BEFORE the html-synthesis map (r8, guide §2.2): a
+    // small corpus is one parquet split, so the map — and everything narrow
+    // downstream (extraction, trie NER) — would run on one core; the
+    // conditional repartition ships the narrow (doc_id, text, lang) rows,
+    // not the synthesized html, and is a no-op once splits >= cores
+    graft.SparkEntry.spreadScan(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select($"doc_id", $"text", $"lang"))
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
         PageRow(

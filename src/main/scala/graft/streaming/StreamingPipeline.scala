@@ -129,6 +129,11 @@ object StreamingPipeline {
     val stateParts = math.min(8L, math.max(1L, rows.length / 2000L)).toString
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", stateParts)
+    // r8: the replay checkpoint is throwaway (deleted in the finally
+    // below), so retaining the default 100 batches of offset/commit/state
+    // deltas only adds file churn per micro-batch; production streams keep
+    // the cluster default on their durable checkpoints
+    sess.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     implicit val replayCtx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val in = MemoryStream[(String, String)]
     val shmDir = new java.io.File("/dev/shm")

@@ -101,7 +101,8 @@ object C4 {
       .flatMap { case (id, t) =>
         val s = sentences(t)
         (0 to s.length - 3).iterator.map { i =>
-          (SubstringSpans.md5Hex(s.slice(i, i + 3).mkString(" ")), id, i)
+          // binary digest key (r8): 16 bytes into the shuffle, not 32 chars
+          (SubstringSpans.md5Bytes(s.slice(i, i + 3).mkString(" ")), id, i)
         }
       }
       .toDF("key", "doc_id", "pos")
@@ -109,16 +110,22 @@ object C4 {
     graft.util.CacheRegistry.register(occ)
 
     // per-window-value stats: occurrence count + the canonical (minimal)
-    // occurrence — a single aggregate over the persisted window table
+    // occurrence — a single aggregate over the persisted window table.
+    // r8: only windows occurring ≥ 2 times join back (a unique window's
+    // n is 1 and it is never removed), so the ×16-salt replication
+    // carries the duplicated spans only — on a real corpus the small
+    // minority — instead of the whole distinct-window table
     val perKey = occ.groupBy($"key").agg(
       count(lit(1)).as("n"),
       min(struct($"doc_id", $"pos")).as("canon"))
+      .filter($"n" >= 2)
     // join back through the shared salted join: a corpus-hot boilerplate
     // span (the planted banner is on every 6th doc) is ONE key
-    val marked = Dedup.saltedJoinBack(occ, perKey, "key", "doc_id")
-      .select($"doc_id", $"pos", $"n",
-        ($"n" >= 2 && !($"canon.doc_id" === $"doc_id" && $"canon.pos" === $"pos"))
-          .as("removed"))
+    val marked = Dedup.saltedLeftJoinDups(occ, perKey, "key", "doc_id")
+      .select($"doc_id", $"pos", coalesce($"n", lit(1L)).as("n"),
+        coalesce($"n" >= 2 &&
+            !($"canon.doc_id" === $"doc_id" && $"canon.pos" === $"pos"),
+          lit(false)).as("removed"))
 
     val perDoc = marked.as[(Long, Int, Long, Boolean)]
       .groupByKey(_._1)

@@ -49,6 +49,29 @@ object Dedup {
       .drop("_salt")
   }
 
+  /** [[saltedJoinBack]] for the dominant dedup shape where every
+    * NON-duplicated key's aggregate row is derivable (n = 1, canonical =
+    * the row itself): the caller pre-filters `perKeyDups` to keys with
+    * n ≥ 2 and coalesces the defaults after this LEFT salted join. The
+    * replicated side then carries only the duplicate keys — on a mostly-
+    * unique corpus that is orders of magnitude smaller than the full
+    * per-key aggregate the inner form replicates ×saltBuckets (r8, guide
+    * §2.3 "shuffle fewer bytes"; the hot-key bound is unchanged — a
+    * mega-cluster key still spreads over saltBuckets reducers). */
+  def saltedLeftJoinDups(
+      rows: DataFrame,
+      perKeyDups: DataFrame,
+      keyCol: String,
+      rowIdCol: String,
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    val salted = perKeyDups.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    rows.withColumn("_salt", pmod(hash(col(rowIdCol)), lit(saltBuckets)))
+      .join(salted, Seq(keyCol, "_salt"), "left")
+      .drop("_salt")
+  }
+
   // --- MinHash -------------------------------------------------------------
 
   /** Word 3-gram shingles. */

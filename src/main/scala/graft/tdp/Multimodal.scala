@@ -200,9 +200,15 @@ object Multimodal {
     val hashes = graft.util.CacheRegistry.register(
       frameHashRows(spark, media).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // r8: only multi-document hashes (cluster_size ≥ 2) join back — a
+    // unique image's cluster row is derivable (canonical = itself, size 1),
+    // so the salted replication carries the duplicate clusters only
     val clusters = hashes.groupBy($"phash")
       .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("cluster_size"))
-    Dedup.saltedJoinBack(hashes, clusters, "phash", "doc_id")
+      .filter($"cluster_size" >= 2)
+    Dedup.saltedLeftJoinDups(hashes, clusters, "phash", "doc_id")
+      .withColumn("canonical_doc", coalesce($"canonical_doc", $"doc_id"))
+      .withColumn("cluster_size", coalesce($"cluster_size", lit(1L)))
       .withColumn("is_dup", $"doc_id" =!= $"canonical_doc")
       .select($"doc_id", $"phash", $"n_frame_hashes", $"canonical_doc",
         $"cluster_size", $"is_dup")

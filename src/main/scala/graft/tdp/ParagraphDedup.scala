@@ -40,8 +40,13 @@ object ParagraphDedup {
       // cannot reuse one); released by the caller via CacheRegistry
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.util.CacheRegistry.register(paras)
+    // r8: only duplicated paragraph hashes (n ≥ 2) join back — the salted
+    // replication then carries the boilerplate keys only, not the whole
+    // distinct-paragraph table; a unique paragraph's n is implicitly 1
+    // (left-join null, which the n > 1 test below already treats as false)
     val counts = paras.groupBy($"ph").agg(count(lit(1)).as("n"))
-    val joined = Dedup.saltedJoinBack(
+      .filter($"n" >= 2)
+    val joined = Dedup.saltedLeftJoinDups(
       paras.withColumn("_rid", concat_ws("#", $"doc_id", $"para_idx")),
       counts, "ph", "_rid")
     joined.groupBy($"doc_id")

@@ -85,14 +85,41 @@ object SubstringSpans {
     out.toArray
   }
 
-  private[graft] def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
-    sb.toString
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** One MD5 instance per thread (r8): `MessageDigest.getInstance` walks
+    * the JCA provider list per call; `digest()` resets the instance, so
+    * thread-local reuse is safe and free. */
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
+
+  /** MD5 → lowercase hex. r8: nibble-table lookup replaces the per-byte
+    * `f"...%02x"` interpolator — that was a java.lang.String.format call
+    * (format-string parse + boxing + Formatter) for EVERY byte of EVERY
+    * digest, measured as a top per-row cost in the anchor/window flatMaps
+    * (millions of digests per bench pass across this file, C4 and the
+    * fingerprint rows). Output is byte-identical. */
+  private[graft] def md5Hex(s: String): String = {
+    val d = Md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(2 * i) = HexDigits(b >>> 4)
+      out(2 * i + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Raw 16-byte MD5 (r8): the internal anchor/window keys ship as
+    * BinaryType — half the shuffle bytes of the 32-char hex string and no
+    * hex-encoding work per digest; hex stays only where the digest is an
+    * OUTPUT column the oracle replays (clean_md5). */
+  private[graft] def md5Bytes(s: String): Array[Byte] =
+    Md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Merge sorted-by-start [start, start+l) ranges; adjacency merges. */
   private[graft] def mergeSpans(starts: Array[Int], l: Int): Array[(Int, Int)] = {
@@ -131,7 +158,7 @@ object SubstringSpans {
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         anchorPositions(t, k, p, l).iterator.map { i =>
-          (md5Hex(t.substring(i, i + l)), id, i)
+          (md5Bytes(t.substring(i, i + l)), id, i)
         }
       }
       .toDF("key", "doc_id", "pos")

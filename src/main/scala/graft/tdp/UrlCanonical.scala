@@ -72,9 +72,15 @@ object UrlCanonical {
     val canon = docs.select($"doc_id", $"url").as[(Long, String)]
       .map { case (id, u) => (id, canonicalize(u)) }
       .toDF("doc_id", "url_canonical")
+    // r8: only DUPLICATED canonicals (n ≥ 2) join back — a unique url's
+    // aggregate row is derivable (canonical = itself, n = 1), so the
+    // ×16-salt replication now carries only the duplicate groups
     val counts = canon.groupBy($"url_canonical")
       .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("n_same_url"))
-    Dedup.saltedJoinBack(canon, counts, "url_canonical", "doc_id")
+      .filter($"n_same_url" >= 2)
+    Dedup.saltedLeftJoinDups(canon, counts, "url_canonical", "doc_id")
+      .withColumn("canonical_doc", coalesce($"canonical_doc", $"doc_id"))
+      .withColumn("n_same_url", coalesce($"n_same_url", lit(1L)))
       .withColumn("is_dup", $"doc_id" =!= $"canonical_doc")
       .select($"doc_id", $"url_canonical", $"canonical_doc", $"n_same_url",
         $"is_dup")

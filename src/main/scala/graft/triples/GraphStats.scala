@@ -64,21 +64,39 @@ object GraphStats {
       maxObjsPerDoc: Int = 64
   ): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+    // r8 reshape (identical output, oracle-checked): the round-7 plan was
+    // Window(row_number over url) for the cap + a url-keyed SELF-JOIN for
+    // the pairs — the window cost an extra url exchange + sort, and the
+    // self-join's two branches re-computed (or re-read) the whole capped
+    // subtree. One groupBy(url) with an in-row sorted top-N and in-row
+    // pair generation does both: per-doc state is the same distinct-obj
+    // list the window sorted, the cap is the same (count desc, obj asc)
+    // prefix, and the pair fanout stays bounded at N²/2 per doc. All
+    // higher-order functions — whole-stage codegen, no typed map.
     val perDoc = triples
       .groupBy($"url", $"obj")
       .agg(count(lit(1)).as("_n_mentions"))
-    val w = Window.partitionBy($"url").orderBy($"_n_mentions".desc, $"obj")
     val capped = perDoc
-      .withColumn("_rn", row_number().over(w))
+      .groupBy($"url")
+      // struct(-n, obj) sorts ascending == (mention count desc, obj asc),
+      // exactly the window's ordering; slice takes the row_number ≤ N set
+      .agg(collect_list(struct((-$"_n_mentions").as("negn"), $"obj")).as("objs"))
+      .select($"url",
+        expr(s"transform(slice(array_sort(objs), 1, $maxObjsPerDoc), x -> x.obj)")
+          .as("top"),
+        greatest(size($"objs") - maxObjsPerDoc, lit(0)).as("_n_over"))
+      // same truncation metric (rows dropped by the cap) under the same
+      // observation name as the round-7 window form
       .observe("cooccurrence_cap",
-        count(when($"_rn" > maxObjsPerDoc, true)).as("n_truncated_doc_objs"))
-      .filter($"_rn" <= maxObjsPerDoc)
-      .select($"url", $"obj")
-    val a = capped.toDF("url", "obj_a")
-    val b = capped.toDF("url", "obj_b")
-    a.join(b, Seq("url"))
-      .filter($"obj_a" < $"obj_b")
+        sum($"_n_over").as("n_truncated_doc_objs"))
+    capped
+      // unordered pairs with obj_a < obj_b in UTF8 order — the same binary
+      // string comparison the round-7 join filter used
+      .select(explode(expr(
+        "flatten(transform(top, x -> " +
+          "transform(filter(top, y -> y > x), y -> " +
+          "named_struct('obj_a', x, 'obj_b', y))))")).as("p"))
+      .select($"p.obj_a".as("obj_a"), $"p.obj_b".as("obj_b"))
       .groupBy($"obj_a", $"obj_b")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"obj_a", $"obj_b")
