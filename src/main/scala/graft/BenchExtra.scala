@@ -43,19 +43,21 @@ object BenchExtra {
       stageRows.add((info.name.takeWhile(_ != '\n').take(90), tt, info.numTasks, wall))
       ()
     }
+    val deserMs = new AtomicLong(0L)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       tasks.incrementAndGet()
       val m = t.taskMetrics
       if (m != null) {
         taskTimeMs.addAndGet(m.executorRunTime)
         gcMs.addAndGet(m.jvmGCTime)
+        deserMs.addAndGet(m.executorDeserializeTime)
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
     }
     def snapshot: String =
       f"jobs=${jobs.get}%d stages=${stages.get}%d tasks=${tasks.get}%d " +
-        f"taskTime=${taskTimeMs.get / 1000.0}%.2fs gc=${gcMs.get / 1000.0}%.2fs " +
+        f"taskTime=${taskTimeMs.get / 1000.0}%.2fs deser=${deserMs.get / 1000.0}%.2fs gc=${gcMs.get / 1000.0}%.2fs " +
         f"shufRead=${shuffleRead.get / 1024.0 / 1024.0}%.2fMB " +
         f"shufWrite=${shuffleWrite.get / 1024.0 / 1024.0}%.2fMB"
     def topStages(n: Int): String = {
@@ -67,7 +69,7 @@ object BenchExtra {
     }
     def reset(): Unit = {
       jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0L)
-      shuffleRead.set(0L); shuffleWrite.set(0L); gcMs.set(0L)
+      shuffleRead.set(0L); shuffleWrite.set(0L); gcMs.set(0L); deserMs.set(0L)
       stageRows.clear()
     }
   }

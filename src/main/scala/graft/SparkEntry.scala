@@ -683,7 +683,9 @@ object SparkEntry {
     "kg_ner_mentions" -> ((s, dir) => {
       import s.implicits._
       val res = resources(s)
-      val pages = Pages.fromDocuments(s, dir)
+      // spread=true: the whole-corpus trie scan is the heavy narrow stage
+      // this row measures — serialized on one core without it (r8)
+      val pages = Pages.fromDocuments(s, dir, spread = true)
       Pages.toDocs(s, pages)
         .flatMap { d =>
           if (d.error.isDefined) Iterator.empty
@@ -1043,9 +1045,16 @@ object SparkEntry {
       // Both sides stay distinct by construction (operator spans are a
       // subset of `spans`; the synthetic rows differ in entity_class), so
       // nerScores skips its per-side re-distinct/persist.
+      // r8: the scoring joins/groupBys key on the document ~8 times; the
+      // 28-char url string is bijective with its numeric doc id on this
+      // corpus (Pages.urlOf), so the spans table carries the LONG id under
+      // the url column name — narrower shuffle keys and cheaper hashing
+      // (guide §2.3), with tp/fp/fn per class unchanged (url is never an
+      // output column here)
       val spans = graft.util.CacheRegistry.register(
         pipelineTriples(s, dir)
-          .select($"url", $"start", $"end",
+          .select(substring_index($"url", "/", -1).cast("long").as("url"),
+            $"start", $"end",
             regexp_replace($"pred", "^mentions_", "").as("entity_class"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1066,7 +1075,10 @@ object SparkEntry {
       // r8: no .distinct() here — nerScoresBucketed distincts + persists
       // each side itself, so the outer distinct was a duplicate full
       // shuffle of both corpus-derived span sets per run
-      def spans(t: DataFrame) = t.select($"url", $"start", $"end",
+      // long doc key, same bijection rationale as kg_acceptance (r8)
+      def spans(t: DataFrame) = t.select(
+        substring_index($"url", "/", -1).cast("long").as("url"),
+        $"start", $"end",
         regexp_replace($"pred", "^mentions_", "").as("entity_class"))
       graft.eval.Acceptance.nerScoresBucketed(s,
         spans(pipelineTriples(s, dir)), spans(trieOnlyTriples(s, dir)))
@@ -1087,14 +1099,18 @@ object SparkEntry {
       // perturbation of it) — persist, or the dump-wide distinct + label
       // join executes once per side when linkingScores materializes its
       // per-side persists (measured ~2x on the slowest bench row)
+      // r8: LONG doc key under the url column (bijective with the url on
+      // this corpus — see kg_acceptance) so the ~8 downstream exchanges and
+      // the 7-column set-compare key on a long, not a 28-char string
       val mappings = graft.util.CacheRegistry.register(
-        t.select($"url", $"start", $"end",
+        t.select(substring_index($"url", "/", -1).cast("long").as("url"),
+            $"start", $"end",
             regexp_replace($"pred", "^mentions_", "").as("entity_class"),
             split($"obj", ":").getItem(0).as("source"), $"obj".as("idx"))
           .distinct()
           .join(broadcast(labels), "idx")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val docId = regexp_extract($"url", "([0-9]+)$", 1).cast("long")
+      val docId = $"url"
       val gold = mappings
         // label-ONLY perturbation: same (source, idx), renamed label — the
         // reference identity (source, "label|idx") counts this fp+fn
@@ -1414,7 +1430,7 @@ object SparkEntry {
       // CCNet-style LM quality filter with the corpus's own unigram model
       // and EXACT whole-bit surprisal (ilog2 = bit length - 1; no float
       // log anywhere) — keep the low-surprisal head
-      graft.tdp.LmFilter.surprisal(s, docsDfSpread(s, dir))),
+      graft.tdp.LmFilter.surprisal(s, docsDf(s, dir))),
     "c4_three_sentence_dedup" -> ((s, dir) =>
       // C4's corpus-level rule: of any 3-sentence span occurring more
       // than once, keep ONE canonical occurrence (contrast ExactSubstr:

@@ -25,16 +25,17 @@ object Pages {
   def urlOf(docId: Long): String = s"https://graft.test/doc/$docId"
 
   /** documents.parquet → page table. Narrow, deterministic derivation. */
-  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+  def fromDocuments(spark: SparkSession, sfDir: String,
+      spread: Boolean = false): DataFrame = {
     import spark.implicits._
-    // spread the scan BEFORE the html-synthesis map (r8, guide §2.2): a
-    // small corpus is one parquet split, so the map — and everything narrow
-    // downstream (extraction, trie NER) — would run on one core; the
-    // conditional repartition ships the narrow (doc_id, text, lang) rows,
-    // not the synthesized html, and is a no-op once splits >= cores
-    graft.SparkEntry.spreadScan(spark,
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .select($"doc_id", $"text", $"lang"))
+    // `spread` (r8, guide §2.2): spread the one-split scan BEFORE the
+    // html-synthesis map so a heavy narrow consumer (corpus-wide trie NER)
+    // parallelizes — opt-in because Pipeline.run already balances its own
+    // input by url, and the sliced per-strategy rows measured slightly
+    // SLOWER with an unconditional extra exchange here
+    val scan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    (if (spread) graft.SparkEntry.spreadScan(spark, scan) else scan)
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
         PageRow(

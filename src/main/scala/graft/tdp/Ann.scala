@@ -225,8 +225,22 @@ object Ann {
       embeddings: DataFrame,
       cfg: LshConfig
   ): DataFrame = {
-    val keys = lshSignatures(spark, embeddings, cfg)
-      .select(col("table"), col("bucket"), col("vec_id"))
+    import spark.implicits._
+    // keys-only signature pass (r8): lshSignatures carries the embedding
+    // through the typed flatMap (lshTopK needs it), but the pair sketch
+    // only keys on (table, bucket, id) — emitting the 64-float vector
+    // numTables times just to project it away multiplied the flatMap's
+    // serialization by the payload size (×48 tables in the dedup_embedding
+    // config)
+    val planes = cfg.planes(64)
+    val bc = spark.sparkContext.broadcast(planes)
+    val keys = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        val arr = v.toArray
+        bc.value.indices.iterator.map(t => (t, signBits(arr, bc.value(t)), id))
+      }
+      .toDF("table", "bucket", "vec_id")
     val a = keys.as("a"); val b = keys.as("b")
     a.join(b,
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

@@ -171,18 +171,19 @@ object SubstringSpans {
       .select($"key")
     val dupAnchors = anchors.join(dupKeys, Seq("key"), "left_semi")
 
-    val spans = dupAnchors.select($"doc_id", $"pos").as[(Long, Int)]
-      .groupByKey(_._1)
-      .mapGroups { (id, it) =>
-        val merged = mergeSpans(it.map(_._2).toArray, l)
-        (id, merged.map(_._1), merged.map(_._2))
-      }
-      .toDF("doc_id", "starts", "ends")
+    // r8: native hash aggregation instead of groupByKey+mapGroups (typed
+    // object shuffle); the interval merge happens in the final per-doc map,
+    // which already deserializes the row for removeSpans — mergeSpans
+    // sorts its input, so handing it the collected positions directly is
+    // the identical computation
+    val spans = dupAnchors
+      .groupBy($"doc_id")
+      .agg(collect_list($"pos").as("starts"))
 
     spans.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .as[(Long, Seq[Int], Seq[Int], String)]
-      .map { case (id, starts, ends, t) =>
-        val sp = starts.zip(ends).toArray
+      .as[(Long, Seq[Int], String)]
+      .map { case (id, starts, t) =>
+        val sp = mergeSpans(starts.toArray, l)
         val clean = removeSpans(t, sp)
         (id, sp.length.toLong, sp.map(x => x._2 - x._1).sum.toLong,
           clean.length.toLong, md5Hex(clean))
