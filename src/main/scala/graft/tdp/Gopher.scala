@@ -89,44 +89,107 @@ object Gopher {
     (dupCount, dupChars)
   }
 
-  /** count(top n-gram) * charLength(top n-gram); 0 when no n-grams. */
-  private[graft] def topNgramChars(words: Array[String], n: Int): Long = {
-    if (words.length < n) return 0L
-    val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    var i = 0
-    while (i + n <= words.length) {
-      val g = words.slice(i, i + n).mkString(" ")
-      counts(g) = counts.getOrElse(g, 0L) + 1L
-      i += 1
-    }
-    var best: String = null
-    var bc = 0L
-    counts.foreach { case (g, c) =>
-      if (c > bc || (c == bc && (best == null || utf8Less(g, best)))) {
-        best = g; bc = c
+  /** Interned per-doc word view (r8): word → dense int id plus a
+    * code-point-length prefix sum. The nine n-gram rules below used to
+    * build a java String for EVERY gram position of EVERY pass (≈ 9·W
+    * string concatenations per document — the measured top CPU cost of the
+    * gopher rows); over ids, counting is integer compares and the only
+    * strings ever built are top-gram TIE candidates, whose comparison
+    * stays the exact joined-string UTF-8 order the oracle replays. */
+  private final class WordIds(val words: Array[String]) {
+    val ids = new Array[Int](words.length)
+    val cpPrefix = new Array[Long](words.length + 1)
+    locally {
+      val idOf = new java.util.HashMap[String, Integer](words.length * 2)
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        var id = idOf.get(w)
+        if (id == null) { id = Integer.valueOf(idOf.size); idOf.put(w, id) }
+        ids(i) = id.intValue
+        cpPrefix(i + 1) = cpPrefix(i) + cpLen(w)
+        i += 1
       }
     }
-    bc * cpLen(best)
+    /** code points of the space-joined gram at [i, i+n) */
+    def gramCpLen(i: Int, n: Int): Long = cpPrefix(i + n) - cpPrefix(i) + (n - 1)
+    def gramString(i: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder
+      var k = i
+      while (k < i + n) { if (k > i) sb.append(' '); sb.append(words(k)); k += 1 }
+      sb.toString
+    }
   }
 
-  /** Summed length of words at positions covered by any occurrence of an
-    * n-gram appearing ≥ 2 times (positions counted once). */
-  private[graft] def dupNgramChars(words: Array[String], n: Int): Long = {
-    if (words.length < n) return 0L
-    val nGrams = words.length - n + 1
-    val grams = new Array[String](nGrams)
-    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+  /** Exact open-addressing count of the n-grams of `ids`: returns
+    * (slotOfPos, slotCount, slotFirstPos1) where slotFirstPos1 holds the
+    * first occurrence position + 1 (0 = empty slot). Collisions resolve by
+    * comparing the id slices — never by hash alone, so counts are exact. */
+  private def countGrams(ids: Array[Int], n: Int): (Array[Int], Array[Int], Array[Int]) = {
+    val m = ids.length - n + 1
+    var cap = 4
+    while (cap < m * 2) cap <<= 1
+    val firstPos1 = new Array[Int](cap)
+    val cnt = new Array[Int](cap)
+    val slotOf = new Array[Int](m)
+    val mask = cap - 1
     var i = 0
-    while (i < nGrams) {
-      val g = words.slice(i, i + n).mkString(" ")
-      grams(i) = g
-      counts(g) = counts.getOrElse(g, 0) + 1
+    while (i < m) {
+      var h = 1L
+      var j = i
+      while (j < i + n) { h = h * 0x9E3779B97F4A7C15L + ids(j); j += 1 }
+      h ^= (h >>> 32)
+      var s = (h & mask).toInt
+      var found = -1
+      while (found < 0) {
+        if (firstPos1(s) == 0) { firstPos1(s) = i + 1; found = s }
+        else {
+          val p = firstPos1(s) - 1
+          var k = 0
+          while (k < n && ids(p + k) == ids(i + k)) k += 1
+          if (k == n) found = s
+          else s = (s + 1) & mask
+        }
+      }
+      cnt(found) += 1
+      slotOf(i) = found
       i += 1
     }
-    val covered = new Array[Boolean](words.length)
-    i = 0
-    while (i < nGrams) {
-      if (counts(grams(i)) >= 2) {
+    (slotOf, cnt, firstPos1)
+  }
+
+  private def topNgramChars(w: WordIds, n: Int): Long = {
+    if (w.words.length < n) return 0L
+    val m = w.words.length - n + 1
+    val (slotOf, cnt, firstPos1) = countGrams(w.ids, n)
+    var bc = 0
+    var bestPos = -1
+    var best: String = null // built lazily, only for ties
+    var i = 0
+    while (i < m) {
+      val s = slotOf(i)
+      if (firstPos1(s) - 1 == i) { // distinct-gram representative
+        val c = cnt(s)
+        if (c > bc) { bc = c; bestPos = i; best = null }
+        else if (c == bc) {
+          if (best == null) best = w.gramString(bestPos, n)
+          val cand = w.gramString(i, n)
+          if (utf8Less(cand, best)) { best = cand; bestPos = i }
+        }
+      }
+      i += 1
+    }
+    bc.toLong * w.gramCpLen(bestPos, n)
+  }
+
+  private def dupNgramCharsIds(w: WordIds, n: Int): Long = {
+    if (w.words.length < n) return 0L
+    val m = w.words.length - n + 1
+    val (slotOf, cnt, _) = countGrams(w.ids, n)
+    val covered = new Array[Boolean](w.words.length)
+    var i = 0
+    while (i < m) {
+      if (cnt(slotOf(i)) >= 2) {
         var j = i
         while (j < i + n) { covered(j) = true; j += 1 }
       }
@@ -134,12 +197,21 @@ object Gopher {
     }
     var chars = 0L
     i = 0
-    while (i < words.length) {
-      if (covered(i)) chars += cpLen(words(i))
+    while (i < covered.length) {
+      if (covered(i)) chars += w.cpPrefix(i + 1) - w.cpPrefix(i)
       i += 1
     }
     chars
   }
+
+  /** count(top n-gram) * charLength(top n-gram); 0 when no n-grams. */
+  private[graft] def topNgramChars(words: Array[String], n: Int): Long =
+    if (words.length < n) 0L else topNgramChars(new WordIds(words), n)
+
+  /** Summed length of words at positions covered by any occurrence of an
+    * n-gram appearing ≥ 2 times (positions counted once). */
+  private[graft] def dupNgramChars(words: Array[String], n: Int): Long =
+    if (words.length < n) 0L else dupNgramCharsIds(new WordIds(words), n)
 
   // published removal thresholds, rule-keyed
   val DupLineFracT = 0.30
@@ -170,8 +242,12 @@ object Gopher {
     val (dupParas, dupParaChars) = dupStats(st.paras)
     val dupLineFrac = dupLines.toDouble / st.lines.length
     val dupParaFrac = dupParas.toDouble / st.paras.length
-    val top = (2 to 4).map(n => n -> cfrac(topNgramChars(st.words, n))).toMap
-    val dup = (5 to 10).map(n => n -> cfrac(dupNgramChars(st.words, n))).toMap
+    // one interned word view shared by all nine n-gram rules (r8)
+    val w = new WordIds(st.words)
+    val top = (2 to 4).map(n =>
+      n -> cfrac(if (st.words.length < n) 0L else topNgramChars(w, n))).toMap
+    val dup = (5 to 10).map(n =>
+      n -> cfrac(if (st.words.length < n) 0L else dupNgramCharsIds(w, n))).toMap
     val repetitive =
       dupLineFrac > DupLineFracT || dupParaFrac > DupParaFracT ||
       cfrac(dupLineChars) > DupLineCharFracT ||

@@ -45,20 +45,24 @@ object LmFilter {
       keepMeanBitsX100: Long = 505L
   ): DataFrame = {
     import spark.implicits._
+    // r8: persist the VOCABULARY-sized counts table, not the corpus-sized
+    // exploded token table — the round-7 shape cached one row per token
+    // (at 100 TB that is MORE bytes than the corpus itself in
+    // MEMORY_AND_DISK) to avoid recomputing the narrow token flatMap; the
+    // flatMap is a scan-speed narrow stage and recomputing it once for the
+    // scoring join is strictly cheaper than materializing the token table.
+    // The model total then comes from the persisted counts (one tiny
+    // aggregate), not from a second corpus-wide pass.
     val words = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         t.split(" ").iterator.filter(_.nonEmpty).map(w => (id, w))
       }
       .toDF("doc_id", "word")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.util.CacheRegistry.register(words)
 
-    val counts = words.groupBy($"word").agg(count(lit(1)).as("c"))
-    // total tokens = row count of the persisted word table — NOT sum(c)
-    // over `counts`, which would execute the corpus-wide vocabulary
-    // aggregation a second time (one run for this total, one for the
-    // scoring join); same value, one shuffle
-    val totalDf = words.agg(count(lit(1)).as("total"))
+    val counts = graft.util.CacheRegistry.register(
+      words.groupBy($"word").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totalDf = counts.agg(sum($"c").as("total"))
 
     words
       .join(counts, Seq("word"))

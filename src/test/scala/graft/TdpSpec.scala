@@ -496,6 +496,52 @@ class GopherSpec extends AnyFunSuite with SparkTestBase {
       (1 to 60).map(i => s"w$i").mkString(" "))
     assert(noStop.n_stop_words == 0 && !noStop.quality_keep)
   }
+
+  test("interned n-gram counting ≡ naive string-keyed derivation (r8 fuzz)") {
+    // the r8 rewrite counts n-grams over interned word ids (open
+    // addressing, id-slice equality) instead of building a string per gram
+    // position — this pins it against an independent naive string-map
+    // reimplementation of the published rule, including the top-gram
+    // (count desc, UTF-8 asc) tie-break and the covered-position union
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    def naiveTop(words: Array[String], n: Int): Long = {
+      if (words.length < n) return 0L
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      (0 to words.length - n).foreach { i =>
+        val g = words.slice(i, i + n).mkString(" ")
+        counts(g) = counts.getOrElse(g, 0L) + 1L
+      }
+      val best = counts.toSeq.minBy { case (g, c) => (-c, g) }(
+        Ordering.Tuple2(Ordering.Long, graft.util.Utf8Order.ordering))
+      best._2 * cp(best._1)
+    }
+    def naiveDup(words: Array[String], n: Int): Long = {
+      if (words.length < n) return 0L
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      val grams = (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" "))
+      grams.foreach(g => counts(g) = counts.getOrElse(g, 0) + 1)
+      val covered = new Array[Boolean](words.length)
+      grams.zipWithIndex.foreach { case (g, i) =>
+        if (counts(g) >= 2) (i until i + n).foreach(covered(_) = true)
+      }
+      words.indices.filter(covered).map(i => cp(words(i))).sum
+    }
+    val rnd = new scala.util.Random(42)
+    // small vocab forces heavy duplication and tie-breaks; include a word
+    // with a non-BMP char so code-point lengths diverge from UTF-16 units
+    val vocab = Array("a", "bb", "ab", "b", "aa", "😀x", "zz", "a b".replace(" ", ""))
+    (1 to 200).foreach { _ =>
+      val words = Array.fill(rnd.nextInt(40) + 1)(vocab(rnd.nextInt(vocab.length)))
+      (2 to 4).foreach { n =>
+        assert(Gopher.topNgramChars(words, n) == naiveTop(words, n),
+          s"top n=$n words=${words.mkString(",")}")
+      }
+      (5 to 10).foreach { n =>
+        assert(Gopher.dupNgramChars(words, n) == naiveDup(words, n),
+          s"dup n=$n words=${words.mkString(",")}")
+      }
+    }
+  }
 }
 
 /** Decontaminate path agreement: broadcast vs sharded-join fallback. */
