@@ -1058,10 +1058,15 @@ object SparkEntry {
             regexp_replace($"pred", "^mentions_", "").as("entity_class"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val gold = spans.filter($"entity_class" === "operator")
-        .unionByName(spans.select($"url").distinct()
-          .select($"url", lit(0).as("start"), lit(5).as("end"),
-            lit("component").as("entity_class")))
+      // gold persisted too (r8): it feeds the interval join AND the
+      // set-compare union, and its derivation carries the per-doc distinct
+      // shuffle — unpersisted it re-ran once per consumer
+      val gold = graft.util.CacheRegistry.register(
+        spans.filter($"entity_class" === "operator")
+          .unionByName(spans.select($"url").distinct()
+            .select($"url", lit(0).as("start"), lit(5).as("end"),
+              lit("component").as("entity_class")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.eval.Acceptance.nerScores(s, spans, gold, inputsDistinct = true)
     }),
     "kg_acceptance_corpus" -> ((s, dir) => {

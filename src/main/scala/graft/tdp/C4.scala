@@ -127,24 +127,31 @@ object C4 {
             !($"canon.doc_id" === $"doc_id" && $"canon.pos" === $"pos"),
           lit(false)).as("removed"))
 
-    // r8: native hash aggregation instead of groupByKey+mapGroups — the
-    // typed shuffle serialized every (id, pos, n, removed) tuple as
-    // objects; collect_list(when(removed, pos)) gathers exactly the
-    // removed window starts (nulls are skipped), and the final per-doc map
-    // expands them to the same {pos, pos+1, pos+2} sentence set
-    val perDoc = marked
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when($"n" >= 2, 1L).otherwise(0L)).as("n_dup_windows"),
-        sort_array(collect_list(when($"removed", $"pos"))).as("removed_pos"))
+    // groupByKey+mapGroups kept deliberately (r8): the collect_list
+    // alternative was tried and measured SLOWER — with one group per doc,
+    // ObjectHashAggregate exceeds its 128-key in-memory threshold and
+    // falls back to sort-based aggregation over every (doc, window) row
+    val perDoc = marked.as[(Long, Int, Long, Boolean)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        var nWin = 0L
+        var nDup = 0L
+        val rem = scala.collection.mutable.SortedSet.empty[Int]
+        it.foreach { case (_, pos, n, removed) =>
+          nWin += 1
+          if (n >= 2) nDup += 1
+          if (removed) { rem += pos; rem += pos + 1; rem += pos + 2 }
+        }
+        (id, nWin, nDup, rem.toArray)
+      }
+      .toDF("doc_id", "n_windows", "n_dup_windows", "removed_pos")
 
     docs.select(col("doc_id"), col("text"))
       .join(perDoc, Seq("doc_id"), "left")
       .as[(Long, String, Option[Long], Option[Long], Option[Seq[Int]])]
       .map { case (id, t, nWin, nDup, removedPos) =>
         val s = sentences(t)
-        val removed = removedPos.getOrElse(Seq.empty)
-          .iterator.flatMap(p => Iterator(p, p + 1, p + 2)).toSet
+        val removed = removedPos.getOrElse(Seq.empty).toSet
         val clean = s.indices.filterNot(removed).map(s).mkString(" ")
         (id, s.length.toLong, nWin.getOrElse(0L), nDup.getOrElse(0L),
           removed.size.toLong, SubstringSpans.md5Hex(clean))

@@ -51,21 +51,16 @@ object DedupSubstring {
       .agg(count(lit(1)).as("n"))
       .filter($"n" > maxPosting)
       .select($"f")
+    // self-join form kept deliberately (r8): an in-row collect_list pair
+    // generation was tried and measured SLOWER — fingerprint keys number
+    // ~|postings|, so ObjectHashAggregate exceeds its 128-key in-memory
+    // threshold and falls back to sort-based aggregation, while the
+    // self-join's two branches reuse one exchange
     val clean = postings.join(broadcast(blacklist), Seq("f"), "left_anti")
-    // r8: pair generation in-row instead of a fingerprint self-join — the
-    // anti-join already bounds every surviving posting list at maxPosting,
-    // so collect_list per fingerprint holds ≤ 20 ids (bounded state, no
-    // hot key) and the sorted id list emits each (a < b) pair exactly once
-    // via codegen'd higher-order functions; the self-join's second shuffle
-    // of the posting table is gone
-    clean.groupBy($"f")
-      .agg(sort_array(collect_list($"doc_id")).as("ds"))
-      .filter(size($"ds") >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds) - i - 1), y -> " +
-          "named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
-      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+    val left = clean.toDF("f", "doc_a")
+    val right = clean.toDF("f", "doc_b")
+    left.join(right, "f")
+      .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minShared)
