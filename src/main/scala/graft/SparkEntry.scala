@@ -480,8 +480,10 @@ object SparkEntry {
       xrefs: Option[graft.link.Xref.XrefMap] = None
   ): DataFrame = {
     import s.implicits._
-    val pages0 = Pages.fromDocuments(s, dir)
-      .filter(regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 5 === residue)
+    // r8: doc_id filter on the scan (html never synthesized for dropped
+    // docs) + the length lens from the raw scan instead of a second
+    // synth pass — see Pages.fromDocuments docIdResidue
+    val pages0 = Pages.fromDocuments(s, dir, docIdResidue = Some((5, residue)))
     val pages = pages0.withColumn("text", concat($"text", lit(suffix)))
     val withHtml = pages.select($"url", $"warc_ts",
       to_binary(concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")),
@@ -497,7 +499,9 @@ object SparkEntry {
     // returned plan has materialized
     val docs = graft.util.CacheRegistry.register(
       docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val lens = pages0.select($"url", length($"text").as("orig_len"))
+    val lens = docsDf(s, dir).filter($"doc_id" % 5 === residue)
+      .select(concat(lit("https://graft.test/doc/"), $"doc_id").as("url"),
+        length($"text").as("orig_len"))
     Triples.fromDocs(s, docs).toDF()
       .join(lens, "url")
       .filter($"start" >= $"orig_len")
@@ -755,8 +759,7 @@ object SparkEntry {
       // SECOND full pipeline over suffix-modified text that cannot share the
       // memoized docs, so restricting both sides keeps the oracle exact
       // while cutting the duplicate inference pass to a fifth
-      val pages = Pages.fromDocuments(s, dir)
-        .filter(regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 5 === 0)
+      val pages = Pages.fromDocuments(s, dir, docIdResidue = Some((5, 0)))
         .withColumn("text",
           concat($"text", lit(" hash join (HJ) wins. HJ is used.")))
       val pagesWithHtml = pages.select(
@@ -788,8 +791,7 @@ object SparkEntry {
       // the same regex on both sides — there OP:SORT would legitimately
       // remain defined-elsewhere too and XSF would stay ambiguous.
       // bounded doc slice, same rationale (and predicate) as kg_abbrev
-      val pages0 = Pages.fromDocuments(s, dir)
-        .filter(regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 5 === 0)
+      val pages0 = Pages.fromDocuments(s, dir, docIdResidue = Some((5, 0)))
         .filter(!$"text".rlike("(?i)\\bsort\\b"))
       val pages = pages0.withColumn("text",
         concat($"text", lit(" filter wins. XSF wins. scan ends.")))
@@ -1147,8 +1149,7 @@ object SparkEntry {
         "component" -> Map(
           "spark" -> Map("tp" -> Seq(Seq(ClassFilter.TokenRule(lower = Some("realctx"))))),
           "query" -> Map("tp" -> Seq(Seq(ClassFilter.TokenRule(lower = Some("zzznever"))))))))
-      val pages = Pages.fromDocuments(s, dir)
-        .filter(regexp_extract($"url", "([0-9]+)$", 1).cast("long") % 10 === 0)
+      val pages = Pages.fromDocuments(s, dir, docIdResidue = Some((10, 0)))
         .withColumn("text", concat($"text", lit(" filter bogus realctx spark")))
       val withHtml = pages.select($"url", $"warc_ts",
         to_binary(concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")),

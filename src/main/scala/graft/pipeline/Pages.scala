@@ -26,15 +26,24 @@ object Pages {
 
   /** documents.parquet → page table. Narrow, deterministic derivation. */
   def fromDocuments(spark: SparkSession, sfDir: String,
-      spread: Boolean = false): DataFrame = {
+      spread: Boolean = false,
+      docIdResidue: Option[(Int, Int)] = None): DataFrame = {
     import spark.implicits._
     // `spread` (r8, guide §2.2): spread the one-split scan BEFORE the
     // html-synthesis map so a heavy narrow consumer (corpus-wide trie NER)
     // parallelizes — opt-in because Pipeline.run already balances its own
     // input by url, and the sliced per-strategy rows measured slightly
-    // SLOWER with an unconditional extra exchange here
-    val scan = spark.read.parquet(s"$sfDir/documents.parquet")
+    // SLOWER with an unconditional extra exchange here.
+    // `docIdResidue = Some((mod, residue))` (r8): the sliced driver rows
+    // keep doc_id % mod == residue — filtering on the SCAN column before
+    // the map skips html synthesis for the dropped docs, where the old
+    // regexp filter on the synthesized url ran downstream of it (the url
+    // embeds the doc id, so the predicates are equivalent).
+    val scan0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text", $"lang")
+    val scan = docIdResidue.fold(scan0) { case (m, r) =>
+      scan0.filter($"doc_id" % m === r)
+    }
     (if (spread) graft.SparkEntry.spreadScan(spark, scan) else scan)
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
