@@ -90,6 +90,20 @@ object GraphStats {
       .observe("cooccurrence_cap",
         sum($"_n_over").as("n_truncated_doc_objs"))
     capped
+      // spread the pair fanout (r8): the capped doc-list table is tiny in
+      // BYTES (one row per doc, ≤N obj refs), so AQE's byte-based coalescing
+      // collapses the url exchange to very few reduce tasks — but the stage
+      // DOWNSTREAM of it generates up to N²/2 pairs per row, i.e. its cost is
+      // compute-dense per input byte and bytes are the wrong sizing proxy
+      // (guide §2.5: compute skew, not byte skew). Re-keying the capped rows
+      // across the cluster's parallelism (cluster-derived, not a constant)
+      // costs one narrow doc-count-sized shuffle and lets the quadratic
+      // Generate+partial-pair-agg stage run at full width at every scale.
+      // Round-robin, not hash-by-url: a url-hash request matches the url
+      // exchange above it and Catalyst elides it as redundant — AQE then
+      // re-collapses the read at runtime. (The pre-repartition local sort is
+      // over one capped row per doc — negligible.)
+      .repartition(spark.sparkContext.defaultParallelism)
       // unordered pairs with obj_a < obj_b in UTF8 order — the same binary
       // string comparison the round-7 join filter used
       .select(explode(expr(
