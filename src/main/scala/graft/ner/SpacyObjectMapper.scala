@@ -59,6 +59,12 @@ final class SpacyObjectMapper(
       entries.collectFirst { case (e, s) if e == m => s }
   }
 
+  /** Documented deviation (ADVICE r7): spaCy's `Doc.char_span` returns None
+    * for an out-of-bounds `end` even with alignment_mode="expand"
+    * (token_by_char yields -1); this port clamps such a span to the last
+    * token instead. Unreachable in practice — entity offsets are derived
+    * from the same text — and kept as-is because the step's oracle rows pin
+    * the current behaviour. */
   private def charSpanExpand(
       toks: IndexedSeq[Tokenizer.Token], start: Int, end: Int): Option[TokenSpan] = {
     val s = toks.indexWhere(t => t.end > start)

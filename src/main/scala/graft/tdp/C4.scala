@@ -59,7 +59,18 @@ object C4 {
       .split("\u0001", -1)
 
   /** Line + page rules; one row per document. `clean_md5` pins the retained
-    * text (kept lines joined by newline). */
+    * text (kept lines joined by newline).
+    *
+    * Two documented token-semantics notes (ADVICE r7, oracle-pinned so the
+    * behaviour is frozen here rather than "fixed"):
+    *  - blocklist matching is EXACT equality on space-split tokens — a
+    *    blocked word adjacent to punctuation ("casino!") escapes, unlike
+    *    C4's published word-anywhere matching; OracleSql.c4Quality mirrors
+    *    the same token-exact rule.
+    *  - `n_sentences` counts terminal-mark CHARACTERS in kept lines (a '.'
+    *    inside "3.5" counts), which is C4's cheap page heuristic; the
+    *    [[sentences]] splitter used by [[threeSentenceDedup]] is a
+    *    different, stricter definition and the two deliberately disagree. */
   def quality(
       spark: SparkSession,
       docs: DataFrame, // (doc_id, text)

@@ -43,7 +43,14 @@ object Packing {
     text.split(" ").count(_.nonEmpty).toLong + 1L // + end-of-doc separator
 
   /** One row per training sequence:
-    * (chunk_id, n_docs, first_doc, last_doc, n_tokens). */
+    * (chunk_id, n_docs, first_doc, last_doc, n_tokens).
+    *
+    * NOTE (ADVICE r7): constructing this DataFrame is EAGER — pass A
+    * (persist + per-partition token sums, a driver array bounded by the
+    * PARTITION count, never by data) runs a Spark job at construction time
+    * and registers the token-count persist with [[graft.util.CacheRegistry]],
+    * unlike the other lazily-built SparkEntry queries. Callers that only
+    * want the plan still pay pass A once. */
   def packSequences(
       spark: SparkSession,
       docs: DataFrame, // (doc_id, text)
