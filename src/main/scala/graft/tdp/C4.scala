@@ -111,9 +111,14 @@ object C4 {
     val occ = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         val s = sentences(t)
+        // binary digest key (r8): 16 bytes into the shuffle, not 32 chars.
+        // Each sentence is UTF-8-encoded ONCE and windows digest the cached
+        // encodings (byte-identical to md5(slice.mkString(" ")) — see
+        // SubstringSpans.md5WindowBytes), instead of re-encoding every
+        // sentence for each of the ~3 windows it appears in.
+        val enc = s.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         (0 to s.length - 3).iterator.map { i =>
-          // binary digest key (r8): 16 bytes into the shuffle, not 32 chars
-          (SubstringSpans.md5Bytes(s.slice(i, i + 3).mkString(" ")), id, i)
+          (SubstringSpans.md5WindowBytes(enc, i, 3), id, i)
         }
       }
       .toDF("key", "doc_id", "pos")

@@ -121,6 +121,28 @@ object SubstringSpans {
   private[graft] def md5Bytes(s: String): Array[Byte] =
     Md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Raw MD5 of `parts(i) + " " + parts(i+1) + ... + parts(i+n-1)` over
+    * PRE-ENCODED UTF-8 parts (r8): the window flatMaps digest every
+    * sentence ~3 times via `slice(i, i+3).mkString(" ")` — a per-window
+    * array alloc, a StringBuilder copy of the whole window text, and a
+    * fresh UTF-8 encode of every sentence per window it appears in. Feeding
+    * the digest the cached per-sentence encodings with a single space byte
+    * between is byte-identical (UTF-8 is context-free across the space
+    * separator, and an unpaired trailing surrogate encodes to the same
+    * replacement byte whether or not text follows) and encodes each
+    * sentence exactly once per document. */
+  private[graft] def md5WindowBytes(
+      parts: Array[Array[Byte]], i: Int, n: Int): Array[Byte] = {
+    val md = Md5.get()
+    var j = i
+    while (j < i + n) {
+      if (j > i) md.update(' '.toByte)
+      md.update(parts(j))
+      j += 1
+    }
+    md.digest()
+  }
+
   /** Merge sorted-by-start [start, start+l) ranges; adjacency merges. */
   private[graft] def mergeSpans(starts: Array[Int], l: Int): Array[(Int, Int)] = {
     java.util.Arrays.sort(starts)

@@ -542,6 +542,28 @@ class GopherSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("windowed md5 over cached UTF-8 parts ≡ md5 of mkString (r8 fuzz)") {
+    // pins the C4 window-digest rewrite: digesting pre-encoded sentence
+    // bytes with a single space byte between MUST equal the md5 of the
+    // joined string's UTF-8 — including non-BMP chars and an UNPAIRED
+    // surrogate at a part boundary (both encode to the replacement byte
+    // whether or not text follows, so equality must still hold)
+    import java.nio.charset.StandardCharsets.UTF_8
+    val rnd = new scala.util.Random(7)
+    val pool = Array("plain", "ascii.", "ümlaut", "漢字句", "😀 emoji",
+      "tail\uD83D", "\uDE00head", "", "two  spaces")
+    (1 to 300).foreach { _ =>
+      val parts = Array.fill(rnd.nextInt(6) + 3)(pool(rnd.nextInt(pool.length)))
+      val enc = parts.map(_.getBytes(UTF_8))
+      val i = rnd.nextInt(parts.length - 2)
+      val expect = graft.tdp.SubstringSpans.md5Bytes(
+        parts.slice(i, i + 3).mkString(" "))
+      assert(java.util.Arrays.equals(
+        graft.tdp.SubstringSpans.md5WindowBytes(enc, i, 3), expect),
+        s"window i=$i parts=${parts.mkString("|")}")
+    }
+  }
 }
 
 /** Decontaminate path agreement: broadcast vs sharded-join fallback. */
