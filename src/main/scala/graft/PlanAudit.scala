@@ -233,7 +233,53 @@ object PlanAudit {
         "SALTED join (no Window over the hash key, no broadcast " +
         "dependence) — a same-logo mega-cluster spreads over 16 reducers.",
       mustContain = Seq("partial_count"),
-      mustNotContain = Seq("Window", "CartesianProduct"))
+      mustNotContain = Seq("Window", "CartesianProduct")),
+    // ---- round-8 additions: the three shapes the r7 VERDICT flagged as
+    // unfenced (lm_surprisal's plan had already changed once that round
+    // with no audit) plus kg_cooccurrence, whose shape changed this round.
+    Audit("lm_surprisal",
+      "unigram LM surprisal (CCNet shape): ONE corpus word pass — the " +
+        "narrow token flatMap is recomputed for the scoring join (scan " +
+        "speed) while the VOCABULARY-sized counts table is what persists, " +
+        "read twice (model total + scoring join = exactly two " +
+        "InMemoryTableScans). The corpus-sized token table must never be " +
+        "the cached side (at 100 TB it is more bytes than the corpus); " +
+        "the one-row total rides a broadcast cross join, never a driver " +
+        "collect; the vocabulary join is a plain equi-join Catalyst is " +
+        "free to re-plan by size (no forced broadcast hint on it).",
+      mustContain = Seq("partial_", "BroadcastNestedLoopJoin Cross"),
+      mustNotContain = Seq("CartesianProduct", "Window"),
+      exactInTree = Seq("InMemoryTableScan" -> 2)),
+    Audit("corpus_mix",
+      "temperature corpus mixing (mT5/PaLM α=0.5): exact integer isqrt " +
+        "quotas; the single-row denominator reaches every row via a " +
+        "broadcast CROSS join of the one-row aggregate — never a driver " +
+        "collect — and per-language counts partial-aggregate map-side; " +
+        "works unchanged for 5 languages or millions of hosts.",
+      mustContain = Seq("partial_", "BroadcastNestedLoopJoin Cross"),
+      mustNotContain = Seq("CartesianProduct", "Window")),
+    Audit("c4_quality",
+      "C4 line/page rules: a pure narrow per-doc map — the only exchanges " +
+        "are the scale-adaptive scan spread (round-robin, no-op at " +
+        "production split counts) and the deterministic-output orderBy's " +
+        "range partitioning; no hash shuffle, no join, scan-speed at " +
+        "100 TB.",
+      mustContain = Seq("RoundRobinPartitioning", "rangepartitioning("),
+      mustNotContain = Seq("hashpartitioning(", "CartesianProduct",
+        "Window")),
+    Audit("kg_cooccurrence",
+      "entity co-occurrence edges (r8 shape): per-doc top-N cap and pair " +
+        "generation happen IN-ROW via higher-order functions off one " +
+        "groupBy(url) — the round-7 Window(row_number) + url self-join " +
+        "(extra exchange + sort, twice-read capped subtree) must stay " +
+        "gone; the cap-truncation observe metric (CollectMetrics) must " +
+        "survive; and the quadratic pair fanout runs at cluster width via " +
+        "the round-robin repartition (its cost per input byte is ~10^3x " +
+        "the scan's, so AQE's byte-based coalescing must not size it).",
+      mustContain = Seq("CollectMetrics", "RoundRobinPartitioning",
+        "partial_"),
+      mustNotContain = Seq("Window", "SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct"))
   )
 
   def main(args: Array[String]): Unit = {
