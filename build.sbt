@@ -23,7 +23,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// SIMD gemm (graft.ner.VectorGemm): incubator module, optional at runtime —
+// MiniBern falls back to its scalar loop when the module is absent.
+// The -J form forces zinc to FORK javac: its in-process compiler loads the
+// incubator classes into a plain URLClassLoader and dies with an
+// IllegalAccessError on a clean build.
+javacOptions ++= Seq("-J--add-modules=jdk.incubator.vector",
+  "--add-modules", "jdk.incubator.vector")
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -40,7 +40,13 @@ object BenchExtra {
       val info = s.stageInfo
       val tt = Option(info.taskMetrics).map(_.executorRunTime).getOrElse(0L)
       val wall = (for {a <- info.completionTime; b <- info.submissionTime} yield a - b).getOrElse(0L)
-      stageRows.add((info.name.takeWhile(_ != '\n').take(90), tt, info.numTasks, wall))
+      // first graft.* frame of the submission stack — the anonymous AQE
+      // stage-materialization name alone cannot tell scoring passes apart
+      val frame = info.details.linesIterator
+        .find(l => l.contains("graft.") && !l.contains("BenchExtra"))
+        .map(_.trim.stripPrefix("at ").take(80)).getOrElse("")
+      stageRows.add((s"${info.name.takeWhile(_ != '\n').take(60)} | $frame",
+        tt, info.numTasks, wall))
       ()
     }
     val deserMs = new AtomicLong(0L)
@@ -74,6 +80,50 @@ object BenchExtra {
     }
   }
 
+  /** Poor-man's sampling profiler (local mode only: executors share this
+    * JVM): every ~20 ms, take the topmost interesting frame of every
+    * "Executor task launch worker" thread and histogram them. Attributes
+    * task time to actual operators where the AQE stage names cannot. */
+  private final class Sampler extends Thread("benchextra-sampler") {
+    setDaemon(true)
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    @volatile var on = false
+    @volatile private var halted = false
+    def reset(): Unit = counts.clear()
+    def shutdown(): Unit = { halted = true }
+    private def interesting(f: StackTraceElement): Boolean = {
+      val c = f.getClassName
+      c.startsWith("graft.") ||
+        c.startsWith("org.apache.spark.sql.catalyst.expressions.codegen.GeneratedClass") ||
+        c.contains("WholeStageCodegen")
+    }
+    override def run(): Unit = while (!halted) {
+      if (on) {
+        val all = Thread.getAllStackTraces
+        all.forEach { (t, st) =>
+          if (t.getName.startsWith("Executor task launch worker")) {
+            val frame = st.find(interesting)
+              .map(f => s"${f.getClassName.stripPrefix("graft.")}.${f.getMethodName}")
+              .orElse(st.headOption.map(f =>
+                s"[non-graft] ${f.getClassName.split('.').lastOption.getOrElse("?")}.${f.getMethodName}"))
+              .getOrElse("[idle]")
+            counts.computeIfAbsent(frame, _ => new java.util.concurrent.atomic.AtomicLong())
+              .incrementAndGet()
+          }
+        }
+      }
+      Thread.sleep(20)
+    }
+    def top(n: Int): String = {
+      import scala.jdk.CollectionConverters._
+      val rows = counts.asScala.toSeq.map { case (k, v) => (k, v.get) }.sortBy(-_._2)
+      val total = math.max(rows.map(_._2).sum, 1L)
+      rows.take(n).map { case (k, c) =>
+        f"    ${c * 100.0 / total}%5.1f%% ($c%5d) $k"
+      }.mkString("\n")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val tag = args.headOption.getOrElse("before")
     val names =
@@ -102,6 +152,9 @@ object BenchExtra {
     SparkEntry.materializeShared(spark, sfDir)
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
+    val sampler = new Sampler
+    val sampling = sys.env.get("SPARK_GRAFT_SAMPLE").contains("1")
+    if (sampling) sampler.start()
 
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
@@ -124,13 +177,18 @@ object BenchExtra {
         (sec, acc.snapshot, acc.topStages(6))
       }
       // warm once, then report the median-ish second run of each action
-      val runs = Seq.fill(3)(timed(_.count()))
+      val runs = Seq.fill(2)(timed(_.count()))
+      if (sampling) { sampler.reset(); sampler.on = true }
+      val sampled = timed(_.count())
+      if (sampling) sampler.on = false
       val noop = timed(
         _.write.format("noop").mode("overwrite").save())
-      val med = runs.map(_._1).sorted.apply(1)
-      println(f"QUERY $name%-28s count_med=$med%7.3f  runs=${runs.map(r => f"${r._1}%.3f").mkString(",")}  noop=${noop._1}%7.3f")
-      println(s"  last_count_profile: ${runs.last._2}")
-      println(s"  top stages (last count run):\n${runs.last._3}")
+      val all = runs :+ sampled
+      val med = all.map(_._1).sorted.apply(1)
+      println(f"QUERY $name%-28s count_med=$med%7.3f  runs=${all.map(r => f"${r._1}%.3f").mkString(",")}  noop=${noop._1}%7.3f")
+      println(s"  last_count_profile: ${sampled._2}")
+      println(s"  top stages (last count run):\n${sampled._3}")
+      if (sampling) println(s"  sampled frames (last count run):\n${sampler.top(12)}")
       }
     }
     spark.stop()

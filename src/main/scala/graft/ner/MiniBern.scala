@@ -214,6 +214,14 @@ final class MiniBern(
     * scalar-broadcast form at these shapes: 6.4 vs 3.9 GFLOP/s/core for
     * d→ffn, 5.3 vs ~3.5 for d→d). */
   private def gemm(a: Array[Float], n: Int, k: Int, b: Array[Float], m: Int): Array[Float] = {
+    // r8: the sampled-frame profile showed this loop as THE pipeline compute
+    // hotspot (gemm+gelu+trunk ~70% of non-idle executor samples on the
+    // transformer rows). The Vector API port is lane-wise BIT-IDENTICAL to
+    // the scalar loop below (same association order, mul+add, no FMA —
+    // pinned by MiniBernSpec's bit-equality fuzz) and measured 3.5x here;
+    // the scalar loop stays as the fallback for JVMs launched without
+    // --add-modules=jdk.incubator.vector.
+    if (VectorGemm.AVAILABLE) return VectorGemm.gemm(a, n, k, b, m)
     val c = new Array[Float](n * m)
     var i = 0
     while (i < n) {

@@ -228,4 +228,56 @@ class MiniBernSpec extends AnyFunSuite with SparkTestBase {
     assert(cos("breast cancer", "breast cancers") >
       cos("breast cancer", "insulin"))
   }
+
+  test("VectorGemm is BIT-identical to the scalar gemm reference (r8 fuzz)") {
+    // the SIMD port must reproduce the scalar loop's exact float op order
+    // (left association, mul+add, no FMA) — a single ULP of drift here
+    // would ripple through every transformer-derived oracle row. Reference
+    // reimplemented independently; shapes cover k%4 and m%laneWidth tails.
+    assume(graft.ner.VectorGemm.AVAILABLE)
+    def ref(a: Array[Float], n: Int, k: Int, b: Array[Float], m: Int): Array[Float] = {
+      val c = new Array[Float](n * m)
+      // grouped-by-4 reference, matching MiniBern's unrolled scalar loop
+      // (identical association: 4 p-terms left-associated per update)
+      for (i <- 0 until n) {
+        val co = i * m; val ak = i * k
+        var p = 0
+        while (p + 4 <= k) {
+          val a0 = a(ak + p); val a1 = a(ak + p + 1)
+          val a2 = a(ak + p + 2); val a3 = a(ak + p + 3)
+          val b0 = p * m; val b1 = (p + 1) * m
+          val b2 = (p + 2) * m; val b3 = (p + 3) * m
+          var j = 0
+          while (j < m) {
+            c(co + j) += a0 * b(b0 + j) + a1 * b(b1 + j) +
+              a2 * b(b2 + j) + a3 * b(b3 + j)
+            j += 1
+          }
+          p += 4
+        }
+        while (p < k) {
+          val av = a(ak + p); val bo = p * m
+          var j = 0
+          while (j < m) { c(co + j) += av * b(bo + j); j += 1 }
+          p += 1
+        }
+      }
+      c
+    }
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 40) {
+      val n = rnd.nextInt(9) + 1
+      val k = rnd.nextInt(70) + 1   // exercises the p-tail (k % 4 != 0)
+      val m = rnd.nextInt(70) + 1   // exercises the j-tail (m % lanes != 0)
+      val a = Array.fill(n * k)(rnd.nextFloat() - 0.5f)
+      val b = Array.fill(k * m)(rnd.nextFloat() - 0.5f)
+      val cs = ref(a, n, k, b, m)
+      val cv = graft.ner.VectorGemm.gemm(a, n, k, b, m)
+      cs.indices.foreach { i =>
+        assert(java.lang.Float.floatToRawIntBits(cs(i)) ==
+          java.lang.Float.floatToRawIntBits(cv(i)),
+          s"bit drift at $i for n=$n k=$k m=$m: ${cs(i)} vs ${cv(i)}")
+      }
+    }
+  }
 }
