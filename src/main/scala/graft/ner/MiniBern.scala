@@ -350,18 +350,25 @@ final class MiniBern(
           while (i < n) {
             val qo = (base + i) * d + ho
             val wid = frame(i).wordId
-            // scores for allowed (same-word) keys
+            // scores for allowed (same-word) keys ONLY (r8): the mask is
+            // word-local, so scores of other-word keys were computed and
+            // then overwritten with 0 — skipping their QK dot products is
+            // bit-identical (maxS/z/ctx never read them) and removes the
+            // O(n·dk) majority of the attention work per query (words are
+            // ≤ maxWordPieces pieces; the frame is n tokens)
             var maxS = Float.NegativeInfinity
             val scores = new Array[Float](n)
             var j = 0
             while (j < n) {
-              var s = 0f
-              val ko = (base + j) * d + ho
-              var t = 0
-              while (t < dk) { s += q(qo + t) * k(ko + t); t += 1 }
-              s *= invSqrtDk
-              scores(j) = s
-              if (frame(j).wordId == wid && s > maxS) maxS = s
+              if (frame(j).wordId == wid) {
+                var s = 0f
+                val ko = (base + j) * d + ho
+                var t = 0
+                while (t < dk) { s += q(qo + t) * k(ko + t); t += 1 }
+                s *= invSqrtDk
+                scores(j) = s
+                if (s > maxS) maxS = s
+              }
               j += 1
             }
             var z = 0f
